@@ -1,0 +1,135 @@
+"""Text-analysis expressions: token counting, quality scoring, language
+ID, document fingerprinting.
+
+These are the training-data-pipeline primitives (BASELINE.json north
+star). Everything is a Column expression — the 100 TB path is a single
+scan-stage projection per document, no shuffle, no Python.
+
+Design notes for oracle parity (the driver hash-compares against DuckDB):
+* hashes use md5 (identical hex output in Spark and DuckDB);
+* ratios use integer counts divided as doubles (same rounding both
+  sides); no float accumulation order dependence anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.functions.text import tokens, word_ngrams
+
+# Tiny embedded stopword lists — enough for a deterministic n-gram/stopword
+# language heuristic; NOT a linguistic claim. Keep sorted & lowercase.
+STOPWORDS = {
+    "en": ("a", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+           "in", "is", "it", "not", "of", "on", "or", "the", "to", "with"),
+    "de": ("aber", "als", "auch", "auf", "aus", "bei", "das", "der", "die",
+           "ein", "eine", "für", "ist", "mit", "nicht", "sich", "sie",
+           "und", "von", "zu"),
+    "fr": ("au", "avec", "ce", "dans", "de", "des", "du", "elle", "en",
+           "est", "et", "il", "la", "le", "les", "ne", "pas", "pour",
+           "que", "un"),
+    "es": ("al", "como", "con", "de", "del", "el", "en", "es", "la", "las",
+           "lo", "los", "no", "para", "por", "que", "se", "un", "una", "y"),
+}
+
+
+def _lower_tokens(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return tokens(F.lower(col), mode="simple")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(_lower_tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-flavored token estimate: count of letter-runs, digits, and
+    punctuation marks — the granularity a byte-pair tokenizer roughly
+    lands at for Latin text. Pure regexp count (long)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")).cast("long")
+
+
+def stopword_hits(text: Column | str, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang`` (long)."""
+    stops = [F.lit(s) for s in STOPWORDS[lang]]
+    return F.size(
+        F.filter(_lower_tokens(text), lambda t: t.isin(*[s for s in STOPWORDS[lang]]))
+    ).cast("long")
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """The standard cheap quality signals as named expressions."""
+    col = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(col).cast("long")
+    toks = _lower_tokens(col)
+    n_tokens = F.size(toks).cast("long")
+    n_alpha = F.regexp_count(col, F.lit(r"[A-Za-z]")).cast("long")
+    n_punct = F.regexp_count(col, F.lit(r"[^A-Za-z0-9\s]")).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": (n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))),
+        "punct_ratio": (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))),
+        "stopword_ratio": (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))),
+        "mean_token_len": (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.greatest(n_tokens, F.lit(1))
+        ),
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1]-ish quality score (deterministic, documented
+    weights; thresholds follow the usual Gopher-rules shape)."""
+    f = quality_features(text)
+    length_ok = (f["n_tokens"] >= 5) & (f["n_tokens"] <= 100000)
+    mean_len_ok = (f["mean_token_len"] >= 2.0) & (f["mean_token_len"] <= 12.0)
+    score = (
+        F.when(length_ok, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(mean_len_ok, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(f["punct_ratio"] * 4, F.lit(1.0)))
+        + F.lit(0.25) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+    )
+    return score
+
+
+def langid(text: Column | str) -> Column:
+    """Stopword-vote language guess over STOPWORDS languages.
+
+    Per-language hit counts; argmax with deterministic tie-break on
+    language code order ('de' < 'en' < 'es' < 'fr'); 'und' (undetermined)
+    when no stopword hits at all."""
+    toks = _lower_tokens(text)
+    hits = {
+        lang: F.size(F.filter(toks, lambda t, s=stops: t.isin(*s)))
+        for lang, stops in STOPWORDS.items()
+    }
+    # struct(hits, negated-lang) max trick would invert codes; do explicit
+    # greatest + first-match CASE for a deterministic, readable argmax.
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        out = F.when(hits[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def content_hash(text: Column | str) -> Column:
+    """md5 of whitespace-normalized lowercase text (exact-dedup key;
+    identical semantics in DuckDB: md5(...)"""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.concat_ws(" ", _lower_tokens(col)).cast("binary"))
+
+
+def doc_fingerprint(text: Column | str, shingle: int = 3) -> Column:
+    """Winnowing-style fingerprint: min md5 over word-``shingle``-grams.
+
+    Documents sharing any minimal shingle hash collide — a cheap
+    near-dup prefilter. Falls back to content_hash for short docs."""
+    toks = _lower_tokens(text)
+    grams = word_ngrams(toks, shingle)
+    min_md5 = F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary"))))
+    return F.coalesce(min_md5, content_hash(text))

@@ -1,0 +1,77 @@
+"""Text / WordCount queries — the reference's query surface, Spark-first.
+
+The flagship is the reference's complete pipeline (InputSplit → Map →
+Partition → Sort → Group → Reduce → Output, /root/reference/Worker.cc,
+SURVEY.md §2a) expressed as ONE declarative DataFrame chain over
+``documents.text``: scan → explode(split) → filter → groupBy → count.
+
+Scale notes: Catalyst prunes the parquet scan to the single ``text``
+column; the aggregation is partial (map-side combine) before the shuffle
+— strictly better than the reference, which ships every raw (word, 1)
+pair (/root/reference/Worker.cc:94-99 counts them). Word skew (stopwords
+are heavy hitters) is handled by the partial agg: each task emits at most
+|vocab| rows per partition, so the shuffle is bounded by vocab ×
+partitions regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.functions.text import tokens
+from mapreduce_implementation_spark.plans.registry import register
+from mapreduce_implementation_spark.sources.catalog import load_table
+
+
+@register(
+    "wordcount",
+    headline=True,
+    tables=("documents",),
+    oracle="""
+        SELECT word, COUNT(*) AS cnt
+        FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship WordCount: reference tokenizer (single-space split,
+    /root/reference/Worker.cc:150-158), empty tokens dropped (the sane
+    Q1 policy — both inner and trailing empties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text", mode="reference")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "wordcount_by_first_char",
+    tables=("documents",),
+    oracle="""
+        SELECT substring(word, 1, 1) AS first_char, COUNT(*) AS cnt
+        FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY substring(word, 1, 1)
+    """,
+)
+def wordcount_by_first_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's demo customization axis — "group by the first
+    charter" (spec p.8; commented variant /root/reference/Worker.cc:240)
+    — as a one-argument change of grouping expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text", mode="reference")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy(F.substring("word", 1, 1).alias("first_char"))
+        .agg(F.count("*").alias("cnt"))
+    )
