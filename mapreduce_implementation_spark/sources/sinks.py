@@ -1,0 +1,69 @@
+"""Sinks — the reference's per-reducer output files, Spark-first.
+
+Reference Output stage (/root/reference/Worker.cc:267-274): one text
+file per reduce task named ``<output_dir><job_name>-<reducerID+1>.out``
+(1-based — SURVEY.md Q6), each line ``word count``, keys ascending
+within the file (Q4).
+
+Spark mapping: ``write.partitionBy("reducer_id")`` gives one directory
+per reducer; because the frame is repartitioned BY reducer_id first,
+every reducer's rows live in exactly one task → exactly one file per
+directory, already sorted (sortWithinPartitions upstream). A final
+driver-side rename (R files, R small) produces the reference layout.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_reducer_files(
+    result: DataFrame,
+    output_dir: str,
+    job_name: str,
+    sep: str = " ",
+    num_reducers: int | None = None,
+) -> list[str]:
+    """Write DataFrame[reducer_id, key, value] (already partitioned and
+    sorted by operators.core.map_reduce) as reference-layout files.
+
+    Pass ``num_reducers`` to also materialize EMPTY files for reducers
+    that received no keys — the reference writes one file per reduce
+    task unconditionally (/root/reference/Worker.cc:267-274).
+
+    Returns the list of files written, in reducer order.
+    """
+    staging = os.path.join(output_dir, f"_{job_name}_staging")
+    (
+        result.withColumn("line", F.concat_ws(sep, F.col("key"), F.col("value")))
+        .select("reducer_id", "line")
+        .write.mode("overwrite")
+        .partitionBy("reducer_id")
+        .text(staging)
+    )
+    written: list[str] = []
+    seen_rids = set()
+    for d in sorted(glob.glob(os.path.join(staging, "reducer_id=*"))):
+        rid = int(d.rsplit("=", 1)[1])
+        seen_rids.add(rid)
+        parts = sorted(glob.glob(os.path.join(d, "part-*")))
+        # one partition per reducer_id upstream → exactly one part file
+        out_path = os.path.join(output_dir, f"{job_name}-{rid + 1}.out")
+        with open(out_path, "wb") as out:
+            for p in parts:
+                with open(p, "rb") as src:
+                    shutil.copyfileobj(src, out)
+        written.append(out_path)
+    if num_reducers is not None:
+        for rid in range(num_reducers):
+            if rid not in seen_rids:
+                out_path = os.path.join(output_dir, f"{job_name}-{rid + 1}.out")
+                open(out_path, "wb").close()
+                written.append(out_path)
+    shutil.rmtree(staging)
+    return written

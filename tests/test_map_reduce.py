@@ -1,0 +1,136 @@
+"""Reference-semantics tests for the seven-stage model (SURVEY.md §5
+items 2-4): exact counts, per-reducer sorted output, Q1 empty-token
+policies, Q2 pmod partitioner, demo customization axes, parameter sweeps.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.functions.text import first_char_bucket
+from mapreduce_implementation_spark.operators.core import map_reduce, wordcount_mapper
+from mapreduce_implementation_spark.sources.sinks import write_reducer_files
+
+LINES = [
+    "Apple Banana Apple",
+    "apple Zebra Question",
+    "",  # empty line → zero tokens
+    "Banana  Apple",  # double space → Q1 territory
+    "Trailing space ",  # trailing empty token → dropped even in faithful mode
+]
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    return spark.createDataFrame([(i + 1, s) for i, s in enumerate(LINES)], ["line_no", "text"])
+
+
+def golden_counts(policy: str) -> dict[str, int]:
+    c: collections.Counter[str] = collections.Counter()
+    for line in LINES:
+        toks = line.split(" ")
+        if toks and toks[-1] == "":
+            toks = toks[:-1]  # C++ drops only the empty trailing token
+        for t in toks:
+            if policy == "drop" and t == "":
+                continue
+            # the empty line yields one empty token in python split; C++
+            # emits nothing for an empty line (remainder check)
+            if t == "" and line == "":
+                continue
+            c[t] += 1
+    return dict(c)
+
+
+@pytest.mark.parametrize("policy", ["drop", "faithful"])
+def test_wordcount_counts(spark, text_df, policy):
+    out = map_reduce(
+        text_df, mapper=wordcount_mapper(empty_token_policy=policy), num_reducers=3
+    ).collect()
+    got = {r.key: r.value for r in out}
+    assert got == golden_counts(policy)
+
+
+def test_faithful_keeps_inner_empties(spark, text_df):
+    out = map_reduce(
+        text_df, mapper=wordcount_mapper(empty_token_policy="faithful"), num_reducers=3
+    ).collect()
+    got = {r.key: r.value for r in out}
+    assert got.get("", 0) == 1  # exactly the inner empty from "Banana  Apple"
+
+
+def test_output_sorted_within_reducer(spark, text_df):
+    rows = map_reduce(
+        text_df, mapper=wordcount_mapper(), num_reducers=3
+    ).collect()
+    by_reducer: dict[int, list[str]] = collections.defaultdict(list)
+    for r in rows:  # collect preserves partition-then-row order
+        by_reducer[r.reducer_id].append(r.key)
+    for rid, keys in by_reducer.items():
+        assert keys == sorted(keys), f"reducer {rid} not ascending: {keys}"
+
+
+def test_descending_sort_is_one_argument(spark, text_df):
+    rows = map_reduce(
+        text_df, mapper=wordcount_mapper(), num_reducers=3, ascending=False
+    ).collect()
+    by_reducer: dict[int, list[str]] = collections.defaultdict(list)
+    for r in rows:
+        by_reducer[r.reducer_id].append(r.key)
+    for rid, keys in by_reducer.items():
+        assert keys == sorted(keys, reverse=True)
+
+
+def test_group_by_first_char_is_one_argument(spark, text_df):
+    rows = map_reduce(
+        text_df,
+        mapper=wordcount_mapper(),
+        num_reducers=3,
+        group_expr=F.substring("key", 1, 1),
+    ).collect()
+    got = {r.key: r.value for r in rows}
+    golden: collections.Counter[str] = collections.Counter()
+    for w, c in golden_counts("drop").items():
+        golden[w[0]] += c
+    assert got == dict(golden)
+
+
+def test_pmod_partitioner_in_range(spark):
+    words = spark.createDataFrame(
+        [("Apple",), ("zebra",), ("0digit",), ("!bang",), ("~tilde",)], ["w"]
+    )
+    vals = [
+        r.b for r in words.select(first_char_bucket("w", 9).alias("b")).collect()
+    ]
+    assert all(0 <= v < 9 for v in vals), vals  # Q2: pmod never negative
+
+
+@pytest.mark.parametrize("num_reducers", [1, 3, 9, 40])
+def test_reducer_sweep(spark, text_df, num_reducers):
+    rows = map_reduce(
+        text_df, mapper=wordcount_mapper(), num_reducers=num_reducers
+    ).collect()
+    got = {r.key: r.value for r in rows}
+    assert got == golden_counts("drop")
+    assert all(0 <= r.reducer_id < num_reducers for r in rows)
+
+
+def test_reference_file_layout(spark, text_df, tmp_path):
+    result = map_reduce(text_df, mapper=wordcount_mapper(), num_reducers=3)
+    files = write_reducer_files(result, str(tmp_path), job_name="wc")
+    assert files, "no output files"
+    seen: dict[str, int] = {}
+    for f in files:
+        rid = int(f.rsplit("-", 1)[1].removesuffix(".out"))
+        assert 1 <= rid <= 3  # Q6: 1-based filenames
+        words = []
+        with open(f) as fh:
+            for line in fh:
+                w, c = line.rstrip("\n").rsplit(" ", 1)
+                words.append(w)
+                seen[w] = seen.get(w, 0) + int(c)
+        assert words == sorted(words)  # Q4: ascending within file
+    assert seen == golden_counts("drop")
