@@ -1,0 +1,434 @@
+"""Relational query suite over the TPC-H-ish tables.
+
+The reference has NO joins, windows, rollups or set ops (SURVEY.md §2c
+— all "Absent"); these queries define the rebuilt engine's relational
+surface using Spark built-ins, each with a DuckDB oracle twin.
+
+Float-aggregate parity design: double summation order differs between
+engines, so every SUM/AVG over a double column is computed in EXACT
+decimal arithmetic on both sides and cast to double at the end:
+
+    Spark:  SUM(CAST(x AS DECIMAL(18,4)))  → .cast("double")
+    DuckDB: CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+
+Exact decimal sums are order-independent, and the final
+decimal→double conversion is the same nearest-double on both engines —
+bit-identical results with no rounding fudge.
+
+Scale notes (100 TB): every join below is either dimension⋈fact with an
+explicit broadcast hint (region/nation/customer/supplier/part stay small
+at any SF) or a key-partitioned shuffle join on the fact tables where
+AQE handles skew. Filters sit directly on scan columns so Catalyst
+pushes them into the parquet reader; aggregations are partial before
+the shuffle automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.plans.registry import register
+from mapreduce_implementation_spark.sources.catalog import load_table
+
+DEC = "decimal(18,4)"
+
+
+def dsum(col: str | Column) -> Column:
+    """Order-independent exact sum of a double column (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(col: str | Column) -> Column:
+    """avg as exact-sum / count — deterministic division of identical
+    operands on both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1))
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    headline=True,
+    tables=("lineitem",),
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(1 - CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(12,8)))
+                 AS DOUBLE) AS sum_disc_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST((1 - CAST(l_discount AS DECIMAL(12,4)))
+                            * (1 + CAST(l_tax AS DECIMAL(12,4))) AS DECIMAL(12,8)))
+                 AS DOUBLE) AS sum_charge,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — scan-heavy agg; the shuffle carries at
+    most |flag×status| groups per task thanks to partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one_minus_disc = (F.lit(1) - F.col("l_discount").cast("decimal(12,4)")).cast("decimal(12,8)")
+    combined = (
+        (F.lit(1) - F.col("l_discount").cast("decimal(12,4)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(12,4)"))
+    ).cast("decimal(12,8)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice").cast(DEC) * one_minus_disc)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(F.col("l_extendedprice").cast(DEC) * combined)
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    headline=True,
+    tables=("customer", "orders", "lineitem"),
+    oracle="""
+        SELECT
+            l_orderkey,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(1 - CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(12,8)))
+                 AS DOUBLE) AS revenue,
+            CAST(o_orderdate AS DATE) AS orderdate
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered dim broadcast into fact⋈fact join, then
+    top-10. customer is broadcast (stays MBs at any SF after the segment
+    filter); orders⋈lineitem shuffles on orderkey with AQE skew handling."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    one_minus_disc = (F.lit(1) - F.col("l_discount").cast("decimal(12,4)")).cast("decimal(12,8)")
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * one_minus_disc)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "revenue_by_nation",
+    tables=("customer", "orders", "nation", "region"),
+    oracle="""
+        SELECT n_name, r_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY n_name, r_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup: all three dims broadcast → zero shuffles until
+    the final small aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    tables=("customer", "orders"),
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — Spark's dedicated semi-join physical op (no
+    row duplication, no post-dedup)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers_without_orders",
+    tables=("customer", "orders"),
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "window_top3_orders_per_customer",
+    tables=("orders",),
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window — the scalable top-k idiom
+    (single hash shuffle on the partition key; no global sort)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        ).where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_customer_spend",
+    tables=("orders",),
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame window (running total) — exact decimal accumulation
+    for engine parity."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "rollup_order_status_priority",
+    tables=("orders",),
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (grand total + per-status +
+    per-status-priority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "cube_lineitem_flags",
+    tables=("lineitem",),
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two lineitem flags."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "distinct_count_by_segment",
+    tables=("customer", "orders"),
+    oracle="""
+        SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_active_customers
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def distinct_count_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark expands to a two-level aggregation
+    (partial distinct before shuffle), which is the scalable form."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count_distinct(F.col("o_custkey")).alias("n_active_customers"))
+    )
+
+
+@register(
+    "set_ops_customer_cohorts",
+    tables=("customer", "orders"),
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000
+    """,
+)
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two derived key sets."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    big = orders.where(F.col("o_totalprice") > 50000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return rich.intersect(big)
+
+
+@register(
+    "except_low_value_customers",
+    tables=("customer", "orders"),
+    oracle="""
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def except_low_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.select("c_custkey").exceptAll(
+        orders.where(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    ).distinct()
+
+
+@register(
+    "topk_global_orders",
+    tables=("orders",),
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+    """,
+)
+def topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition heaps + driver merge of k rows, never a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "filter_pushdown_scan",
+    tables=("lineitem",),
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity >= 45 AND l_returnflag = 'R'
+    """,
+)
+def filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection+selection straight on the scan: both predicates and the
+    4-column ReadSchema reach the parquet reader (verified in
+    tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where((F.col("l_quantity") >= 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "grouping_sets_part_brand_type",
+    tables=("part",),
+    oracle="""
+        SELECT p_brand, p_type, COUNT(*) AS cnt, CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM part
+        GROUP BY GROUPING SETS ((p_brand), (p_type), (p_brand, p_type))
+    """,
+)
+def grouping_sets_part_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (DataFrame API has no direct
+    grouping-sets builder; spark.sql is the idiomatic route)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_gs")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM part_gs
+        GROUP BY GROUPING SETS ((p_brand), (p_type), (p_brand, p_type))
+        """
+    )
