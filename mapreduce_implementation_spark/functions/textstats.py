@@ -104,10 +104,11 @@ def langid(text: Column | str) -> Column:
     language code order ('de' < 'en' < 'es' < 'fr'); 'und' (undetermined)
     when no stopword hits at all."""
     toks = _lower_tokens(text)
-    hits = {
-        lang: F.size(F.filter(toks, lambda t, s=stops: t.isin(*s)))
-        for lang, stops in STOPWORDS.items()
-    }
+
+    def _hit_count(stops: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*stops)))
+
+    hits = {lang: _hit_count(stops) for lang, stops in STOPWORDS.items()}
     # struct(hits, negated-lang) max trick would invert codes; do explicit
     # greatest + first-match CASE for a deterministic, readable argmax.
     best = F.greatest(*hits.values())

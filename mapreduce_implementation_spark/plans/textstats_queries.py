@@ -1,0 +1,250 @@
+"""Text-analysis queries over ``documents`` — the training-data-pipeline
+primitives (token counting, quality scoring, language ID, document
+fingerprinting, n-gram stats).
+
+Every Spark expression here lives in functions/textstats.py /
+functions/text.py (pure Column expressions, scan-stage projections — no
+shuffle except the final aggregations, no Python UDFs). The DuckDB
+oracle SQL is GENERATED from the same constants (stopword lists, regex
+patterns) so the two sides cannot drift.
+
+Engine-parity notes:
+* token arrays: Spark ``split(lower(text), '\\s+')`` + filter empties ≙
+  DuckDB ``list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')``
+* hashes: md5 hex is identical across engines
+* ratios: integer counts divided as double — identical-operand IEEE ops
+* DuckDB list slicing is 1-based INCLUSIVE: toks[i:i+n-1] is an n-gram
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.functions import textstats as ts
+from mapreduce_implementation_spark.functions.text import tokens, word_ngrams
+from mapreduce_implementation_spark.plans.registry import register
+from mapreduce_implementation_spark.sources.catalog import load_table
+
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# DuckDB fragment: the lowercase whitespace token array of `text`
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _hits(lang: str) -> str:
+    return f"len(list_filter({_TOKS}, x -> x IN ({_sql_list(ts.STOPWORDS[lang])})))"
+
+
+@register(
+    "token_stats",
+    headline=True,
+    tables=("documents",),
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document whitespace and BPE-ish token counts — pure scan-stage
+    projection (zero shuffle at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.token_count("text").alias("n_tokens"),
+        ts.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+_QUALITY_SQL = f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter({_TOKS}, x -> x IN ({_sql_list(ts.STOPWORDS["en"])}))) AS BIGINT) AS n_stop,
+               CAST(coalesce(list_sum(list_transform({_TOKS}, x -> length(x))), 0) AS DOUBLE) AS tok_chars
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+           CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+           tok_chars / greatest(n_tokens, 1) AS mean_token_len,
+           (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN tok_chars / greatest(n_tokens, 1) >= 2.0
+                    AND tok_chars / greatest(n_tokens, 1) <= 12.0 THEN 0.25 ELSE 0.0 END)
+           + 0.25 * (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 4, 1.0))
+           + 0.25 * least((CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 4, 1.0)
+           AS quality_score
+    FROM feat
+"""
+
+
+@register("doc_quality", headline=True, tables=("documents",), oracle=_QUALITY_SQL)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (Gopher-rule
+    shaped). Single projection over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = ts.quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["mean_token_len"].alias("mean_token_len"),
+        ts.quality_score("text").alias("quality_score"),
+    )
+
+
+_LANGID_CASE = f"""
+    CASE WHEN greatest({_hits("de")}, {_hits("en")}, {_hits("es")}, {_hits("fr")}) = 0 THEN 'und'
+         WHEN {_hits("de")} = greatest({_hits("de")}, {_hits("en")}, {_hits("es")}, {_hits("fr")}) THEN 'de'
+         WHEN {_hits("en")} = greatest({_hits("de")}, {_hits("en")}, {_hits("es")}, {_hits("fr")}) THEN 'en'
+         WHEN {_hits("es")} = greatest({_hits("de")}, {_hits("en")}, {_hits("es")}, {_hits("fr")}) THEN 'es'
+         ELSE 'fr'
+    END
+"""
+
+
+@register(
+    "langid_distribution",
+    tables=("documents",),
+    oracle=f"""
+        SELECT {_LANGID_CASE} AS guessed_lang, COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def langid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID, aggregated: guessed language → #docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(ts.langid("text").alias("guessed_lang"))
+        .groupBy("guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "langid_vs_label",
+    tables=("documents",),
+    oracle=f"""
+        SELECT lang, {_LANGID_CASE} AS guessed_lang, COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """,
+)
+def langid_vs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic vs the labeled ``lang`` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", ts.langid("text").alias("guessed_lang"))
+        .groupBy("lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    tables=("documents",),
+    oracle=f"""
+        SELECT doc_id,
+               md5(array_to_string({_TOKS}, ' ')) AS content_hash,
+               coalesce(
+                   list_min(list_transform(
+                       list_transform(range(1, greatest(len({_TOKS}) - 1, 1)),
+                                      i -> array_to_string(({_TOKS})[i:i+2], ' ')),
+                       g -> md5(g))),
+                   md5(array_to_string({_TOKS}, ' '))
+               ) AS fingerprint
+        FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content hash (exact-dedup key) + winnowing-style min
+    shingle-hash fingerprint (near-dup prefilter), per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.content_hash("text").alias("content_hash"),
+        ts.doc_fingerprint("text", shingle=3).alias("fingerprint"),
+    )
+
+
+@register(
+    "top_bigrams",
+    tables=("documents",),
+    oracle=f"""
+        SELECT bigram, COUNT(*) AS cnt
+        FROM (
+            SELECT UNNEST(list_transform(range(1, greatest(len({_TOKS}), 1)),
+                          i -> array_to_string(({_TOKS})[i:i+1], ' '))) AS bigram
+            FROM documents
+        )
+        GROUP BY bigram
+        ORDER BY cnt DESC, bigram
+        LIMIT 50
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 word bigrams. Partial agg bounds the shuffle
+    by |bigram vocab| per partition; top-k is TakeOrdered, no full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")), mode="simple")
+    return (
+        docs.select(F.explode(word_ngrams(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+@register(
+    "word_length_histogram",
+    tables=("documents",),
+    oracle=f"""
+        SELECT CAST(length(word) AS INT) AS word_len, COUNT(*) AS cnt
+        FROM (SELECT UNNEST({_TOKS}) AS word FROM documents)
+        GROUP BY 1
+    """,
+)
+def word_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of token lengths across the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")), mode="simple")).alias("word"))
+        .groupBy(F.length("word").cast("int").alias("word_len"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "corpus_stats_by_lang",
+    tables=("documents",),
+    oracle=f"""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+)
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup by (lang, source) using the labeled metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ts.token_count("text")).alias("total_tokens"),
+        F.sum("n_chars").cast("double").alias("avg_chars_num"),
+    ).withColumn("avg_chars", F.col("avg_chars_num") / F.col("n_docs")).drop("avg_chars_num")
