@@ -1,0 +1,192 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — the LLM-pipeline dedup family (BASELINE.json north
+star), all pure DataFrame compositions.
+
+Portability-by-construction (so every step has a DuckDB oracle twin):
+* MinHash permutation family: ``h_i(shingle) = md5(i || ':' || shingle)``
+  with the MIN taken over the md5 *hex strings* — a valid min-wise
+  hashing scheme whose output is engine-identical (md5 hex matches).
+* SimHash bit extraction works on the md5 hex string with integer
+  arithmetic only (no platform hash functions).
+
+Scale design (100 TB):
+* Exact dedup: hash-groupBy on the content hash — one shuffle keyed by
+  a uniform 128-bit key; no skew by construction.
+* MinHash/LSH: the only shuffle is groupBy(band_id, band_hash); bucket
+  size is controlled by (bands, rows-per-band) tuning, and a
+  ``max_bucket`` cap guards pathological buckets (boilerplate docs) —
+  the standard web-dedup guard. Signatures are computed scan-side.
+* The pairwise verify step only touches candidate pairs, never the
+  full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.functions.text import tokens, word_ngrams
+from mapreduce_implementation_spark.functions.textstats import content_hash
+
+HEX = "0123456789abcdef"
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word-n-gram shingles of lowercased text."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(word_ngrams(tokens(F.lower(col), mode="simple"), n))
+
+
+def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
+    """k-component MinHash signature: per i, min md5('i:' || shingle).
+
+    Null for rows with no shingles (callers filter those)."""
+    return F.when(
+        F.size(shingle_col) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda g: F.md5(F.concat(i.cast("string"), F.lit(":"), g).cast("binary")),
+                )
+            ),
+        ),
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Array of (band_id, band_hash) structs: md5 over each r-slice of
+    the signature."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("band_id"),
+            F.md5(F.concat_ws("|", F.slice(sig, j * rows + 1, rows)).cast("binary")).alias(
+                "band_hash"
+            ),
+        ),
+    )
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column, k: int) -> Column:
+    """Fraction of equal signature components (double in [0,1])."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda t: t)
+    ) / F.lit(k)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized content hash. Returns one survivor (min
+    id) per distinct content + the duplicate count."""
+    return (
+        df.select(F.col(id_col), content_hash(text_col).alias("chash"))
+        .groupBy("chash")
+        .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    Pipeline: shingle → signature (scan-side) → band explode → bucket
+    self-join (the single shuffle) → signature-agreement filter.
+    ``max_bucket`` drops LSH buckets larger than the cap (boilerplate
+    guard at scale; None keeps all for oracle parity).
+    """
+    assert bands * rows == k, "signature length must equal bands*rows"
+    sigs = (
+        df.select(F.col(id_col).alias("doc_id"), shingles(text_col, shingle_n).alias("sh"))
+        .where(F.size("sh") > 0)
+        .select("doc_id", minhash_signature(F.col("sh"), k).alias("sig"))
+    )
+    banded = sigs.select(
+        "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_id", "band_hash")
+        banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(w)).where(
+            F.col("bucket_n") <= max_bucket
+        ).drop("bucket_n")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            estimated_jaccard(F.col("sig_a"), F.col("sig_b"), k).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_bits(text: Column | str, n_bits: int = 64) -> Column:
+    """SimHash over whitespace tokens as an ``n_bits``-char '0'/'1'
+    string (weighted by token frequency — tokens enter once per
+    occurrence).
+
+    Bit b of md5(token): take hex digit b//4, integer-divide by
+    2^(3 - b%4), mod 2 — pure integer arithmetic, engine-portable.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    # hash each token ONCE; bit extraction then reads the hex string
+    hashes = F.transform(
+        tokens(F.lower(col), mode="simple"), lambda t: F.md5(t.cast("binary"))
+    )
+
+    def bit_contrib(h: Column, b: Column) -> Column:
+        digit = F.conv(F.substring(h, (b / 4).cast("int") + 1, 1), 16, 10).cast("int")
+        shift = F.lit(3) - (b % 4)
+        bit = F.floor(digit / F.pow(F.lit(2.0), shift.cast("double"))).cast("int") % 2
+        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            lambda b: F.when(
+                F.aggregate(
+                    hashes, F.lit(0).cast("long"), lambda acc, h: acc + bit_contrib(h, b)
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (distinct
+    semantics), engine-portable (no array_intersect, whose ordering/
+    null semantics vary)."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.filter(da, lambda x: F.array_contains(db, x)))
+    union = F.size(da) + F.size(db) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(None).cast("double"))

@@ -1,0 +1,208 @@
+"""Dedup queries over ``documents`` / ``embeddings`` with DuckDB twins.
+
+Shared fragments keep Spark and SQL in lockstep; see operators/dedup.py
+for the portability constructions (string-min md5 MinHash, hex-digit
+SimHash) and the 100 TB shuffle analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.functions.textstats import doc_fingerprint
+from mapreduce_implementation_spark.operators import dedup as dd
+from mapreduce_implementation_spark.plans.registry import register
+from mapreduce_implementation_spark.sources.catalog import load_table
+
+# DuckDB fragments (must mirror functions/text.py + operators/dedup.py)
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 1, 1)), "
+    f"i -> array_to_string(({_TOKS})[i:i+2], ' ')))"
+)
+
+K, BANDS, ROWS = 16, 4, 4
+
+
+@register(
+    "dedup_exact",
+    headline=True,
+    tables=("documents",),
+    oracle=f"""
+        SELECT md5(array_to_string({_TOKS}, ' ')) AS chash,
+               MIN(doc_id) AS survivor_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per normalized-content
+    hash. Single shuffle keyed by a uniform 128-bit hash — skew-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "doc_id", "text")
+
+
+_MINHASH_CTE = f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_transform(range(0, {K}),
+                   i -> list_min(list_transform(sh, g -> md5(i || ':' || g)))) AS sig
+        FROM sh WHERE len(sh) > 0
+    ),
+    bands AS (
+        SELECT doc_id, j,
+               md5(array_to_string(sig[j*{ROWS}+1:j*{ROWS}+{ROWS}], '|')) AS band_hash
+        FROM sigs, UNNEST(range(0, {BANDS})) AS t(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.j = b.j AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "minhash_near_dup_pairs",
+    headline=True,
+    tables=("documents",),
+    oracle=_MINHASH_CTE
+    + f"""
+    SELECT c.doc_a, c.doc_b,
+           len(list_filter(range(1, {K} + 1), i -> sa.sig[i] = sb.sig[i])) / {K} AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    WHERE len(list_filter(range(1, {K} + 1), i -> sa.sig[i] = sb.sig[i])) / {K} >= 0.5
+    """,
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) + LSH(4×4) near-dup candidate pairs with estimated
+    Jaccard ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=3, k=K, bands=BANDS, rows=ROWS, threshold=0.5
+    )
+
+
+_HEXPOS = "strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1"
+_BIT = f"(({_HEXPOS}) // CAST(power(2.0, 3 - (b % 4)) AS INT)) % 2"
+
+
+@register(
+    "simhash_signatures",
+    tables=("documents",),
+    oracle=f"""
+        WITH hashed AS (
+            SELECT doc_id, list_transform({_TOKS}, t -> md5(t)) AS hs
+            FROM documents
+        )
+        SELECT doc_id,
+               array_to_string(list_transform(range(0, 64), b ->
+                   CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+                           CASE WHEN {_BIT} = 1 THEN 1 ELSE -1 END)), 0) >= 0
+                        THEN '1' ELSE '0' END), '') AS simhash
+        FROM hashed
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (frequency-weighted token hashing).
+    Near-dup = small Hamming distance; bucket by bit-bands to search at
+    scale (same LSH machinery as MinHash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", dd.simhash_bits("text", 64).alias("simhash"))
+
+
+_FP = (
+    f"coalesce(list_min(list_transform({_SHINGLES}, g -> md5(g))), "
+    f"md5(array_to_string({_TOKS}, ' ')))"
+)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    tables=("documents",),
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, {_FP} AS fp, {_SHINGLES} AS sh FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                 / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+                 AS jaccard_sim
+        FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        WHERE len(a.sh) + len(b.sh) > 0
+          AND len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+              / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+              >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing a winnowing
+    fingerprint (cheap bucket join, never all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        doc_fingerprint("text", shingle=3).alias("fp"),
+        dd.shingles("text", 3).alias("sh"),
+    )
+    a, b = f.alias("a"), f.alias("b")
+    jac = dd.jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= 0.5)
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    tables=("embeddings",),
+    oracle="""
+        WITH q AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(
+                     list_sum(list_transform(range(1, len(a.embedding) + 1),
+                              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                        * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+                     AS DECIMAL(10,4)) AS cos_sim
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cos_sim FROM q WHERE cos_sim >= 0.5
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups within label partitions (the blocking
+    key bounds the pair count; at scale the blocking key is an LSH/IVF
+    bucket instead — see operators/similarity.py).
+
+    Cosine is quantized to DECIMAL(10,4) so engine-level double
+    summation differences (≪1e-10) can't flip the comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from mapreduce_implementation_spark.functions.vectors import cosine
+
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos_q = (
+        cosine(F.col("a.embedding"), F.col("b.embedding")).cast("decimal(10,4)")
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos_q.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.5)
+    )

@@ -1,0 +1,87 @@
+"""Behavioral dedup tests on constructed near/exact duplicates — proves
+the operators actually FIND duplicates (registry queries at sf0.01 may
+legitimately return few/no pairs on the synthetic corpus)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators import dedup as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-word change
+FAR = "completely different content about spark engines and parquet files with nothing shared"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, NEAR),
+        (3, FAR),
+        (4, BASE),  # exact duplicate of 1
+        (5, "tiny doc"),  # too short for 3-gram shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = dd.exact_dedup(docs, "doc_id", "text").collect()
+    by_survivor = {r.survivor_id: r.n_copies for r in out}
+    assert by_survivor[1] == 2  # doc 4 collapsed into doc 1
+    assert by_survivor[2] == 1 and by_survivor[3] == 1
+    assert len(out) == 4  # 5 docs, one exact-dup pair
+
+
+def test_minhash_finds_near_dup_not_far(spark, docs):
+    pairs = dd.minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=16, bands=4, rows=4, threshold=0.5
+    ).collect()
+    found = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs}
+    assert (1, 4) in found and found[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in found and found[(1, 2)] >= 0.5  # near dup
+    assert (1, 3) not in found and (2, 3) not in found  # unrelated
+
+
+def test_minhash_bucket_cap_drops_boilerplate(spark):
+    rows = [(i, BASE) for i in range(20)] + [(100, FAR)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dd.minhash_near_dup_pairs(
+        df, "doc_id", "text", k=16, bands=4, rows=4, threshold=0.5, max_bucket=5
+    ).collect()
+    assert capped == []  # the 20-doc boilerplate bucket is skipped
+
+
+def test_simhash_hamming_ordering(spark, docs):
+    sigs = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", dd.simhash_bits("text").alias("sh")).collect()
+    }
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    assert all(len(s) == 64 for s in sigs.values())
+    assert ham(sigs[1], sigs[4]) == 0  # exact dup → identical
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])  # near < far
+
+
+def test_jaccard_exact_value(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    out = df.select(
+        dd.jaccard(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            F.array(F.lit("b"), F.lit("c"), F.lit("d")),
+        ).alias("j")
+    ).collect()[0]
+    assert out.j == pytest.approx(2 / 4)
+
+
+def test_jaccard_null_on_empty(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    empty = F.array().cast("array<string>")
+    out = df.select(dd.jaccard(empty, empty).alias("j")).collect()[0]
+    assert out.j is None
