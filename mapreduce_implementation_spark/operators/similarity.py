@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the north star (BASELINE.json) and the top-k literature
+in PAPERS.md:
+
+* ``brute_force_topk`` — exact: broadcast the (small) query set, score
+  every (query, vector) pair with a JVM-side cosine expression, take
+  per-query top-k with a ranking window. At scale this is ONE pass over
+  the data with zero shuffle for scoring (broadcast nested-loop) and a
+  single hash shuffle on query_id for the window — the right exact plan
+  for |queries| ≪ |vectors|.
+
+* ``lsh_topk`` — approximate: sign-of-projection bucketing (SRP-style
+  LSH). Projection planes are taken from the dataset itself (fixed
+  vec_ids) so the scheme is deterministic and oracle-portable; buckets
+  shrink the candidate set by ~2^planes. The same idea extends to IVF
+  (k-means centroids as planes) without changing the dataflow.
+
+Scores are quantized to DECIMAL(10,4) BEFORE ranking so that ordering
+(and therefore top-k membership) is bit-stable across engines; ties
+break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_implementation_spark.functions.vectors import cosine
+
+COS_Q = "decimal(10,4)"
+
+
+def _score(q_emb: Column, e_emb: Column) -> Column:
+    return cosine(q_emb, e_emb).cast(COS_Q)
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact per-query top-k by cosine. ``queries`` must be small (it is
+    broadcast). Self-matches (same id) are excluded."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(emb_col).alias("_q_emb")
+        )
+    )
+    scored = (
+        vectors.select(F.col(id_col), F.col(emb_col))
+        .crossJoin(q)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            _score(F.col("_q_emb"), F.col(emb_col)).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(scored, query_id_col, id_col, k)
+
+
+def _rank_topk(scored: DataFrame, query_id_col: str, id_col: str, k: int) -> DataFrame:
+    """Rank on the DECIMAL score (cross-engine-stable ordering), then
+    emit the score as double (identical decimal→double on both engines;
+    avoids Decimal-object vs float dtype skew at the result boundary)."""
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
+    )
+
+
+def _with_buckets(
+    df: DataFrame, planes: DataFrame, id_col: str, emb_col: str
+) -> DataFrame:
+    """Attach an SRP bucket string: sign of dot(embedding, plane_j) for
+    each plane, concatenated in plane order."""
+    from mapreduce_implementation_spark.functions.vectors import dot
+
+    p = F.broadcast(
+        planes.select(
+            F.col("plane_id"), F.col("plane_emb")
+        )
+    )
+    bits = (
+        df.select(F.col(id_col), F.col(emb_col))
+        .crossJoin(p)
+        .select(
+            F.col(id_col),
+            F.col("plane_id"),
+            F.when(dot(F.col(emb_col), F.col("plane_emb")) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            .alias("bit"),
+        )
+    )
+    return (
+        bits.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("plane_id", "bit"))),
+                    lambda s: s.getField("bit"),
+                ),
+                "",
+            ).alias("bucket")
+        )
+    )
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    planes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's SRP bucket.
+
+    ``planes`` is DataFrame[plane_id int, plane_emb array<float>] —
+    deterministic projection directions (dataset rows or centroids).
+    The candidate join shuffles on the bucket string only; per-bucket
+    skew is bounded by 2^|planes| tuning at scale.
+    """
+    vb = _with_buckets(vectors, planes, id_col, emb_col).join(
+        vectors.select(id_col, emb_col), id_col
+    )
+    qb = (
+        _with_buckets(queries, planes, id_col, emb_col)
+        .join(queries.select(id_col, emb_col), id_col)
+        .select(
+            F.col(id_col).alias(query_id_col),
+            F.col(emb_col).alias("_q_emb"),
+            F.col("bucket"),
+        )
+    )
+    scored = (
+        vb.join(F.broadcast(qb), "bucket")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            _score(F.col("_q_emb"), F.col(emb_col)).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(scored, query_id_col, id_col, k)

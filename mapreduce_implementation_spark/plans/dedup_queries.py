@@ -179,7 +179,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings a
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         )
-        SELECT vec_a, vec_b, cos_sim FROM q WHERE cos_sim >= 0.5
+        SELECT vec_a, vec_b, CAST(cos_sim AS DOUBLE) AS cos_sim
+        FROM q WHERE cos_sim >= 0.5
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,4 +206,5 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos_q.alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= 0.5)
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
     )

@@ -1,0 +1,116 @@
+"""Similarity-search queries over ``embeddings`` with DuckDB twins.
+
+Query/plane sets are deterministic slices of the table itself
+(vec_id < N) so both engines agree on inputs. Cosine is quantized to
+DECIMAL(10,4) BEFORE ranking → cross-engine-stable top-k membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators import similarity as sim
+from mapreduce_implementation_spark.plans.registry import register
+from mapreduce_implementation_spark.sources.catalog import load_table
+
+N_QUERIES = 5
+N_PLANES = 4
+K = 10
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+def _cos(a: str, b: str) -> str:
+    return f"CAST(({_dot(a, b)}) / (({_norm(a)}) * ({_norm(b)})) AS DECIMAL(10,4))"
+
+
+@register(
+    "similarity_topk_bruteforce",
+    headline=True,
+    tables=("embeddings",),
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id, {_cos("q.qe", "e.embedding")} AS cos_sim
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+                   ) AS "rank"
+            FROM scored
+        )
+        SELECT query_id, vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim, "rank"
+        FROM ranked WHERE "rank" <= {K}
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 broadcast query vectors — one scan of
+    the vector table, no shuffle until the tiny per-query window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return sim.brute_force_topk(emb, queries, k=K)
+
+
+@register(
+    "similarity_topk_lsh",
+    tables=("embeddings",),
+    oracle=f"""
+        WITH planes AS (
+            SELECT vec_id AS plane_id, embedding AS pe
+            FROM embeddings WHERE vec_id < {N_PLANES}
+        ),
+        b AS (
+            SELECT e.vec_id,
+                   string_agg(CASE WHEN ({_dot("e.embedding", "p.pe")}) >= 0
+                                   THEN '1' ELSE '0' END, '' ORDER BY p.plane_id) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id
+        ),
+        q AS (
+            SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qe
+            FROM b JOIN embeddings e ON e.vec_id = b.vec_id
+            WHERE b.vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, v.vec_id, {_cos("q.qe", "v.embedding")} AS cos_sim
+            FROM q
+            JOIN b vb ON vb.bucket = q.bucket
+            JOIN embeddings v ON v.vec_id = vb.vec_id
+            WHERE v.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+                   ) AS "rank"
+            FROM scored
+        )
+        SELECT query_id, vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim, "rank"
+        FROM ranked WHERE "rank" <= {K}
+    """,
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via SRP-LSH bucketing (4 data-derived planes →
+    16 buckets); candidates shrink ~16×, the scale path for ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    planes = emb.where(F.col("vec_id") < N_PLANES).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("plane_emb")
+    )
+    return sim.lsh_topk(emb, queries, planes, k=K)

@@ -1,0 +1,93 @@
+"""Behavioral similarity tests: known-nearest-neighbor recovery and
+LSH recall vs the exact baseline."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, IntegerType, StructField, StructType
+
+from mapreduce_implementation_spark.operators import similarity as sim
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", IntegerType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 tight clusters around orthogonal axes in 8-d + the queries
+    base = {
+        0: [1, 0, 0, 0, 0, 0, 0, 0],
+        1: [0, 1, 0, 0, 0, 0, 0, 0],
+        2: [0, 0, 1, 0, 0, 0, 0, 0],
+    }
+    rows = []
+    vid = 0
+    for c in range(3):
+        for j in range(10):
+            v = list(base[c])
+            v[(c + 1 + j) % 8] += 0.05 * (j + 1)  # small deterministic jitter
+            rows.append((vid, _unit(v)))
+            vid += 1
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_bruteforce_finds_cluster_members(spark, vectors):
+    queries = vectors.where(F.col("vec_id").isin(0, 10, 20))
+    out = sim.brute_force_topk(vectors, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        cluster = qid // 10
+        ids = [r.vec_id for r in rows]
+        assert qid not in ids  # self excluded
+        # all top-5 neighbors come from the query's own cluster
+        assert all(i // 10 == cluster for i in ids), (qid, ids)
+        # ranks are 1..5 and cos_sim nonincreasing
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        cs = [float(r.cos_sim) for r in sorted(rows, key=lambda r: r.rank)]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_lsh_recall_against_bruteforce(spark, vectors):
+    queries = vectors.where(F.col("vec_id").isin(0, 10, 20))
+    planes = vectors.where(F.col("vec_id").isin(0, 10, 20)).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("plane_emb")
+    )
+    exact = sim.brute_force_topk(vectors, queries, k=5).collect()
+    approx = sim.lsh_topk(vectors, queries, planes, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    # clustered data + cluster-aligned planes → same-bucket neighbors;
+    # recall should be high here (this is the favorable case by design)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_lsh_candidates_are_subset_of_bucket(spark, vectors):
+    queries = vectors.where(F.col("vec_id") == 0)
+    planes = vectors.where(F.col("vec_id").isin(0, 10)).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("plane_emb")
+    )
+    out = sim.lsh_topk(vectors, queries, planes, k=30).count()
+    exact = sim.brute_force_topk(vectors, queries, k=30).count()
+    assert out <= exact  # bucketing can only shrink the candidate set
