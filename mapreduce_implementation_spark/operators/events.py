@@ -1,0 +1,113 @@
+"""Event-stream-shaped operators (batch form): time bucketing,
+sessionization, as-of joins, JSON prop extraction.
+
+The reference is strictly batch with no time dimension (SURVEY.md §2c:
+streaming "Absent"); these define the rebuilt engine's temporal surface.
+Structured Streaming variants live in streaming/ — the expressions here
+are deliberately the same shapes (windowed aggs translate 1:1).
+
+Timestamp portability: all bucketing is integer arithmetic on epoch
+seconds (``ts.cast("long")`` — timezone-independent for both TIMESTAMP
+and TIMESTAMP_NTZ since the session pins UTC), mirrored in DuckDB as
+``epoch_ms(ts) // 1000``. No tz-dependent date functions in any
+oracle-checked path.
+
+Scale notes (100 TB):
+* Tumbling/sliding aggs: partial aggregation bounds shuffle rows by
+  |buckets × groups| per partition; sliding windows explode each row
+  into width/step bucket copies BEFORE the partial agg (stays columnar).
+* Sessionization: one hash shuffle on user_id, then two window passes
+  over time-sorted partitions — skew-bounded by max events/user; salt
+  hot users if that invariant breaks.
+* As-of join: key-partitioned join + per-left-row ranking window. At
+  scale prefer bucketed tables sorted by (key, time) so the join is a
+  co-located sort-merge; the logical shape below is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def epoch_s(ts: Column | str) -> Column:
+    """Epoch seconds (long, floored) — the portable time axis.
+
+    TIMESTAMP_NTZ cannot cast to BIGINT directly; route through
+    TIMESTAMP first (no-op for LTZ; NTZ→LTZ uses the session timezone,
+    which sources.catalog pins to UTC for determinism)."""
+    col = F.col(ts) if isinstance(ts, str) else ts
+    return col.cast("timestamp").cast("long")
+
+
+def time_bucket(ts: Column | str, width_s: int, offset_s: int = 0) -> Column:
+    """Tumbling-window start (epoch seconds): floor-aligned, optionally
+    offset (offsets express sliding windows as a union of tumblings)."""
+    e = epoch_s(ts)
+    return (F.floor((e - F.lit(offset_s)) / F.lit(width_s)) * width_s + offset_s).cast(
+        "long"
+    )
+
+
+def sliding_buckets(ts: Column | str, width_s: int, step_s: int) -> Column:
+    """Array of window starts containing ``ts`` for a sliding window of
+    ``width_s`` sliding by ``step_s`` (width must be a multiple of step).
+    Explode BEFORE aggregating — each event lands in width/step buckets."""
+    assert width_s % step_s == 0, "width must be a multiple of step"
+    e = epoch_s(ts)
+    first = (F.floor((e - F.lit(width_s - step_s)) / F.lit(step_s)) * step_s).cast("long")
+    n = width_s // step_s
+    return F.filter(
+        F.transform(F.sequence(F.lit(0), F.lit(n - 1)), lambda i: first + i * step_s),
+        lambda start: (e >= start) & (e < start + width_s),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Assign 1-based session indexes per user: a new session starts when
+    the gap to the previous event exceeds ``gap_s`` seconds.
+
+    Returns the input plus ``ts_s`` and ``session_idx`` columns."""
+    order = Window.partitionBy(user_col).orderBy("ts_s", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_ts = df.withColumn("ts_s", epoch_s(ts_col))
+    prev = F.lag("ts_s").over(order)
+    is_new = F.when(prev.isNull() | (F.col("ts_s") - prev > gap_s), 1).otherwise(0)
+    return with_ts.withColumn("session_idx", F.sum(is_new).over(cum))
+
+
+def asof_join_latest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts_s: Column,
+    right_ts_s: Column,
+    left_id: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, the single latest right
+    row with ``right_ts_s <= left_ts_s`` on the same key (LEFT join —
+    unmatched left rows keep NULLs).
+
+    Tie-break: latest right_ts_s, then smallest first right_col."""
+    l = left.withColumn("_lts", left_ts_s)
+    r = right.withColumn("_rts", right_ts_s)
+    joined = l.join(
+        r, (F.col(left_key) == F.col(right_key)) & (F.col("_rts") <= F.col("_lts")), "left"
+    )
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("_rts").desc_nulls_last(), F.col(right_cols[0]).asc_nulls_last()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_lts", "_rts")
+    )

@@ -1,0 +1,216 @@
+"""Event/temporal queries over ``events`` (+ ``orders`` for as-of) with
+DuckDB twins. All time arithmetic is integer epoch-seconds (see
+operators/events.py portability note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators import events as ev
+from mapreduce_implementation_spark.plans.registry import register
+from mapreduce_implementation_spark.plans.relational_queries import DEC, dsum
+from mapreduce_implementation_spark.sources.catalog import load_table
+
+_E = "epoch_ms(ts) // 1000"  # DuckDB epoch seconds (floored), mirrors ts.cast("long")
+
+
+@register(
+    "events_tumbling_5min",
+    headline=True,
+    tables=("events",),
+    oracle=f"""
+        SELECT ({_E} // 300) * 300 AS bucket_start_s,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows × event type: count + exact-decimal
+    value sum. The streaming twin is streaming/windowed_counts.py."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            ev.time_bucket("ts", 300).alias("bucket_start_s"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_sliding_10min_5min",
+    tables=("events",),
+    oracle=f"""
+        SELECT start_s, COUNT(*) AS n_events
+        FROM (
+            SELECT UNNEST(list_filter(
+                       list_transform([0, 1],
+                           i -> (({_E} - 300) // 300) * 300 + i * 300),
+                       s -> {_E} >= s AND {_E} < s + 600)) AS start_s
+            FROM events
+        )
+        GROUP BY start_s
+    """,
+)
+def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (width 10 min, step 5 min): each event explodes
+    into its ≤2 covering windows before the partial agg."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.explode(ev.sliding_buckets("ts", 600, 300)).alias("start_s")
+        )
+        .groupBy("start_s")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "events_sessionization",
+    headline=True,
+    tables=("events",),
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, event_id, {_E} AS ts_s FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, ts_s,
+                   CASE WHEN lag(ts_s) OVER w IS NULL
+                             OR ts_s - lag(ts_s) OVER w > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_id, ts_s,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx,
+               COUNT(*) AS n_events,
+               MIN(ts_s) AS session_start_s,
+               MAX(ts_s) - MIN(ts_s) AS duration_s
+        FROM sessions
+        GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-session event
+    count, start, duration. One shuffle on user_id + ordered window."""
+    events = load_table(spark, sf_dir, "events")
+    with_sessions = ev.sessionize(events, "user_id", "ts", gap_s=1800)
+    return with_sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_s").alias("session_start_s"),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+    )
+
+
+@register(
+    "events_asof_latest_order",
+    tables=("events", "orders"),
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, user_id, {_E} AS ets FROM events
+        ),
+        o AS (
+            SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) // 1000 AS ots
+            FROM orders
+        ),
+        ranked AS (
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.ots,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.ots DESC NULLS LAST, o.o_orderkey ASC NULLS LAST
+                   ) AS rn
+            FROM e LEFT JOIN o ON o.o_custkey = e.user_id AND o.ots <= e.ets
+        )
+        SELECT event_id, user_id, o_orderkey, ots AS order_ts_s
+        FROM ranked WHERE rn = 1
+    """,
+)
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks the latest order of the
+    same customer at-or-before the event time (LEFT: events without a
+    matching order keep NULLs)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    out = ev.asof_join_latest(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts_s=ev.epoch_s("ts"),
+        right_ts_s=ev.epoch_s("o_orderdate"),
+        left_id="event_id",
+        right_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        ev.epoch_s("o_orderdate").alias("order_ts_s"),
+    )
+
+
+@register(
+    "events_props_extraction",
+    tables=("events",),
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def events_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props (JSON string) → typed column → aggregate.
+    get_json_object stays JVM-side; at scale prefer from_json with an
+    explicit schema once the prop set is known."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_hourly_by_type",
+    tables=("events",),
+    oracle=f"""
+        SELECT ({_E} // 3600) * 3600 AS hour_start_s,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup by type with distinct-user counts."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        ev.time_bucket("ts", 3600).alias("hour_start_s"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

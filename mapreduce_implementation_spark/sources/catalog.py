@@ -33,10 +33,27 @@ BROADCASTABLE = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (lazy parquet scan)."""
+    """Load one testdata table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as
+    long and floor-convert to a microsecond timestamp — byte-identical
+    to DuckDB's own ns→µs truncation. Integer ``div`` (not ``/``) is
+    essential: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Pin UTC so NTZ↔epoch conversions are deterministic even when the
+    # caller's session (e.g. the verify driver's) didn't set a timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
