@@ -31,28 +31,66 @@ from mapreduce_implementation_spark.functions.textstats import content_hash
 HEX = "0123456789abcdef"
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen thin inputs before expression-heavy projections.
+
+    Higher-order-function pipelines (shingle → hash → permute) run
+    OUTSIDE whole-stage codegen, so per-row cost is high; a small
+    parquet file scans as ONE partition and serializes that work onto a
+    single core. At 100 TB the scan has thousands of row groups and this
+    is a no-op (partitions >= target); at bench/test scale it is a 30×
+    parallelism fix. Round-robin repartition: no keys, no skew."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word-n-gram shingles of lowercased text."""
     col = F.col(text) if isinstance(text, str) else text
     return F.array_distinct(word_ngrams(tokens(F.lower(col), mode="simple"), n))
 
 
-def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
-    """k-component MinHash signature: per i, min md5('i:' || shingle).
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
-    Null for rows with no shingles (callers filter those)."""
-    return F.when(
-        F.size(shingle_col) > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    shingle_col,
-                    lambda g: F.md5(F.concat(i.cast("string"), F.lit(":"), g).cast("binary")),
-                )
-            ),
-        ),
+# Deterministic permutation constants (seeded; shared verbatim with the
+# DuckDB oracle SQL in plans/dedup_queries.py via these module constants).
+import random as _random
+
+_rng = _random.Random(42)
+PERM_A = [_rng.randrange(1, MERSENNE_P) for _ in range(64)]
+PERM_B = [_rng.randrange(0, MERSENNE_P) for _ in range(64)]
+del _rng
+
+
+def shingle_ints(shingle_col: Column) -> Column:
+    """Hash each shingle ONCE to an int in [0, 2^31-1): first 15 hex
+    chars of md5 parsed as int, reduced mod the Mersenne prime. This is
+    the expensive step — everything downstream is cheap arithmetic."""
+    return F.transform(
+        shingle_col,
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % MERSENNE_P,
     )
+
+
+def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
+    """k-component MinHash signature via k linear permutations
+    ``(a_i * x + b_i) mod p`` over the per-shingle ints — the standard
+    one-strong-hash / k-cheap-permutations scheme (16× less hashing than
+    k independent md5 passes). Null for rows with no shingles."""
+    xs = shingle_ints(shingle_col)
+
+    def _perm(a: int, b: int) -> Column:
+        # closure, NOT lambda default args — pyspark HOF lambdas must be
+        # unary (see functions/textstats.py langid note)
+        return F.array_min(F.transform(xs, lambda x: (a * x + b) % MERSENNE_P))
+
+    components = [_perm(PERM_A[i], PERM_B[i]) for i in range(k)]
+    return F.when(F.size(shingle_col) > 0, F.array(*components))
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -79,8 +117,11 @@ def estimated_jaccard(sig_a: Column, sig_b: Column, k: int) -> Column:
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized content hash. Returns one survivor (min
     id) per distinct content + the duplicate count."""
+    # spread BEFORE the hash projection — the shuffle must carry raw
+    # text, not serialize the expression work onto the scan's partitions
     return (
-        df.select(F.col(id_col), content_hash(text_col).alias("chash"))
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), content_hash(text_col).alias("chash"))
         .groupBy("chash")
         .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -107,9 +148,14 @@ def minhash_near_dup_pairs(
     """
     assert bands * rows == k, "signature length must equal bands*rows"
     sigs = (
-        df.select(F.col(id_col).alias("doc_id"), shingles(text_col, shingle_n).alias("sh"))
+        spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", shingles(text_col, shingle_n).alias("sh"))
         .where(F.size("sh") > 0)
         .select("doc_id", minhash_signature(F.col("sh"), k).alias("sig"))
+        # the signature frame feeds three consumers (band explode + both
+        # sides of the verify join); persist it — at scale signatures are
+        # materialized once per corpus anyway
+        .cache()
     )
     banded = sigs.select(
         "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")

@@ -44,15 +44,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(docs, "doc_id", "text")
 
 
+_P = dd.MERSENNE_P
+_PERMS = ", ".join(
+    f"list_min(list_transform(xs, x -> ({dd.PERM_A[i]} * x + {dd.PERM_B[i]}) % {_P}))"
+    for i in range(16)
+)
+
 _MINHASH_CTE = f"""
     WITH sh AS (
         SELECT doc_id, {_SHINGLES} AS sh FROM documents
     ),
-    sigs AS (
+    xs AS (
         SELECT doc_id,
-               list_transform(range(0, {K}),
-                   i -> list_min(list_transform(sh, g -> md5(i || ':' || g)))) AS sig
+               list_transform(sh, g -> ('0x' || substring(md5(g), 1, 15))::BIGINT % {_P}) AS xs
         FROM sh WHERE len(sh) > 0
+    ),
+    sigs AS (
+        SELECT doc_id, [{_PERMS}] AS sig
+        FROM xs
     ),
     bands AS (
         SELECT doc_id, j,
