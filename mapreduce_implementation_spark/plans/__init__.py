@@ -16,8 +16,10 @@ from mapreduce_implementation_spark.plans.registry import (
 # Import for side effect: each module registers its queries.
 from mapreduce_implementation_spark.plans import dedup_queries  # noqa: E402,F401
 from mapreduce_implementation_spark.plans import events_queries  # noqa: E402,F401
+from mapreduce_implementation_spark.plans import multimodal_queries  # noqa: E402,F401
 from mapreduce_implementation_spark.plans import relational_queries  # noqa: E402,F401
 from mapreduce_implementation_spark.plans import similarity_queries  # noqa: E402,F401
+from mapreduce_implementation_spark.plans import streaming_queries  # noqa: E402,F401
 from mapreduce_implementation_spark.plans import text_queries  # noqa: E402,F401
 from mapreduce_implementation_spark.plans import textstats_queries  # noqa: E402,F401
 

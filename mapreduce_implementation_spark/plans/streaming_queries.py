@@ -1,0 +1,117 @@
+"""Streaming queries under the correctness gate.
+
+Each entry runs a REAL Structured Streaming pipeline (file source →
+stateful transformation → memory sink), drains it with
+``processAllAvailable()``, and returns the sink table as the result
+DataFrame. Because the whole sf table arrives as one micro-batch, the
+results are deterministic and — for these queries — EXACTLY match a
+batch twin, so they get full DuckDB oracles rather than the weaker
+rows-only check:
+
+* streaming wordcount (complete mode): running counts after one batch ≡
+  batch wordcount (same tokens/filter as plans/text_queries.wordcount).
+* streaming sessionize (append mode): ``applyInPandasWithState`` emits
+  only CLOSED sessions; with everything in one batch, per user that is
+  every session except the open tail — i.e. the batch sessionization
+  minus each user's last session. That subset IS SQL-expressible.
+
+In production the same DataFrame graphs run unbounded from Kafka; state
+scale notes are in streaming/queries.py and streaming/sessionize.py.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.plans.registry import register
+from mapreduce_implementation_spark.streaming.queries import (
+    run_available_now,
+    streaming_wordcount,
+)
+from mapreduce_implementation_spark.streaming.sessionize import sessionize_stream
+from mapreduce_implementation_spark.streaming.sources import (
+    read_documents_stream,
+    read_events_stream,
+)
+
+
+def _drain(
+    spark: SparkSession, stream_df: DataFrame, output_mode: str
+) -> DataFrame:
+    """Run a streaming DataFrame to completion on its (bounded) file
+    source (Trigger.AvailableNow — terminates even for
+    ProcessingTimeTimeout stateful ops) and return the sink table."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    run_available_now(stream_df, name, output_mode=output_mode)
+    return spark.table(name)
+
+
+@register(
+    "streaming_wordcount",
+    tables=("documents",),
+    oracle="""
+        SELECT word, COUNT(*) AS cnt
+        FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    """,
+)
+def streaming_wordcount_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference WordCount as an unbounded stream, drained on the
+    bounded testdata — running counts ≡ the batch result."""
+    stream = read_documents_stream(spark, sf_dir, glob="documents.parquet")
+    result = _drain(spark, streaming_wordcount(stream), "complete")
+    return result.select("word", F.col("count").alias("cnt"))
+
+
+@register(
+    "streaming_sessionize",
+    tables=("events",),
+    oracle="""
+        WITH t AS (
+            SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_s FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, ts_s,
+                   CASE WHEN lag(ts_s) OVER w IS NULL
+                             OR ts_s - lag(ts_s) OVER w > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts_s,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_idx
+            FROM flagged
+        ),
+        agg AS (
+            SELECT user_id, session_idx,
+                   MIN(ts_s) AS session_start_s,
+                   MAX(ts_s) AS session_end_s,
+                   COUNT(*) AS n_events
+            FROM sessions
+            GROUP BY user_id, session_idx
+        )
+        SELECT user_id, session_start_s, session_end_s, n_events
+        FROM agg
+        QUALIFY session_idx < MAX(session_idx) OVER (PARTITION BY user_id)
+    """,
+)
+def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via applyInPandasWithState (append
+    mode): emits closed sessions only — with one micro-batch, all
+    sessions except each user's open tail."""
+    stream = read_events_stream(spark, sf_dir, glob="events.parquet")
+    # use_timeout=False: bounded drain — see sessionize_stream docstring
+    return _drain(
+        spark, sessionize_stream(stream, gap_s=1800, use_timeout=False), "append"
+    )

@@ -1,0 +1,114 @@
+"""Structured Streaming transformations — the reference pipeline and the
+batch temporal operators, re-expressed as streams.
+
+The reference is strictly batch (SURVEY.md §2c), so these are extension
+capabilities: the SAME logical expressions as the batch queries
+(plans/text_queries.py, plans/events_queries.py) applied to unbounded
+input. Streaming wordcount IS the reference job with an unbounded
+InputSplit.
+
+Scale notes: stateful aggs (windowed counts, streaming wordcount) keep
+state per key in the state store — bounded by |vocab| / |windows×types|,
+with watermarks evicting expired windows. Shuffle behavior is identical
+to batch (hash partition on the group key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.functions.text import tokens
+
+
+def streaming_wordcount(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """The reference WordCount over an unbounded text stream
+    (/root/reference/Worker.cc:143-162 semantics, 'drop' Q1 policy).
+    Use outputMode=complete|update — running counts are stateful."""
+    return (
+        stream.select(F.explode(tokens(text_col, mode="reference")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .count()
+    )
+
+
+def streaming_windowed_counts(
+    events: DataFrame,
+    width: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling windows with late-data handling: the
+    streaming twin of plans/events_queries.events_tumbling_5min.
+    Watermark bounds state: windows older than max(event time) -
+    watermark are finalized and evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").cast("long").alias("bucket_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Start a memory-sink query (test/demo harness). Caller must
+    processAllAvailable()/stop().
+
+    CAUTION: for stateful queries with ProcessingTimeTimeout,
+    ``processAllAvailable()`` never returns — the engine keeps
+    scheduling "no new data but cleaning up state" batches forever.
+    Use ``run_available_now`` or ``wait_for_input_rows`` instead."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def run_available_now(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Run a streaming query over all currently-available source data
+    and TERMINATE (Trigger.AvailableNow) — the bounded-drain harness
+    that is safe for every stateful operator, including
+    ProcessingTimeTimeout ones. Returns the stopped query; results are
+    in the memory table ``name``."""
+    import tempfile
+
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def wait_for_input_rows(q, n: int, timeout_s: float = 120.0) -> None:
+    """Block until the running query has consumed >= ``n`` source rows
+    (summing numInputRows over completed batches) and the source is
+    drained. The multi-micro-batch analog of processAllAvailable() that
+    also works under ProcessingTimeTimeout (see run_to_memory)."""
+    import time as _time
+
+    seen: dict[int, int] = {}
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        for p in q.recentProgress:
+            seen[p["batchId"]] = p["numInputRows"]
+        if sum(seen.values()) >= n and not q.status["isDataAvailable"]:
+            return
+        _time.sleep(0.2)
+    raise TimeoutError(
+        f"stream consumed {sum(seen.values())} rows, wanted {n} "
+        f"within {timeout_s}s"
+    )

@@ -1,0 +1,127 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` — the arbitrary-state API (the batch twin is
+operators/events.sessionize).
+
+Semantics: per user, a session closes when no event arrives within
+``gap_s`` of the last one. CLOSED sessions are emitted (append mode);
+the open tail session stays in state across micro-batches and is
+flushed on state timeout.
+
+State per user is O(1) (open-session triple), so state-store size is
+bounded by |active users| — the scalable shape for 100 TB/day streams;
+the shuffle is the same single hash partition on user_id as batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_s", LongType()),
+        StructField("session_end_s", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+# open session: (start_s, last_s, n_events)
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_s", LongType()),
+        StructField("last_s", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(gap_s: int, use_timeout: bool = True):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_s, last_s, n = state.get
+                closed.append((start_s, last_s, n))
+                state.remove()
+        else:
+            ts_list: list[int] = []
+            for pdf in pdfs:
+                ts_list.extend(int(t) for t in pdf["ts_s"])
+            ts_list.sort()
+            if state.exists:
+                start_s, last_s, n = state.get
+            else:
+                start_s = last_s = -1
+                n = 0
+            for t in ts_list:
+                if n == 0:
+                    start_s, last_s, n = t, t, 1
+                elif t - last_s > gap_s:
+                    closed.append((start_s, last_s, n))
+                    start_s, last_s, n = t, t, 1
+                else:
+                    last_s, n = t, n + 1
+            if n > 0:
+                state.update((start_s, last_s, n))
+                if use_timeout:
+                    state.setTimeoutDuration(gap_s * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start_s": [c[0] for c in closed],
+                    "session_end_s": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame, gap_s: int = 1800, use_timeout: bool = True
+) -> DataFrame:
+    """Emit closed sessions from an unbounded event stream.
+
+    ``events`` needs ``user_id`` and ``ts`` (timestamp) columns.
+
+    ``use_timeout=True`` (production): open tails are flushed by
+    processing-time timeout after ``gap_s`` of inactivity. CAVEAT: a
+    ProcessingTimeTimeout query schedules state-cleanup micro-batches
+    indefinitely, so neither ``processAllAvailable()`` nor
+    Trigger.AvailableNow ever sees it finish — drive it with
+    ``wait_for_input_rows`` (streaming/queries.py). For bounded drains
+    (oracle runs) use ``use_timeout=False``: identical closed-session
+    output (a bounded run never reaches the timeout), and the query
+    terminates under Trigger.AvailableNow."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_s")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn(gap_s, use_timeout),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

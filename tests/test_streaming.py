@@ -1,0 +1,124 @@
+"""Structured Streaming tests: file-source micro-batches → memory sink,
+cross-checked against the batch twins."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.plans import all_queries
+from mapreduce_implementation_spark.streaming.queries import (
+    run_to_memory,
+    streaming_windowed_counts,
+    streaming_wordcount,
+    wait_for_input_rows,
+)
+from mapreduce_implementation_spark.streaming.sessionize import sessionize_stream
+from mapreduce_implementation_spark.streaming.sources import (
+    read_documents_stream,
+    read_events_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    return str(d)
+
+
+def _feed(src_parquet: str, dest_dir: str, name: str) -> None:
+    shutil.copy(src_parquet, os.path.join(dest_dir, name))
+
+
+def test_streaming_wordcount_matches_batch(spark, stream_dir):
+    _feed(f"{SF}/documents.parquet", stream_dir, "b0.parquet")
+    q = run_to_memory(
+        streaming_wordcount(read_documents_stream(spark, stream_dir)), "wc_stream"
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.word: r["count"] for r in spark.table("wc_stream").collect()}
+    finally:
+        q.stop()
+    batch = {
+        r.word: r.cnt for r in all_queries()["wordcount"].fn(spark, SF).collect()
+    }
+    assert got == batch
+
+
+def test_streaming_windowed_counts_incremental(spark, stream_dir):
+    q = run_to_memory(
+        streaming_windowed_counts(read_events_stream(spark, stream_dir)),
+        "win_stream",
+    )
+    try:
+        _feed(f"{SF}/events.parquet", stream_dir, "b0.parquet")
+        q.processAllAvailable()
+        rows = spark.table("win_stream").collect()
+    finally:
+        q.stop()
+    batch = {
+        (r.bucket_start_s, r.event_type): r.n_events
+        for r in all_queries()["events_tumbling_5min"].fn(spark, SF).collect()
+    }
+    got = {(r.bucket_start_s, r.event_type): r.n_events for r in rows}
+    assert got == batch
+
+
+def test_sessionize_stream_two_batches(spark, stream_dir, tmp_path):
+    # two micro-batches of hand-made events for user 1:
+    #   batch 0: t=0, t=100        (same session)
+    #   batch 1: t=5000            (gap > 1800 → closes first session)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_batch(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [r[1] * 1_000_000_000 for r in rows],
+                        pa.timestamp("ns"),
+                    ),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["x"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows)),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            path,
+        )
+
+    q = run_to_memory(
+        sessionize_stream(read_events_stream(spark, stream_dir), gap_s=1800),
+        "sess_stream",
+        output_mode="append",
+    )
+    try:
+        # processAllAvailable() hangs for ProcessingTimeTimeout queries
+        # (endless state-cleanup batches) — wait on consumed-row counts.
+        write_batch(tmp_path / "b0.parquet", [(1, 1_000_000, 1), (2, 1_000_100, 1)])
+        _feed(str(tmp_path / "b0.parquet"), stream_dir, "b0.parquet")
+        wait_for_input_rows(q, 2)
+        assert spark.table("sess_stream").count() == 0  # session still open
+        write_batch(tmp_path / "b1.parquet", [(3, 1_005_000, 1)])
+        _feed(str(tmp_path / "b1.parquet"), stream_dir, "b1.parquet")
+        wait_for_input_rows(q, 3)
+        rows = spark.table("sess_stream").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.user_id, r.session_start_s, r.session_end_s, r.n_events) == (
+        1,
+        1_000_000,
+        1_000_100,
+        2,
+    )
