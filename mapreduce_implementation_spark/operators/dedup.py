@@ -193,6 +193,66 @@ def minhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph → duplicate
+    CLUSTERS: ``(doc_id, cluster_id)`` with cluster_id = min doc id in
+    the component. Pair emission (minhash_near_dup_pairs) finds edges;
+    component labeling is what dedup actually needs — keep one doc per
+    cluster, not per pair.
+
+    Algorithm: iterative min-label propagation (the Pregel pattern as
+    DataFrame joins). Per iteration: one shuffle join edges⋈labels + a
+    min-aggregate; converges in O(graph diameter) rounds — near-dup
+    clusters are shallow (dozens of hops at the extreme), so this is a
+    handful of bounded shuffles even at 100 TB. ``localCheckpoint``
+    truncates lineage so the loop's plan doesn't grow unboundedly.
+    (At extreme scale swap in alternating large-star/small-star
+    [Kiveris et al., "Connected Components in MapReduce and Beyond"]
+    for O(log d) rounds; same DataFrame skeleton.)
+    """
+    sym = edges.select(F.col(src).alias("v"), F.col(dst).alias("n")).union(
+        edges.select(F.col(dst).alias("v"), F.col(src).alias("n"))
+    )
+    labels = sym.select("v").distinct().withColumn("label", F.col("v"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("v").alias("n"), F.col("label").alias("n_label")
+                ),
+                "n",
+            )
+            .groupBy("v")
+            .agg(F.min("n_label").alias("min_neigh"))
+        )
+        new_labels = (
+            labels.join(neigh, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("min_neigh", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.select(F.col("v"), F.col("label").alias("new_label"))
+            .join(labels, "v")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_bits(text: Column | str, n_bits: int = 64) -> Column:
     """SimHash over whitespace tokens as an ``n_bits``-char '0'/'1'
     string (weighted by token frequency — tokens enter once per

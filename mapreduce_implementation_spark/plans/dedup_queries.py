@@ -99,6 +99,43 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    tables=("documents",),
+    oracle=_MINHASH_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + f""",
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b
+        WHERE len(list_filter(range(1, {K} + 1), i -> sa.sig[i] = sb.sig[i])) / {K} >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT s AS v, s AS r FROM edges
+        UNION
+        SELECT e.s, reach.r FROM edges e JOIN reach ON reach.v = e.d
+    )
+    SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash+LSH
+    near-dup pair graph (cluster_id = min doc_id in component) — the
+    keep-one-per-cluster shape of corpus dedup. Iterative min-label
+    propagation; the DuckDB twin is a recursive reachability CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=3, k=K, bands=BANDS, rows=ROWS, threshold=0.5
+    )
+    return dd.connected_components(pairs, "doc_a", "doc_b")
+
+
 _HEXPOS = "strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1"
 _BIT = f"(({_HEXPOS}) // CAST(power(2.0, 3 - (b % 4)) AS INT)) % 2"
 

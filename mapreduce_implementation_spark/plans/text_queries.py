@@ -52,6 +52,40 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordcount_salted",
+    tables=("documents",),
+    oracle="""
+        SELECT word, COUNT(*) AS cnt
+        FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    """,
+)
+def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount with explicit two-stage salted aggregation — the
+    skew-mitigation pattern for heavy-hitter keys (stopwords can be
+    10^4× the median word). Stage 1 groups on (word, salt) so a hot
+    word spreads over 16 reducers; stage 2 merges the 16 partials.
+    Results are identical to ``wordcount``; at 100 TB this bounds the
+    largest reduce task by total/16 instead of the raw key frequency.
+    (Spark's partial agg + AQE skew handling make this optional for
+    simple counts; the pattern is the point — it applies unchanged to
+    aggs with large per-key state such as collect_set.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = (
+        docs.select(F.explode(tokens("text", mode="reference")).alias("word"))
+        .where(F.col("word") != "")
+        .withColumn("salt", F.pmod(F.monotonically_increasing_id(), F.lit(16)))
+        .groupBy("word", "salt")
+        .agg(F.count("*").alias("partial_cnt"))
+    )
+    return salted.groupBy("word").agg(F.sum("partial_cnt").alias("cnt"))
+
+
+@register(
     "wordcount_by_first_char",
     tables=("documents",),
     oracle="""

@@ -85,3 +85,19 @@ def test_jaccard_null_on_empty(spark):
     empty = F.array().cast("array<string>")
     out = df.select(dd.jaccard(empty, empty).alias("j")).collect()[0]
     assert out.j is None
+
+
+def test_connected_components_toy(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (5, 5), (6, 5),
+        (8, 8), (9, 8), (10, 8),
+    }
