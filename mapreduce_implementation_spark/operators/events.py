@@ -82,6 +82,53 @@ def sessionize(
     return with_ts.withColumn("session_idx", F.sum(is_new).over(cum))
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts_s: str = "ts_s",
+    right_ts_s: str = "ts_s",
+    lo_s: int,
+    hi_s: int,
+    bucket_s: int | None = None,
+) -> DataFrame:
+    """Interval (range) join: all pairs on the same ``key`` with
+    ``right_ts ∈ [left_ts + lo_s, left_ts + hi_s]``.
+
+    Scalable shape: both sides are bucketed on time (bucket width
+    defaults to the window span) and the join is an EQUI-join on
+    (key, bucket) — the left side explodes into the ≤2 buckets its
+    window overlaps; the exact range predicate filters inside the hash
+    join. Catalyst can hash-partition this, so a hot key spreads over
+    its time buckets instead of landing on one reducer, and there is no
+    per-key cross product beyond the window span. (The naive key-only
+    theta join degrades to per-key NL join at scale.)
+
+    Right columns survive with their names; the left's are prefixed
+    ``l_`` where they collide.
+    """
+    span = hi_s - lo_s
+    assert span >= 0, "hi_s must be >= lo_s"
+    b = bucket_s or max(span, 1)
+    lts, rts = F.col(f"l.{left_ts_s}"), F.col(f"r.{right_ts_s}")
+    lo_bucket = F.floor((F.col(left_ts_s) + lo_s) / b).cast("long")
+    hi_bucket = F.floor((F.col(left_ts_s) + hi_s) / b).cast("long")
+    l = left.withColumn(
+        "_bucket", F.explode(F.sequence(lo_bucket, hi_bucket))
+    ).alias("l")
+    r = right.withColumn(
+        "_bucket", F.floor(F.col(right_ts_s) / b).cast("long")
+    ).alias("r")
+    return l.join(
+        r,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("l._bucket") == F.col("r._bucket"))
+        & (rts >= lts + lo_s)
+        & (rts <= lts + hi_s),
+    ).drop("_bucket")
+
+
 def asof_join_latest(
     left: DataFrame,
     right: DataFrame,

@@ -113,6 +113,80 @@ def _with_buckets(
     )
 
 
+def assign_inverted_lists(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: nearest ``nprobe`` centroids per vector by
+    quantized cosine (ties → smaller centroid_id). ``centroids`` is
+    DataFrame[centroid_id int, centroid_emb array<float>], broadcast.
+
+    Returns DataFrame[id_col, centroid_id] — one row per (vector,
+    probed list). Scoring is a broadcast pass over the scan (no
+    shuffle); the ranking window shuffles on id_col once."""
+    c = F.broadcast(centroids.select("centroid_id", "centroid_emb"))
+    scored = (
+        df.select(F.col(id_col), F.col(emb_col))
+        .crossJoin(c)
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            _score(F.col("centroid_emb"), F.col(emb_col)).alias("c_sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .where(F.col("_crank") <= nprobe)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: every vector lives in exactly one
+    inverted list (nearest centroid); each query scores only its
+    ``nprobe`` nearest lists — candidates shrink ~|lists|/nprobe ×.
+
+    This build takes ``centroids`` as given (deterministic data rows in
+    the oracle-checked query; production drops in k-means centroids —
+    the dataflow is identical). A vector belongs to one list, so probed
+    candidates are naturally duplicate-free. At scale, pre-materialize
+    the assignment as a ``centroid_id``-partitioned table: probing then
+    prunes partitions at the scan."""
+    va = assign_inverted_lists(vectors, centroids, 1, id_col, emb_col)
+    vb = va.join(vectors.select(id_col, emb_col), id_col)
+    qa = assign_inverted_lists(queries, centroids, nprobe, id_col, emb_col)
+    qb = qa.join(queries.select(id_col, emb_col), id_col).select(
+        F.col(id_col).alias(query_id_col),
+        F.col(emb_col).alias("_q_emb"),
+        F.col("centroid_id"),
+    )
+    scored = (
+        vb.join(F.broadcast(qb), "centroid_id")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            _score(F.col("_q_emb"), F.col(emb_col)).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(scored, query_id_col, id_col, k)
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

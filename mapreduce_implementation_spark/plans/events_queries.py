@@ -214,3 +214,46 @@ def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("total_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "events_range_join_click_purchase",
+    tables=("events",),
+    oracle=f"""
+        SELECT l.event_id,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(r.value AS DECIMAL(18,4))) AS DOUBLE) AS total_purchase_value
+        FROM (SELECT event_id, user_id, {_E} AS ts_s FROM events
+              WHERE event_type = 'click') l
+        JOIN (SELECT user_id, {_E} AS ts_s, value FROM events
+              WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id
+         AND r.ts_s >= l.ts_s AND r.ts_s <= l.ts_s + 300
+        GROUP BY l.event_id
+    """,
+)
+def events_range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 5 minutes after each click by the
+    same user (clicks with >=1 purchase). Runs as a bucketed EQUI-join on
+    (user_id, time_bucket) — operators/events.range_join — so Catalyst
+    hash-partitions it and hot users spread across time buckets instead
+    of degenerating into a per-key NL join."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.withColumn("ts_s", ev.epoch_s("ts"))
+    clicks = base.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_s"
+    )
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_s", F.col("value").alias("purchase_value")
+    )
+    joined = ev.range_join(
+        clicks, purchases, key="user_id", lo_s=0, hi_s=300
+    )
+    return (
+        joined.select(F.col("l.event_id").alias("event_id"), "purchase_value")
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("purchase_value").alias("total_purchase_value"),
+        )
+    )

@@ -432,3 +432,33 @@ def grouping_sets_part_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY GROUPING SETS ((p_brand), (p_type), (p_brand, p_type))
         """
     )
+
+
+@register("approx_aggregates_orders", tables=("orders",))
+def approx_aggregates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HLL++ distinct count and quantile sketch
+    over orders, reported alongside their exact twins plus relative
+    error. No DuckDB oracle — sketch outputs are engine-specific, so the
+    driver records the weaker rows-only check; the result embeds its own
+    validation columns instead. At 100 TB these sketches are mergeable
+    partial aggregates: fixed-size state per partition, one narrow
+    shuffle, no giant exact-distinct hash tables."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count_distinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("n_approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 1000)").alias("p50_approx"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_approx",
+        (F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")).alias(
+            "distinct_rel_err"
+        ),
+        "p50_exact",
+        "p50_approx",
+        (F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact")).alias(
+            "p50_rel_err"
+        ),
+    )

@@ -114,3 +114,67 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("plane_id"), F.col("embedding").alias("plane_emb")
     )
     return sim.lsh_topk(emb, queries, planes, k=K)
+
+
+N_CENTROIDS = 8
+NPROBE = 2
+
+
+@register(
+    "similarity_topk_ivf",
+    tables=("embeddings",),
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, embedding AS ce
+            FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ),
+        va AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_cos("e.embedding", "c.ce")} DESC,
+                                    c.centroid_id) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        qa AS (
+            SELECT vec_id AS query_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_cos("e.embedding", "c.ce")} DESC,
+                                    c.centroid_id) AS rn
+                FROM embeddings e CROSS JOIN cent c
+                WHERE e.vec_id < {N_QUERIES}
+            ) WHERE rn <= {NPROBE}
+        ),
+        scored AS (
+            SELECT qa.query_id, v.vec_id,
+                   {_cos("qe.embedding", "v.embedding")} AS cos_sim
+            FROM qa
+            JOIN va ON va.centroid_id = qa.centroid_id
+            JOIN embeddings v ON v.vec_id = va.vec_id
+            JOIN embeddings qe ON qe.vec_id = qa.query_id
+            WHERE v.vec_id <> qa.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+                   ) AS "rank"
+            FROM scored
+        )
+        SELECT query_id, vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim, "rank"
+        FROM ranked WHERE "rank" <= {K}
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF-flat: 8 deterministic centroid rows →
+    inverted lists; queries probe their 2 nearest lists. The partition-
+    prunable scale path for ANN (vs LSH's bucket join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    centroids = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_emb"),
+    )
+    return sim.ivf_topk(emb, queries, centroids, k=K, nprobe=NPROBE)

@@ -22,6 +22,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def write_partitioned_dataset(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-layout partitioned parquet dataset — the 100 TB table
+    layout: a filter on a partition column prunes whole directories at
+    planning time (PartitionFilters in the scan), so queries read the
+    partitions they touch, not the table.
+
+    Choose partition columns with bounded cardinality (date, type,
+    tenant) — one directory per value per write; high-cardinality keys
+    belong in bucketing or sort order, not partitioning."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def write_reducer_files(
     result: DataFrame,
     output_dir: str,
