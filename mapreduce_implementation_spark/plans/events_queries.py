@@ -257,3 +257,63 @@ def events_range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFr
             dsum("purchase_value").alias("total_purchase_value"),
         )
     )
+
+
+@register(
+    "events_rollup_multires",
+    tables=("events",),
+    oracle=f"""
+        WITH five AS (
+            SELECT ({_E} // 300) * 300 AS b5, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT '5min' AS resolution, b5 AS bucket_start_s, event_type,
+               CAST(n AS BIGINT) AS n_events
+        FROM five
+        UNION ALL
+        SELECT '1h', (b5 // 3600) * 3600, event_type, CAST(SUM(n) AS BIGINT)
+        FROM five GROUP BY 2, 3
+        UNION ALL
+        SELECT '1d', (b5 // 86400) * 86400, event_type, CAST(SUM(n) AS BIGINT)
+        FROM five GROUP BY 2, 3
+    """,
+)
+def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: the 5-minute aggregate
+    is computed ONCE from the scan; hourly and daily tiers re-aggregate
+    those partials (coarser buckets nest exactly in finer ones). At
+    100 TB this is the continuous-aggregate pattern — the raw table is
+    read once and each coarser tier reduces ~12×/24× fewer rows."""
+    events = load_table(spark, sf_dir, "events")
+    five = (
+        events.groupBy(
+            ev.time_bucket("ts", 300).alias("b5"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+
+    def tier(label: str, width_s: int) -> DataFrame:
+        return (
+            five.groupBy(
+                (F.floor(F.col("b5") / width_s) * width_s)
+                .cast("long")
+                .alias("bucket_start_s"),
+                "event_type",
+            )
+            .agg(F.sum("n").alias("n_events"))
+            .select(
+                F.lit(label).alias("resolution"),
+                "bucket_start_s",
+                "event_type",
+                F.col("n_events").cast("long").alias("n_events"),
+            )
+        )
+
+    base = five.select(
+        F.lit("5min").alias("resolution"),
+        F.col("b5").alias("bucket_start_s"),
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+    )
+    return base.unionAll(tier("1h", 3600)).unionAll(tier("1d", 86400))
