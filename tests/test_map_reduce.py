@@ -134,3 +134,40 @@ def test_reference_file_layout(spark, text_df, tmp_path):
                 seen[w] = seen.get(w, 0) + int(c)
         assert words == sorted(words)  # Q4: ascending within file
     assert seen == golden_counts("drop")
+
+
+def test_wordcount_property_random_corpora(spark):
+    """Property test (SURVEY.md §5 parameter sweeps): for arbitrary
+    corpora over a small alphabet (including empty lines, runs of
+    spaces, and words starting below 'A' — the reference's Q2 UB
+    domain), the engine's counts equal a Python Counter under the
+    'drop' policy and every reducer id is in range."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab1 Z?", min_size=0, max_size=6)
+    corpus = st.lists(word, min_size=0, max_size=12)
+
+    @settings(max_examples=12, deadline=None)
+    @given(corpus=corpus)
+    def check(corpus):
+        df = spark.createDataFrame([(l,) for l in corpus] or [("",)], "text string")
+        got = {
+            (r.key): r.value
+            for r in map_reduce(
+                df, mapper=wordcount_mapper("text"), num_reducers=3
+            ).collect()
+        }
+        expect = collections.Counter(
+            w for line in (corpus or [""]) for w in line.split(" ") if w != ""
+        )
+        assert got == dict(expect)
+        rids = {
+            r.reducer_id
+            for r in map_reduce(
+                df, mapper=wordcount_mapper("text"), num_reducers=3
+            ).select("reducer_id").collect()
+        }
+        assert rids <= {0, 1, 2}
+
+    check()

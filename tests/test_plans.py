@@ -51,3 +51,53 @@ def test_wordcount_prunes_to_text_column(spark, oracle_sf_dir):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "text" in read_schema[0]
     assert "doc_id" not in read_schema[0] and "lang" not in read_schema[0]
+
+
+def test_media_decode_prunes_unused_columns(spark, oracle_sf_dir):
+    df = all_queries()["media_decode_dims"].fn(spark, oracle_sf_dir)
+    plan = explain_str(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # decode needs doc_id + text (payload source); lang/n_chars pruned
+    assert read_schema and "text" in read_schema[0]
+    assert "lang" not in read_schema[0] and "n_chars" not in read_schema[0]
+
+
+def test_range_join_is_hash_join_not_nl(spark, oracle_sf_dir):
+    df = all_queries()["events_range_join_click_purchase"].fn(spark, oracle_sf_dir)
+    plan = explain_str(df)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, oracle_sf_dir):
+    """Co-located join via bucketing: both tables bucketed+sorted on the
+    join key → SortMergeJoin with NO exchange on either side. At 100 TB
+    this is how repeated joins on the same key amortize their shuffle
+    to zero."""
+    from mapreduce_implementation_spark.sources.catalog import load_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        load_table(spark, oracle_sf_dir, "orders").write.mode("overwrite").bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").saveAsTable("orders_bkt")
+        load_table(spark, oracle_sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ).write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).saveAsTable("lineitem_bkt")
+        from pyspark.sql import functions as F
+
+        joined = spark.table("orders_bkt").join(
+            spark.table("lineitem_bkt"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
