@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from mapreduce_implementation_spark.plans.registry import register
 from mapreduce_implementation_spark.streaming.queries import (
     run_available_now,
+    streaming_dedup_exact,
     streaming_wordcount,
 )
 from mapreduce_implementation_spark.streaming.sessionize import sessionize_stream
@@ -115,3 +116,22 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(
         spark, sessionize_stream(stream, gap_s=1800, use_timeout=False), "append"
     )
+
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "streaming_dedup_exact",
+    tables=("documents",),
+    oracle=f"""
+        SELECT DISTINCT md5(array_to_string({_TOKS}, ' ')) AS chash
+        FROM documents
+    """,
+)
+def streaming_dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dropDuplicates on the normalized content hash;
+    drained on the bounded table the survivors are exactly the distinct
+    hashes."""
+    stream = read_documents_stream(spark, sf_dir, glob="documents.parquet")
+    return _drain(spark, streaming_dedup_exact(stream), "append")

@@ -109,3 +109,33 @@ def wordcount_by_first_char(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.substring("word", 1, 1).alias("first_char"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@register(
+    "map_reduce_wordcount_r9",
+    tables=("documents",),
+    oracle="""
+        SELECT (((ascii(substring(word, 1, 1)) - 65) % 9) + 9) % 9 AS reducer_id,
+               word AS key,
+               COUNT(*) AS value
+        FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY 1, 2
+    """,
+)
+def map_reduce_wordcount_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full seven-stage fidelity pipeline (operators/core.map_reduce)
+    under the correctness gate: InputSplit→Map→Partition→Sort→Group→
+    Reduce with 9 reducers and the reference's first-char pmod
+    partitioner (/root/reference/Worker.cc:164-172, Q2-safe). The DuckDB
+    twin recomputes reducer_id as ``((x % 9) + 9) % 9`` = pmod."""
+    from mapreduce_implementation_spark.operators.core import (
+        map_reduce,
+        wordcount_mapper,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return map_reduce(docs, mapper=wordcount_mapper("text"), num_reducers=9)

@@ -55,6 +55,24 @@ def streaming_windowed_counts(
     )
 
 
+def streaming_dedup_exact(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: first arrival per normalized content hash
+    survives (stateful ``dropDuplicates`` — the streaming twin of
+    operators/dedup.exact_dedup). Emits the surviving hash per document
+    in append mode.
+
+    State = one entry per distinct hash, unbounded on an unbounded
+    stream; in production give the stream an event-time column and use
+    ``dropDuplicatesWithinWatermark`` so state ages out with the
+    watermark (dups in real pipelines arrive close together)."""
+    from mapreduce_implementation_spark.functions.textstats import content_hash
+
+    return (
+        stream.select(content_hash(text_col).alias("chash"))
+        .dropDuplicates(["chash"])
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Start a memory-sink query (test/demo harness). Caller must
     processAllAvailable()/stop().
