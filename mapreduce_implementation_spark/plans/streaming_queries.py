@@ -135,3 +135,57 @@ def streaming_dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes."""
     stream = read_documents_stream(spark, sf_dir, glob="documents.parquet")
     return _drain(spark, streaming_dedup_exact(stream), "append")
+
+
+@register(
+    "streaming_interval_join_click_purchase",
+    tables=("events",),
+    oracle="""
+        SELECT l.event_id,
+               r.ts_s AS purchase_ts_s,
+               r.value AS purchase_value
+        FROM (SELECT event_id, user_id, epoch_ms(ts) // 1000 AS ts_s
+              FROM events WHERE event_type = 'click') l
+        JOIN (SELECT user_id, epoch_ms(ts) // 1000 AS ts_s, value
+              FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id
+         AND r.ts_s >= l.ts_s AND r.ts_s <= l.ts_s + 300
+    """,
+)
+def streaming_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join with watermarks on both sides:
+    purchases within 5 minutes after each click, emitted as matches
+    arrive. Timestamps are floored to whole seconds (cast long → cast
+    timestamp) BEFORE the join so the interval arithmetic matches the
+    second-resolution oracle exactly."""
+    from mapreduce_implementation_spark.streaming.queries import (
+        streaming_interval_join,
+    )
+
+    def side(event_type: str, cols):
+        s = read_events_stream(spark, sf_dir, glob="events.parquet")
+        return (
+            s.where(F.col("event_type") == event_type)
+            .withColumn("ts_f", F.col("ts").cast("long").cast("timestamp"))
+            .select(*cols)
+        )
+
+    clicks = side("click", ["event_id", "user_id", "ts_f"])
+    purchases = side(
+        "purchase", ["user_id", F.col("ts_f").alias("p_ts"), "value"]
+    )
+    joined = streaming_interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts_f",
+        right_ts="p_ts",
+        lo="0 seconds",
+        hi="5 minutes",
+    )
+    out = joined.select(
+        F.col("l.event_id").alias("event_id"),
+        F.col("r.p_ts").cast("long").alias("purchase_ts_s"),
+        F.col("r.value").alias("purchase_value"),
+    )
+    return _drain(spark, out, "append")

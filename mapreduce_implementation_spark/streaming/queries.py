@@ -73,6 +73,33 @@ def streaming_dedup_exact(stream: DataFrame, text_col: str = "text") -> DataFram
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lo: str,
+    hi: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    pairs with ``right_ts ∈ [left_ts + lo, left_ts + hi]`` on ``key``.
+
+    Watermarks on BOTH sides let the engine evict join state: a left
+    row can stop waiting once the right watermark passes
+    ``left_ts + hi``, so state is bounded by (watermark + interval) ×
+    arrival rate — the batch twin is operators/events.range_join."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} + interval {lo} "
+        f"AND r.{right_ts} <= l.{left_ts} + interval {hi}"
+    )
+    return l.join(r, cond)
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Start a memory-sink query (test/demo harness). Caller must
     processAllAvailable()/stop().
