@@ -60,11 +60,22 @@ def stopword_hits(text: Column | str, lang: str = "en") -> Column:
     ).cast("long")
 
 
-def quality_features(text: Column | str) -> dict[str, Column]:
-    """The standard cheap quality signals as named expressions."""
+def quality_features(
+    text: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
+    """The standard cheap quality signals as named expressions.
+
+    Pass ``toks`` (a pre-projected token-array COLUMN) on hot paths:
+    Catalyst does not common-subexpression-eliminate the split+filter
+    when it is inlined into several output columns, so without it the
+    tokenizer reruns once per feature (~8× per row here). A two-step
+    projection — ``withColumn("_toks", …)`` then features over
+    ``F.col("_toks")`` — evaluates it once (CollapseProject keeps the
+    projections separate when the alias has multiple references)."""
     col = F.col(text) if isinstance(text, str) else text
     n_chars = F.length(col).cast("long")
-    toks = _lower_tokens(col)
+    if toks is None:
+        toks = _lower_tokens(col)
     n_tokens = F.size(toks).cast("long")
     n_alpha = F.regexp_count(col, F.lit(r"[A-Za-z]")).cast("long")
     n_punct = F.regexp_count(col, F.lit(r"[^A-Za-z0-9\s]")).cast("long")
@@ -82,10 +93,10 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, toks: Column | None = None) -> Column:
     """Composite [0,1]-ish quality score (deterministic, documented
     weights; thresholds follow the usual Gopher-rules shape)."""
-    f = quality_features(text)
+    f = quality_features(text, toks)
     length_ok = (f["n_tokens"] >= 5) & (f["n_tokens"] <= 100000)
     mean_len_ok = (f["mean_token_len"] >= 2.0) & (f["mean_token_len"] <= 12.0)
     score = (
@@ -97,13 +108,15 @@ def quality_score(text: Column | str) -> Column:
     return score
 
 
-def langid(text: Column | str) -> Column:
+def langid(text: Column | str, toks: Column | None = None) -> Column:
     """Stopword-vote language guess over STOPWORDS languages.
 
     Per-language hit counts; argmax with deterministic tie-break on
     language code order ('de' < 'en' < 'es' < 'fr'); 'und' (undetermined)
-    when no stopword hits at all."""
-    toks = _lower_tokens(text)
+    when no stopword hits at all. Pass a pre-projected ``toks`` column
+    on hot paths (see quality_features)."""
+    if toks is None:
+        toks = _lower_tokens(text)
 
     def _hit_count(stops: tuple[str, ...]) -> Column:
         return F.size(F.filter(toks, lambda t: t.isin(*stops)))
@@ -125,12 +138,17 @@ def content_hash(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", _lower_tokens(col)).cast("binary"))
 
 
-def doc_fingerprint(text: Column | str, shingle: int = 3) -> Column:
+def doc_fingerprint(
+    text: Column | str, shingle: int = 3, toks: Column | None = None
+) -> Column:
     """Winnowing-style fingerprint: min md5 over word-``shingle``-grams.
 
     Documents sharing any minimal shingle hash collide — a cheap
-    near-dup prefilter. Falls back to content_hash for short docs."""
-    toks = _lower_tokens(text)
+    near-dup prefilter. Falls back to content_hash for short docs.
+    Pass a pre-projected ``toks`` column on hot paths (see
+    quality_features)."""
+    if toks is None:
+        toks = _lower_tokens(text)
     grams = word_ngrams(toks, shingle)
     min_md5 = F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary"))))
-    return F.coalesce(min_md5, content_hash(text))
+    return F.coalesce(min_md5, F.md5(F.concat_ws(" ", toks).cast("binary")))

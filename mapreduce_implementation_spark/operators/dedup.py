@@ -77,12 +77,15 @@ def shingle_ints(shingle_col: Column) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
+def minhash_signature_from_ints(xs: Column, k: int = 16) -> Column:
     """k-component MinHash signature via k linear permutations
-    ``(a_i * x + b_i) mod p`` over the per-shingle ints — the standard
-    one-strong-hash / k-cheap-permutations scheme (16× less hashing than
-    k independent md5 passes). Null for rows with no shingles."""
-    xs = shingle_ints(shingle_col)
+    ``(a_i * x + b_i) mod p`` over pre-hashed shingle ints — the
+    standard one-strong-hash / k-cheap-permutations scheme.
+
+    ``xs`` MUST be a projected COLUMN (not the shingle_ints expression
+    inline): the expression appears once per permutation and Catalyst
+    does not CSE it, so inlining reruns the md5 pass k times. Null for
+    rows with no shingles."""
 
     def _perm(a: int, b: int) -> Column:
         # closure, NOT lambda default args — pyspark HOF lambdas must be
@@ -90,7 +93,17 @@ def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
         return F.array_min(F.transform(xs, lambda x: (a * x + b) % MERSENNE_P))
 
     components = [_perm(PERM_A[i], PERM_B[i]) for i in range(k)]
-    return F.when(F.size(shingle_col) > 0, F.array(*components))
+    return F.when(F.size(xs) > 0, F.array(*components))
+
+
+def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
+    """Single-expression form (hashes shingles k× — use the staged
+    ``shingle_ints`` → ``minhash_signature_from_ints`` projections on
+    hot paths; kept for small/ad-hoc inputs)."""
+    return F.when(
+        F.size(shingle_col) > 0,
+        minhash_signature_from_ints(shingle_ints(shingle_col), k),
+    )
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -147,11 +160,24 @@ def minhash_near_dup_pairs(
     guard at scale; None keeps all for oracle parity).
     """
     assert bands * rows == k, "signature length must equal bands*rows"
+    # Staged projections, one expensive expression per step, each
+    # referenced as a COLUMN downstream: tokens → shingles → shingle
+    # ints (the md5 pass) → signature. Inlining any of these reruns it
+    # per reference (Catalyst has no CSE across output columns) — the
+    # staged form tokenizes and hashes exactly once per row.
     sigs = (
         spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
-        .select("doc_id", shingles(text_col, shingle_n).alias("sh"))
+        .select(
+            "doc_id",
+            tokens(F.lower(F.col(text_col)), mode="simple").alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams(F.col("_toks"), shingle_n)).alias("sh"),
+        )
         .where(F.size("sh") > 0)
-        .select("doc_id", minhash_signature(F.col("sh"), k).alias("sig"))
+        .select("doc_id", shingle_ints(F.col("sh")).alias("_xs"))
+        .select("doc_id", minhash_signature_from_ints(F.col("_xs"), k).alias("sig"))
         # the signature frame feeds three consumers (band explode + both
         # sides of the verify join); persist it — at scale signatures are
         # materialized once per corpus anyway
@@ -253,39 +279,69 @@ def connected_components(
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def simhash_bits(text: Column | str, n_bits: int = 64) -> Column:
-    """SimHash over whitespace tokens as an ``n_bits``-char '0'/'1'
-    string (weighted by token frequency — tokens enter once per
-    occurrence).
-
-    Bit b of md5(token): take hex digit b//4, integer-divide by
-    2^(3 - b%4), mod 2 — pure integer arithmetic, engine-portable.
-    """
+def token_hashes(text: Column | str) -> Column:
+    """md5 hex per whitespace token — project this as a COLUMN before
+    simhash_from_hashes so the hashing runs once, not once per bit."""
     col = F.col(text) if isinstance(text, str) else text
-    # hash each token ONCE; bit extraction then reads the hex string
-    hashes = F.transform(
+    return F.transform(
         tokens(F.lower(col), mode="simple"), lambda t: F.md5(t.cast("binary"))
     )
 
-    def bit_contrib(h: Column, b: Column) -> Column:
-        digit = F.conv(F.substring(h, (b / 4).cast("int") + 1, 1), 16, 10).cast("int")
-        shift = F.lit(3) - (b % 4)
-        bit = F.floor(digit / F.pow(F.lit(2.0), shift.cast("double"))).cast("int") % 2
-        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
 
-    return F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_bits - 1)),
-            lambda b: F.when(
-                F.aggregate(
-                    hashes, F.lit(0).cast("long"), lambda acc, h: acc + bit_contrib(h, b)
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0")),
+def simhash_from_hashes(hashes: Column, n_bits: int = 64) -> Column:
+    """SimHash over pre-hashed tokens as an ``n_bits``-char '0'/'1'
+    string (weighted by token frequency — tokens enter once per
+    occurrence).
+
+    Bit b of md5(token) = bit (3 - b%4) of hex digit b//4 — identical to
+    the DuckDB oracle formula, but evaluated digit-wise: each hex digit
+    is parsed ONCE (n_bits/4 ``conv`` calls per token) and expanded to
+    its 4 bits with integer masks, then per-token ±1 vectors are
+    elementwise-summed in a single ``aggregate`` pass. The naive
+    per-(bit × token) form costs n_bits× more string conversions — it
+    was 7× slower end-to-end at sf0.1."""
+    n_digits = n_bits // 4
+
+    def token_contrib(h: Column) -> Column:
+        digits = F.transform(
+            F.sequence(F.lit(0), F.lit(n_digits - 1)),
+            lambda d: F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int"),
+        )
+
+        def pm(cond: Column) -> Column:
+            return F.when(cond, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.flatten(
+            F.transform(
+                digits,
+                lambda dg: F.array(
+                    pm(dg.bitwiseAND(F.lit(8)) != 0),
+                    pm(dg.bitwiseAND(F.lit(4)) != 0),
+                    pm(dg.bitwiseAND(F.lit(2)) != 0),
+                    pm(dg.bitwiseAND(F.lit(1)) != 0),
+                ),
+            )
+        )
+
+    zeros = F.array_repeat(F.lit(0), n_bits)
+    return F.aggregate(
+        F.transform(hashes, token_contrib),
+        zeros,
+        lambda acc, c: F.zip_with(acc, c, lambda x, y: x + y),
+        lambda acc: F.array_join(
+            F.transform(
+                acc, lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0"))
+            ),
+            "",
         ),
-        "",
     )
+
+
+def simhash_bits(text: Column | str, n_bits: int = 64) -> Column:
+    """Single-expression SimHash (rehashes tokens per bit — use the
+    staged ``token_hashes`` → ``simhash_from_hashes`` projections on
+    hot paths; kept for small/ad-hoc inputs)."""
+    return simhash_from_hashes(token_hashes(text), n_bits)
 
 
 def jaccard(a: Column, b: Column) -> Column:

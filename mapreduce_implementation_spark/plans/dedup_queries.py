@@ -159,9 +159,13 @@ _BIT = f"(({_HEXPOS}) // CAST(power(2.0, 3 - (b % 4)) AS INT)) % 2"
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (frequency-weighted token hashing).
     Near-dup = small Hamming distance; bucket by bit-bands to search at
-    scale (same LSH machinery as MinHash)."""
+    scale (same LSH machinery as MinHash). Token hashes are projected
+    once, then the 64-bit loop reads the column (the inline form rehashes
+    per bit — no CSE across the bit expressions)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", dd.simhash_bits("text", 64).alias("simhash"))
+    return docs.select("doc_id", dd.token_hashes("text").alias("_hs")).select(
+        "doc_id", dd.simhash_from_hashes(F.col("_hs"), 64).alias("simhash")
+    )
 
 
 _FP = (
@@ -192,10 +196,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a winnowing
     fingerprint (cheap bucket join, never all-pairs)."""
     docs = load_table(spark, sf_dir, "documents")
+    from mapreduce_implementation_spark.functions.text import tokens, word_ngrams
+
     f = docs.select(
+        "doc_id", tokens(F.lower(F.col("text")), mode="simple").alias("_toks")
+    ).select(
         "doc_id",
-        doc_fingerprint("text", shingle=3).alias("fp"),
-        dd.shingles("text", 3).alias("sh"),
+        doc_fingerprint("_toks", shingle=3, toks=F.col("_toks")).alias("fp"),
+        F.array_distinct(word_ngrams(F.col("_toks"), 3)).alias("sh"),
     )
     a, b = f.alias("a"), f.alias("b")
     jac = dd.jaccard(F.col("a.sh"), F.col("b.sh"))

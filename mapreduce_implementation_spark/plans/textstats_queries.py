@@ -93,8 +93,13 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + composite score (Gopher-rule
     shaped). Single projection over the scan."""
     docs = load_table(spark, sf_dir, "documents")
-    f = ts.quality_features("text")
-    return docs.select(
+    # two-step: tokenize once into a column, features read the column
+    # (inline, the split reruns per feature — no CSE across outputs)
+    pre = docs.select(
+        "doc_id", "text", ts._lower_tokens("text").alias("_toks")
+    )
+    f = ts.quality_features("text", toks=F.col("_toks"))
+    return pre.select(
         "doc_id",
         f["n_chars"].alias("n_chars"),
         f["n_tokens"].alias("n_tokens"),
@@ -102,7 +107,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         f["punct_ratio"].alias("punct_ratio"),
         f["stopword_ratio"].alias("stopword_ratio"),
         f["mean_token_len"].alias("mean_token_len"),
-        ts.quality_score("text").alias("quality_score"),
+        ts.quality_score("text", toks=F.col("_toks")).alias("quality_score"),
     )
 
 
@@ -129,7 +134,8 @@ def langid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID, aggregated: guessed language → #docs."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(ts.langid("text").alias("guessed_lang"))
+        docs.select(ts._lower_tokens("text").alias("_toks"))
+        .select(ts.langid("_toks", toks=F.col("_toks")).alias("guessed_lang"))
         .groupBy("guessed_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -148,7 +154,8 @@ def langid_vs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the heuristic vs the labeled ``lang`` column."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("lang", ts.langid("text").alias("guessed_lang"))
+        docs.select("lang", ts._lower_tokens("text").alias("_toks"))
+        .select("lang", ts.langid("_toks", toks=F.col("_toks")).alias("guessed_lang"))
         .groupBy("lang", "guessed_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -175,9 +182,11 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-hash fingerprint (near-dup prefilter), per document."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
+        "doc_id", ts._lower_tokens("text").alias("_toks")
+    ).select(
         "doc_id",
-        ts.content_hash("text").alias("content_hash"),
-        ts.doc_fingerprint("text", shingle=3).alias("fingerprint"),
+        F.md5(F.concat_ws(" ", F.col("_toks")).cast("binary")).alias("content_hash"),
+        ts.doc_fingerprint("_toks", shingle=3, toks=F.col("_toks")).alias("fingerprint"),
     )
 
 
