@@ -317,3 +317,40 @@ def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
     )
     return base.unionAll(tier("1h", 3600)).unionAll(tier("1d", 86400))
+
+
+@register(
+    "events_moving_avg_30min",
+    tables=("events",),
+    oracle=f"""
+        SELECT event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w AS avg_value_30min
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY {_E}
+                     RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_moving_avg_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute trailing moving average — a RANGE-frame
+    analytic window (frame bounds in event-time seconds, not row
+    counts). One hash shuffle on user_id + an in-partition time sort;
+    values quantized to decimal before averaging for oracle parity."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ev.epoch_s("ts"))
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    # exact decimal SUM / COUNT as doubles — Spark's decimal AVG rounds
+    # to scale 8, DuckDB's returns full-precision double; SUM is exact
+    # on both so the final division is the identical IEEE op
+    return events.select(
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg_value_30min"),
+    )

@@ -462,3 +462,35 @@ def approx_aggregates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_rel_err"
         ),
     )
+
+
+@register(
+    "pivot_orders_priority_by_status",
+    tables=("orders",),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS status_f,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS status_o,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS status_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def pivot_orders_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority with one column per order status.
+    Pivot values are declared explicitly ('F','O','P') — at scale an
+    undeclared pivot needs an extra distinct-values job over the whole
+    table before the real aggregation; declaring them keeps it to ONE
+    partial-aggregated shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
