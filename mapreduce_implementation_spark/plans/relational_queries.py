@@ -494,3 +494,32 @@ def pivot_orders_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
     )
+
+
+@register(
+    "median_order_value_by_priority",
+    tables=("orders",),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(CAST(quantile_cont(CAST(o_totalprice AS DECIMAL(18,4)), 0.5)
+                    AS DECIMAL(18,4)) AS DOUBLE) AS median_value,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def median_order_value_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median (continuous interpolation). Exact
+    percentiles need the full sorted group — fine for bounded group
+    counts; use percentile_approx (see approx_aggregates_orders) when
+    per-group cardinality is unbounded at scale. Quantized to
+    DECIMAL(18,4) so both engines' interpolation arithmetic lands on
+    the same value."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(CAST(o_totalprice AS DECIMAL(18,4)), 0.5)")
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("median_value"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

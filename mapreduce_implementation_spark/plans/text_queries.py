@@ -139,3 +139,38 @@ def map_reduce_wordcount_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     return map_reduce(docs, mapper=wordcount_mapper("text"), num_reducers=9)
+
+
+@register(
+    "grouped_word_lists",
+    tables=("documents",),
+    oracle="""
+        SELECT substring(word, 1, 1) AS first_char,
+               string_agg(DISTINCT word, ',' ORDER BY word) AS words,
+               COUNT(DISTINCT word) AS n_words
+        FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY 1
+    """,
+)
+def grouped_word_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference Group stage's OBSERVABLE value-list semantics
+    (/root/reference/Worker.cc:235-252 builds map<key, vector<values>>):
+    per first-char group, the sorted distinct word list, joined to a
+    string for engine-portable comparison. collect_set keeps per-group
+    state bounded by |distinct words in group| — at scale prefer
+    aggregating before collecting (this is the demo of the semantics,
+    not the preferred aggregation shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text", mode="reference")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy(F.substring("word", 1, 1).alias("first_char"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("word")), ",").alias("words"),
+            F.count_distinct("word").alias("n_words"),
+        )
+    )
