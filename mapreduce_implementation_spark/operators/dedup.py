@@ -219,11 +219,36 @@ def minhash_near_dup_pairs(
     )
 
 
+def _union_find_local(
+    pairs: list[tuple[int, int]],
+) -> dict[int, int]:
+    """Driver-side union-find with path compression; returns
+    vertex → min-id-of-component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {v: find(v) for v in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 25,
+    local_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph → duplicate
     CLUSTERS: ``(doc_id, cluster_id)`` with cluster_id = min doc id in
@@ -240,7 +265,30 @@ def connected_components(
     (At extreme scale swap in alternating large-star/small-star
     [Kiveris et al., "Connected Components in MapReduce and Beyond"]
     for O(log d) rounds; same DataFrame skeleton.)
+
+    Hybrid: when the edge list is small (≤ ``local_threshold`` pairs —
+    it is a candidate-pair DERIVATIVE of the corpus, usually tiny
+    relative to it), collect it and run driver-side union-find: one
+    job instead of ~6 jobs × diameter iterations. The distributed loop
+    below is the path for graphs that don't fit the driver.
     """
+    # persist: the edge pipeline (LSH join + verify) is consumed 2×
+    # here (count + collect) or once per iteration in the loop
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        pairs = [
+            (r[0], r[1])
+            for r in edges.select(
+                F.col(src).cast("long"), F.col(dst).cast("long")
+            ).collect()
+        ]
+        spark = edges.sparkSession
+        edges.unpersist()
+        labels_map = _union_find_local(pairs)
+        return spark.createDataFrame(
+            sorted(labels_map.items()), "doc_id long, cluster_id long"
+        )
     sym = edges.select(F.col(src).alias("v"), F.col(dst).alias("n")).union(
         edges.select(F.col(dst).alias("v"), F.col(src).alias("n"))
     )
