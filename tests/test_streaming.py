@@ -36,6 +36,28 @@ def _feed(src_parquet: str, dest_dir: str, name: str) -> None:
     shutil.copy(src_parquet, os.path.join(dest_dir, name))
 
 
+def _write_events_batch(path, rows) -> None:
+    """rows: (event_id, ts_seconds, user_id)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000_000 for r in rows], pa.timestamp("ns")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["x"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        path,
+    )
+
+
 def test_streaming_wordcount_matches_batch(spark, stream_dir):
     _feed(f"{SF}/documents.parquet", stream_dir, "b0.parquet")
     q = run_to_memory(
@@ -75,26 +97,7 @@ def test_sessionize_stream_two_batches(spark, stream_dir, tmp_path):
     # two micro-batches of hand-made events for user 1:
     #   batch 0: t=0, t=100        (same session)
     #   batch 1: t=5000            (gap > 1800 → closes first session)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    def write_batch(path, rows):
-        pq.write_table(
-            pa.table(
-                {
-                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                    "ts": pa.array(
-                        [r[1] * 1_000_000_000 for r in rows],
-                        pa.timestamp("ns"),
-                    ),
-                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
-                    "event_type": pa.array(["x"] * len(rows)),
-                    "value": pa.array([1.0] * len(rows)),
-                    "props": pa.array(["{}"] * len(rows)),
-                }
-            ),
-            path,
-        )
+    write_batch = _write_events_batch
 
     q = run_to_memory(
         sessionize_stream(read_events_stream(spark, stream_dir), gap_s=1800),
@@ -121,4 +124,46 @@ def test_sessionize_stream_two_batches(spark, stream_dir, tmp_path):
         1_000_000,
         1_000_100,
         2,
+    )
+
+
+def test_sessionize_stream_timeout_flushes_open_session(spark, stream_dir, tmp_path):
+    """The ProcessingTimeTimeout path: an open session with no further
+    events is flushed by state timeout once a later micro-batch gives
+    the engine a chance to fire it."""
+    import time
+
+    q = run_to_memory(
+        sessionize_stream(read_events_stream(spark, stream_dir), gap_s=2),
+        "sess_timeout_stream",
+        output_mode="append",
+    )
+    try:
+        _write_events_batch(tmp_path / "b0.parquet", [(1, 1_000_000, 7)])
+        _feed(str(tmp_path / "b0.parquet"), stream_dir, "b0.parquet")
+        wait_for_input_rows(q, 1)
+        assert spark.table("sess_timeout_stream").count() == 0  # open
+        time.sleep(3)  # exceed the 2s processing-time timeout
+        # any subsequent batch lets timeouts fire (unrelated user)
+        _write_events_batch(tmp_path / "b1.parquet", [(2, 9_000_000, 99)])
+        _feed(str(tmp_path / "b1.parquet"), stream_dir, "b1.parquet")
+        deadline = time.monotonic() + 60
+        rows = []
+        while time.monotonic() < deadline:
+            rows = [
+                r
+                for r in spark.table("sess_timeout_stream").collect()
+                if r.user_id == 7
+            ]
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.session_start_s, r.session_end_s, r.n_events) == (
+        1_000_000,
+        1_000_000,
+        1,
     )
