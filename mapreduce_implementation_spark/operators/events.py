@@ -158,3 +158,60 @@ def asof_join_latest(
         .where(F.col("_rn") == 1)
         .drop("_rn", "_lts", "_rts")
     )
+
+
+def user_value_trend(events: DataFrame) -> DataFrame:
+    """Per-user least-squares slope of ``value`` over time — a grouped
+    Python UDAF via Arrow-batched ``applyInPandas`` (the custom-
+    aggregate API surface; one hash shuffle on user_id, group state in
+    the Python worker).
+
+    Exactness design (so a DuckDB oracle can hash-match a Python UDF):
+    all sums run in arbitrary-precision INTEGER arithmetic — x is
+    centered epoch seconds, y is value scaled by 1e4 (exact: value fits
+    DECIMAL(18,4)) — and only the final num/den/1e4 happens in doubles,
+    the identical IEEE ops on both engines. Naive float sums would
+    differ in summation order and break the value-hash.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("slope_per_s", DoubleType()),
+        ]
+    )
+
+    def fit(pdf):
+        import pandas as pd
+
+        user_id = int(pdf["user_id"].iloc[0])
+        xs = [int(v) for v in pdf["ts_s"]]
+        ys = [int(round(float(v) * 10000)) for v in pdf["value"]]
+        n = len(xs)
+        x0 = min(xs)
+        xc = [x - x0 for x in xs]
+        sx = sum(xc)
+        sy = sum(ys)
+        sxy = sum(a * b for a, b in zip(xc, ys))
+        sxx = sum(a * a for a in xc)
+        den = n * sxx - sx * sx
+        slope = (
+            float(n * sxy - sx * sy) / float(den) / 10000.0
+            if den != 0
+            else None
+        )
+        return pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "slope_per_s": [slope]}
+        )
+
+    keyed = events.select(
+        "user_id", epoch_s("ts").alias("ts_s"), "value"
+    )
+    return keyed.groupBy("user_id").applyInPandas(fit, schema)

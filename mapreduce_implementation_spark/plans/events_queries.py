@@ -354,3 +354,39 @@ def events_moving_avg_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("avg_value_30min"),
     )
+
+
+@register(
+    "events_user_value_trend",
+    tables=("events",),
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id,
+                   {_E} - MIN({_E}) OVER (PARTITION BY user_id) AS xc,
+                   CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+            FROM events
+        ),
+        s AS (
+            SELECT user_id,
+                   COUNT(*) AS n,
+                   SUM(CAST(xc AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(xc AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                   SUM(CAST(xc AS HUGEINT) * CAST(xc AS HUGEINT)) AS sxx
+            FROM t
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_events,
+               CASE WHEN n * sxx - sx * sx <> 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0
+               END AS slope_per_s
+        FROM s
+    """,
+)
+def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Python UDAF (applyInPandas): per-user least-squares value
+    trend, integer-exact so it hash-matches the HUGEINT SQL oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return ev.user_value_trend(events)
