@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_implementation_spark.caching import track_cache
 from mapreduce_implementation_spark.functions.text import tokens, word_ngrams
 from mapreduce_implementation_spark.functions.textstats import content_hash
 
@@ -178,11 +179,12 @@ def minhash_near_dup_pairs(
         .where(F.size("sh") > 0)
         .select("doc_id", shingle_ints(F.col("sh")).alias("_xs"))
         .select("doc_id", minhash_signature_from_ints(F.col("_xs"), k).alias("sig"))
-        # the signature frame feeds three consumers (band explode + both
-        # sides of the verify join); persist it — at scale signatures are
-        # materialized once per corpus anyway
-        .cache()
     )
+    # the signature frame feeds three consumers (band explode + both
+    # sides of the verify join); cache it — at scale signatures are
+    # materialized once per corpus anyway. Tracked: released by the next
+    # registry query (caching.release_caches).
+    sigs = track_cache(sigs)
     banded = sigs.select(
         "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
     ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
@@ -294,6 +296,7 @@ def connected_components(
     )
     labels = sym.select("v").distinct().withColumn("label", F.col("v"))
     labels = labels.localCheckpoint()
+    changed = -1
     for _ in range(max_iterations):
         neigh = (
             sym.join(
@@ -324,6 +327,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
+    if changed != 0:
+        # Unconverged labels are WRONG labels (components still merging);
+        # never return them as if they were final.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations or switch to large-star/small-star"
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -69,12 +69,16 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_s: int = 1800,
+    tie_break_col: str = "event_id",
 ) -> DataFrame:
     """Assign 1-based session indexes per user: a new session starts when
     the gap to the previous event exceeds ``gap_s`` seconds.
 
+    ``tie_break_col`` must exist in ``df`` — it makes the per-user event
+    order total when timestamps collide (deterministic session indexes).
+
     Returns the input plus ``ts_s`` and ``session_idx`` columns."""
-    order = Window.partitionBy(user_col).orderBy("ts_s", "event_id")
+    order = Window.partitionBy(user_col).orderBy("ts_s", tie_break_col)
     cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     with_ts = df.withColumn("ts_s", epoch_s(ts_col))
     prev = F.lag("ts_s").over(order)

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_implementation_spark.caching import track_cache
 from mapreduce_implementation_spark.operators import events as ev
 from mapreduce_implementation_spark.plans.registry import register
 from mapreduce_implementation_spark.plans.relational_queries import DEC, dsum
@@ -285,12 +286,10 @@ def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the continuous-aggregate pattern — the raw table is
     read once and each coarser tier reduces ~12×/24× fewer rows."""
     events = load_table(spark, sf_dir, "events")
-    five = (
+    five = track_cache(
         events.groupBy(
             ev.time_bucket("ts", 300).alias("b5"), "event_type"
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .cache()
+        ).agg(F.count(F.lit(1)).alias("n"))
     )
 
     def tier(label: str, width_s: int) -> DataFrame:

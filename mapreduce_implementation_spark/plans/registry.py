@@ -18,6 +18,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduce_implementation_spark.caching import release_caches
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -45,9 +47,20 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release the PREVIOUS query's tracked caches — by the time
+            # the next query starts, the prior consumer has collected,
+            # so a 50-query driver sweep holds at most one query's
+            # cached blocks at a time.
+            release_caches()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
         _REGISTRY[name] = Query(
             name=name,
-            fn=fn,
+            fn=wrapped,
             oracle=oracle,
             headline=headline,
             doc=(fn.__doc__ or "").strip(),

@@ -63,11 +63,9 @@ def write_reducer_files(
         .partitionBy("reducer_id")
         .text(staging)
     )
-    written: list[str] = []
-    seen_rids = set()
-    for d in sorted(glob.glob(os.path.join(staging, "reducer_id=*"))):
+    by_rid: dict[int, str] = {}
+    for d in glob.glob(os.path.join(staging, "reducer_id=*")):
         rid = int(d.rsplit("=", 1)[1])
-        seen_rids.add(rid)
         parts = sorted(glob.glob(os.path.join(d, "part-*")))
         # one partition per reducer_id upstream → exactly one part file
         out_path = os.path.join(output_dir, f"{job_name}-{rid + 1}.out")
@@ -75,12 +73,13 @@ def write_reducer_files(
             for p in parts:
                 with open(p, "rb") as src:
                     shutil.copyfileobj(src, out)
-        written.append(out_path)
+        by_rid[rid] = out_path
     if num_reducers is not None:
         for rid in range(num_reducers):
-            if rid not in seen_rids:
+            if rid not in by_rid:
                 out_path = os.path.join(output_dir, f"{job_name}-{rid + 1}.out")
                 open(out_path, "wb").close()
-                written.append(out_path)
+                by_rid[rid] = out_path
     shutil.rmtree(staging)
-    return written
+    # numeric reducer order (lexicographic dir order would give 1,10,11,2…)
+    return [by_rid[rid] for rid in sorted(by_rid)]

@@ -75,7 +75,12 @@ def _sessionize_fn(gap_s: int, use_timeout: bool = True):
                     closed.append((start_s, last_s, n))
                     start_s, last_s, n = t, t, 1
                 else:
-                    last_s, n = t, n + 1
+                    # A late event (t < last_s, possible across
+                    # micro-batches) extends the open session's bounds,
+                    # never moves them backwards — matches the batch
+                    # sessionize over the same (sorted) event set.
+                    start_s = min(start_s, t)
+                    last_s, n = max(last_s, t), n + 1
             if n > 0:
                 state.update((start_s, last_s, n))
                 if use_timeout:
