@@ -19,9 +19,10 @@ Scale notes (100 TB):
 * Sessionization: one hash shuffle on user_id, then two window passes
   over time-sorted partitions — skew-bounded by max events/user; salt
   hot users if that invariant breaks.
-* As-of join: key-partitioned join + per-left-row ranking window. At
-  scale prefer bucketed tables sorted by (key, time) so the join is a
-  co-located sort-merge; the logical shape below is unchanged.
+* As-of join: union-sort-merge — tag both sides, union, one shuffle on
+  the key, one ordered window pass (no join operator, no per-left-row
+  expansion over the key's history). At scale prefer bucketed tables
+  sorted by (key, time) so even the shuffle disappears.
 """
 
 from __future__ import annotations
@@ -141,26 +142,70 @@ def asof_join_latest(
     right_key: str,
     left_ts_s: Column,
     right_ts_s: Column,
-    left_id: str,
     right_cols: list[str],
+    asof_ts_col: str = "asof_ts_s",
 ) -> DataFrame:
     """Backward as-of join: for each left row, the single latest right
-    row with ``right_ts_s <= left_ts_s`` on the same key (LEFT join —
-    unmatched left rows keep NULLs).
+    row with ``right_ts_s <= left_ts_s`` on the same key (LEFT
+    semantics — unmatched left rows keep NULLs).
 
-    Tie-break: latest right_ts_s, then smallest first right_col."""
-    l = left.withColumn("_lts", left_ts_s)
-    r = right.withColumn("_rts", right_ts_s)
-    joined = l.join(
-        r, (F.col(left_key) == F.col(right_key)) & (F.col("_rts") <= F.col("_lts")), "left"
+    Tie-break: latest right_ts_s, then smallest first right_col.
+
+    Returns the left columns + ``right_cols`` (+ the matched right
+    timestamp as ``asof_ts_col``).
+
+    Plan (the scale-safe union-sort-merge shape): tag both inputs, UNION
+    them, ONE hash shuffle on the key, then a single in-partition
+    (ts, side, tie-break)-ordered pass where each left row picks the
+    last right payload seen (``F.last(ignorenulls=True)`` over a
+    running frame). Work is O(|left| + |right|) per key — no join at
+    all, so there is no per-left-row expansion over that key's right
+    history (the previous theta-join + row_number form was per-key
+    quadratic, the one shape AQE cannot rescue). Rights sort BEFORE
+    lefts at equal ts (ties are inclusive: rts <= lts), and equal-ts
+    rights sort by right_cols[0] DESC so the smallest lands last and
+    wins the pick."""
+    lcols = list(left.columns)
+    l_struct = F.struct(*[F.col(c) for c in lcols])
+    r_struct = F.struct(
+        *[F.col(c) for c in right_cols], right_ts_s.alias("_rts")
     )
-    w = Window.partitionBy(left_id).orderBy(
-        F.col("_rts").desc_nulls_last(), F.col(right_cols[0]).asc_nulls_last()
+    # typed NULL twins so the union schemas line up
+    l_type = left.select(l_struct.alias("x")).schema["x"].dataType
+    r_type = right.select(r_struct.alias("x")).schema["x"].dataType
+    tagged_l = left.select(
+        F.col(left_key).alias("_k"),
+        left_ts_s.alias("_ts"),
+        F.lit(1).alias("_side"),  # lefts AFTER rights at equal ts
+        l_struct.alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"),
     )
+    tagged_r = right.select(
+        F.col(right_key).alias("_k"),
+        right_ts_s.alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_type).alias("_l"),
+        r_struct.alias("_r"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_side").asc(),
+            F.col(f"_r.{right_cols[0]}").desc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = F.last("_r", ignorenulls=True).over(w)
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_lts", "_rts")
+        tagged_l.unionByName(tagged_r)
+        .withColumn("_p", picked)
+        .where(F.col("_side") == 1)
+        .select(
+            *[F.col(f"_l.{c}").alias(c) for c in lcols],
+            *[F.col(f"_p.{c}").alias(c) for c in right_cols],
+            F.col("_p._rts").alias(asof_ts_col),
+        )
     )
 
 

@@ -154,15 +154,10 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_key="o_custkey",
         left_ts_s=ev.epoch_s("ts"),
         right_ts_s=ev.epoch_s("o_orderdate"),
-        left_id="event_id",
         right_cols=["o_orderkey"],
+        asof_ts_col="order_ts_s",
     )
-    return out.select(
-        "event_id",
-        "user_id",
-        "o_orderkey",
-        ev.epoch_s("o_orderdate").alias("order_ts_s"),
-    )
+    return out.select("event_id", "user_id", "o_orderkey", "order_ts_s")
 
 
 @register(

@@ -69,6 +69,17 @@ def test_range_join_is_hash_join_not_nl(spark, oracle_sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_asof_join_has_no_join_operator(spark, oracle_sf_dir):
+    """The as-of join must be the union-sort-merge shape: zero Join
+    operators in the physical plan (a theta-join + row_number form is
+    per-key quadratic over the right history — the expansion AQE can't
+    rescue)."""
+    df = all_queries()["events_asof_latest_order"].fn(spark, oracle_sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert "Union" in plan and "Window" in plan, plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, oracle_sf_dir):
     """Co-located join via bucketing: both tables bucketed+sorted on the
     join key → SortMergeJoin with NO exchange on either side. At 100 TB
