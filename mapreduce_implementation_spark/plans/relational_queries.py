@@ -434,33 +434,61 @@ def grouping_sets_part_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("approx_aggregates_orders", tables=("orders",))
+@register(
+    "approx_aggregates_orders",
+    tables=("orders", "customer"),
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(DISTINCT o_custkey) AS n_exact_distinct,
+               TRUE AS distinct_within_5pct,
+               CAST(CAST(quantile_cont(CAST(o_totalprice AS DECIMAL(18,4)), 0.5)
+                    AS DECIMAL(18,4)) AS DOUBLE) AS p50_exact,
+               TRUE AS p50_within_1pct
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+)
 def approx_aggregates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates: HLL++ distinct count and quantile sketch
-    over orders, reported alongside their exact twins plus relative
-    error. No DuckDB oracle — sketch outputs are engine-specific, so the
-    driver records the weaker rows-only check; the result embeds its own
-    validation columns instead. At 100 TB these sketches are mergeable
-    partial aggregates: fixed-size state per partition, one narrow
-    shuffle, no giant exact-distinct hash tables."""
+    """Approximate aggregates (HLL++ distinct count, quantile sketch)
+    per market segment, gated hash-exactly: sketch outputs are
+    engine-specific, so the query emits the EXACT values plus
+    ``|approx-exact|/exact <= bound`` booleans; the DuckDB oracle
+    recomputes the exact side and asserts the booleans TRUE. A sketch
+    outside its error bound therefore fails the driver's value-hash —
+    the approximate path is under the same hard gate as everything
+    else. Also the exact-COUNT(DISTINCT)-per-group evidence: Spark
+    expands it to a two-level aggregate (partial distinct before the
+    shuffle). At 100 TB the sketches are the scalable path — mergeable
+    fixed-size state per partition, one narrow shuffle, no giant exact
+    hash tables."""
+    cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    agg = orders.agg(
-        F.count_distinct("o_custkey").alias("n_exact"),
-        F.approx_count_distinct("o_custkey", 0.02).alias("n_approx"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
-        F.expr("percentile_approx(o_totalprice, 0.5, 1000)").alias("p50_approx"),
+    agg = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_exact_distinct"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("_n_approx"),
+            F.expr("percentile(CAST(o_totalprice AS DECIMAL(18,4)), 0.5)")
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("p50_exact"),
+            F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("_p50_approx"),
+        )
     )
     return agg.select(
-        "n_exact",
-        "n_approx",
-        (F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")).alias(
-            "distinct_rel_err"
-        ),
+        "c_mktsegment",
+        "n_exact_distinct",
+        (
+            F.abs(F.col("_n_approx") - F.col("n_exact_distinct"))
+            / F.col("n_exact_distinct")
+            <= 0.05
+        ).alias("distinct_within_5pct"),
         "p50_exact",
-        "p50_approx",
-        (F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact")).alias(
-            "p50_rel_err"
-        ),
+        (
+            F.abs(F.col("_p50_approx") - F.col("p50_exact")) / F.col("p50_exact")
+            <= 0.01
+        ).alias("p50_within_1pct"),
     )
 
 
