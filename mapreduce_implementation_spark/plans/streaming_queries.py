@@ -138,6 +138,93 @@ def streaming_dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_late_data_watermark",
+    tables=("events",),
+    oracle="""
+        WITH e AS (SELECT event_id, epoch_ms(ts) // 1000 AS ts_s FROM events),
+        m AS (SELECT MAX(ts_s) AS mx FROM e)
+        SELECT (ts_s // 300) * 300 AS bucket_start_s, COUNT(*) AS n_events
+        FROM e, m
+        WHERE ts_s > mx - 3600 OR event_id % 10 <> 0
+        GROUP BY 1, mx
+        HAVING (ts_s // 300) * 300 + 300 <= mx - 60
+    """,
+)
+def streaming_late_data_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time watermark PROVABLY dropping late data. The events
+    table streams as three micro-batches (maxFilesPerTrigger=1):
+    batch 1 = the newest hour (raises the watermark to max(ts) - 60s),
+    batch 2 = 90% of the older events (aggregated and immediately
+    finalized — their windows end far below the watermark), batch 3 =
+    the withheld 10% (event_id % 10 == 0) of those SAME old windows.
+    Spark's late-row filter uses the watermark established by the
+    prior batches (measured: the filter lags eviction by one batch —
+    rows below it for already-evicted windows are discarded,
+    numRowsDroppedByWatermark > 0), so every batch-3 row is dropped.
+    The oracle counts only batch-1/2 rows per window, capped at
+    windows the final watermark closed: if the late rows leaked in,
+    every old window's count would be ~11% high and the value-hash
+    would fail."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from mapreduce_implementation_spark.streaming.sources import (
+        EVENTS_RAW_SCHEMA,
+    )
+
+    raw = (
+        spark.read.schema(EVENTS_RAW_SCHEMA)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "ts")
+    )
+    mx_s = raw.agg(F.max(F.expr("ts div 1000000000"))).collect()[0][0]
+    split_s = mx_s - 3600
+    stream_dir = tempfile.mkdtemp(prefix="late_stream_")
+
+    def write_batch(df, name: str, mtime: float) -> None:
+        tmp = tempfile.mkdtemp(prefix="late_batch_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(stream_dir, name)
+        shutil.move(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))
+
+    import time as _time
+
+    now = _time.time()
+    # FileStreamSource processes files oldest-mtime first: new events
+    # form batch 1, 90% of old events batch 2, the late 10% batch 3.
+    is_new = F.expr("ts div 1000000000") > split_s
+    write_batch(raw.where(is_new), "b1.parquet", now - 60)
+    write_batch(
+        raw.where(~is_new & (F.col("event_id") % 10 != 0)), "b2.parquet", now - 30
+    )
+    write_batch(
+        raw.where(~is_new & (F.col("event_id") % 10 == 0)), "b3.parquet", now
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    counted = (
+        stream.withWatermark("ts", "60 seconds")
+        .groupBy(F.window("ts", "300 seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("long").alias("bucket_start_s"),
+            "n_events",
+        )
+    )
+    return _drain(spark, counted, "append")
+
+
+@register(
     "streaming_interval_join_click_purchase",
     tables=("events",),
     oracle="""

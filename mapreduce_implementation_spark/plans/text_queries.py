@@ -52,6 +52,39 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordcount_faithful",
+    tables=("documents",),
+    oracle="""
+        SELECT word, COUNT(*) AS cnt
+        FROM (
+            SELECT UNNEST(
+                CASE WHEN len(arr) > 0 AND arr[-1] = ''
+                     THEN arr[1:len(arr)-1] ELSE arr END
+            ) AS word
+            FROM (SELECT string_split(text, ' ') AS arr FROM documents)
+        )
+        GROUP BY word
+    """,
+)
+def wordcount_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount under the reference's EXACT Q1 semantics
+    (/root/reference/Worker.cc:150-158): inner empty tokens from
+    consecutive spaces are KEPT (they count as words, key ''), only an
+    empty *trailing* token is dropped. This is the one deliberate
+    semantic deviation of the sane-mode queries, now under the hard
+    gate via operators.core.wordcount_mapper(empty_token_policy=
+    "faithful"); the DuckDB twin replicates the C++ loop with a
+    conditional list slice."""
+    from mapreduce_implementation_spark.operators.core import wordcount_mapper
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    mapped = wordcount_mapper("text", empty_token_policy="faithful")(docs)
+    return mapped.groupBy(F.col("key").alias("word")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
     "wordcount_salted",
     tables=("documents",),
     oracle="""
@@ -139,6 +172,69 @@ def map_reduce_wordcount_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     return map_reduce(docs, mapper=wordcount_mapper("text"), num_reducers=9)
+
+
+@register(
+    "locality_chunk_read",
+    tables=("documents",),
+    oracle=r"""
+        WITH keyed AS (
+            SELECT doc_id + 1 AS line_no, text,
+                   (doc_id // 10) + 1 AS chunk_id
+            FROM documents
+        ),
+        cfg AS (
+            SELECT chunk_id, ((chunk_id * 7) % 4 + 4) % 4 AS node_id
+            FROM (SELECT UNNEST(range(1, 51)) AS chunk_id)
+            WHERE chunk_id % 3 = 1
+        )
+        SELECT k.chunk_id, cfg.node_id,
+               COUNT(*) AS n_lines,
+               CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> ''))) AS BIGINT) AS n_words
+        FROM keyed k JOIN cfg ON k.chunk_id = cfg.chunk_id
+        GROUP BY 1, 2
+    """,
+)
+def locality_chunk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locality-config chunk-restricted read
+    (/root/reference/Scheduler.cc:86-100; spec p.5): the job reads ONLY
+    the chunks the config lists. A deterministic config (every third
+    chunk of fifty, node ids ``chunk_id*7`` normalized ``% 4`` workers)
+    is written to a real file and parsed by sources.locality — the same
+    path a user-supplied config takes — then the keyed input is
+    restricted with a broadcast semi-shape join and aggregated per
+    chunk. The oracle recomputes the chunk arithmetic and the ``%``
+    normalization in SQL."""
+    import os
+    import tempfile
+
+    from mapreduce_implementation_spark.sources.locality import (
+        parse_locality_config,
+        restrict_to_chunks,
+    )
+    from mapreduce_implementation_spark.sources.text_source import with_chunk_id
+
+    cfg_lines = [f"{cid} {cid * 7}" for cid in range(1, 51) if cid % 3 == 1]
+    fd, cfg_path = tempfile.mkstemp(prefix="locality_", suffix=".cfg")
+    with os.fdopen(fd, "w") as fh:
+        fh.write("\n".join(cfg_lines) + "\n")
+    config = parse_locality_config(spark, cfg_path, worker_num=4)
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") + 1).alias("line_no"), "text"
+    )
+    keyed = with_chunk_id(docs, chunk_size=10)
+    return (
+        restrict_to_chunks(keyed, config)
+        .withColumn("node_id", F.col("node_id").cast("long"))
+        .groupBy("chunk_id", "node_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.size(tokens("text", mode="simple")))
+            .cast("long")
+            .alias("n_words"),
+        )
+    )
 
 
 @register(
