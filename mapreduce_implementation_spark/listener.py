@@ -67,6 +67,9 @@ def run_logged_wordcount(
     output_dir: str,
     text_col: str = "text",
     input_label: str = "<dataframe>",
+    delay: int = 0,
+    chunk_size: int = 0,
+    locality_label: str = "-",
 ) -> DataFrame:
     """Run the reference WordCount job with the reference's event log,
     written to ``<output_dir>/<job_name>-log.out``
@@ -80,12 +83,13 @@ def run_logged_wordcount(
     lines: list[tuple[int, str]] = []
     t_job = time.monotonic()
     # size ≙ MPI world size = workers + 1 jobtracker; delay/chunk_size/
-    # locality are MPI-harness CLI artifacts with no Spark analog → 0/"-"
+    # locality are CLI-provided (0/"-" when run as a library — they are
+    # MPI-harness artifacts with no Spark execution analog)
     lines.append(
         (
             _now_ms(),
-            f"Start_Job,{job_name},{workers + 1},{workers},{num_reducers},0,"
-            f"{input_label},0,-,{output_dir}",
+            f"Start_Job,{job_name},{workers + 1},{workers},{num_reducers},{delay},"
+            f"{input_label},{chunk_size},{locality_label},{output_dir}",
         )
     )
 

@@ -1,0 +1,82 @@
+"""E2E test of the reference-shaped CLI
+(python -m mapreduce_implementation_spark, hw4.cc:14-20 arg order):
+produced .out files, their sort/partition contract, and the event-log
+grammar."""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+
+from mapreduce_implementation_spark.__main__ import main
+
+TEXT = """the quick brown fox
+jumps over the lazy dog
+the dog barks
+Zebra ants Zebra
+"""
+
+
+def _pmod_first_char(word: str, r: int) -> int:
+    return (ord(word[0]) - 65) % r if word else 0
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    inp = tmp_path / "input.txt"
+    inp.write_text(TEXT)
+    outdir = str(tmp_path / "out")
+    os.makedirs(outdir, exist_ok=True)
+    rc = main(["cli_wc", "3", "7", str(inp), "2", "-", outdir])
+    assert rc == 0
+
+    # one file per reducer, 1-based, empty kept
+    files = [os.path.join(outdir, f"cli_wc-{r}.out") for r in (1, 2, 3)]
+    assert all(os.path.exists(f) for f in files)
+
+    expected = Counter(TEXT.split())
+    got: Counter = Counter()
+    for rid, path in enumerate(files):
+        words_in_file = []
+        with open(path) as fh:
+            for line in fh:
+                word, cnt = line.rsplit(" ", 1)
+                words_in_file.append(word)
+                got[word] += int(cnt)
+                # partition contract: first-char pmod routes to this file
+                assert _pmod_first_char(word, 3) == rid
+        # sort contract: ascending ASCII within each reducer file
+        assert words_in_file == sorted(words_in_file)
+    assert got == expected
+
+    # event-log grammar (reference Scheduler.cc format, Q5/Q6)
+    log = open(os.path.join(outdir, "cli_wc-log.out")).read().splitlines()
+    assert all(re.match(r"^\d{13},[A-Za-z_]+,", ln) for ln in log)
+    events = [ln.split(",")[1] for ln in log]
+    assert events[0] == "Start_Job" and events[-1] == "FinishJob"
+    for ev in ("Dispatch_MapTask", "Complete_MapTask", "Start_Shuffle",
+               "Finish_Shuffle", "Dispatch_ReduceTask", "Complete_ReduceTask"):
+        assert ev in events, ev
+    # Start_Job carries the CLI args: delay=7, chunk_size=2, locality "-"
+    start = log[0].split(",")
+    assert start[5] == "3" and start[6] == "7" and start[8] == "2" and start[9] == "-"
+
+
+def test_cli_locality_restricts_chunks(spark, tmp_path):
+    inp = tmp_path / "input.txt"
+    inp.write_text("aa bb\ncc dd\nee ff\ngg hh\n")
+    cfg = tmp_path / "loc.cfg"
+    cfg.write_text("1 0\n")  # chunk 1 = lines 1-2 only (chunk_size 2)
+    outdir = str(tmp_path / "out2")
+    os.makedirs(outdir, exist_ok=True)
+    rc = main(["cli_loc", "2", "0", str(inp), "2", str(cfg), outdir])
+    assert rc == 0
+    words = set()
+    for r in (1, 2):
+        with open(os.path.join(outdir, f"cli_loc-{r}.out")) as fh:
+            words |= {ln.rsplit(" ", 1)[0] for ln in fh if ln.strip()}
+    assert words == {"aa", "bb", "cc", "dd"}
+
+
+def test_cli_usage_error(capsys):
+    assert main(["too", "few"]) == 2
