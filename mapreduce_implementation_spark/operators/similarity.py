@@ -113,6 +113,102 @@ def _with_buckets(
     )
 
 
+MICRO = 1_000_000
+
+
+def quantize_micro(emb: Column | str) -> Column:
+    """Embedding elements → integer micro-units (round(x*1e6), HALF_UP —
+    identical to DuckDB's round-away-from-zero on this domain). Cosine
+    is scale-invariant, so clustering on the int vectors equals
+    clustering on the floats while every cross-engine comparison stays
+    integer-exact."""
+    from mapreduce_implementation_spark.functions.vectors import as_double
+
+    col = F.col(emb) if isinstance(emb, str) else emb
+    return F.transform(as_double(col), lambda v: F.round(v * MICRO).cast("long"))
+
+
+def train_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) producing REAL trained IVF centroids,
+    deterministically and engine-reproducibly:
+
+    * init: the k rows ranked first by ``md5(vec_id)`` — a seeded
+      pseudo-random draw both engines order identically.
+    * assign: argmax quantized cosine against the current centroids
+      (ties → smaller centroid id) — one broadcast pass over the data,
+      no shuffle beyond the tiny per-vector window.
+    * update: per-dimension integer sums (exact in any aggregation
+      order — THE property that makes distributed training
+      reproducible; float sums are order-dependent) with
+      ``floor(sum/count)`` in micro-units; empty clusters keep their
+      previous centroid.
+
+    Centroids are k×d values — held on the driver between iterations
+    (the same design as MLlib's KMeans), so each iteration is one
+    bounded Spark job and the lineage never grows. Returns
+    DataFrame[centroid_id int, centroid_emb array<long>] in micro-unit
+    scale (cosine downstream is scale-invariant).
+
+    The DuckDB twin (plans/similarity_queries.py) unrolls these exact
+    iterations as chained CTEs."""
+    import math
+
+    vq = vectors.select(
+        F.col(id_col).alias("vec_id"), quantize_micro(emb_col).alias("ev")
+    )
+    spark = vectors.sparkSession
+    init_rows = (
+        vq.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids: list[tuple[int, list[int]]] = [
+        (i, list(r.ev)) for i, r in enumerate(init_rows)
+    ]
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            centroids, "centroid_id int, centroid_emb array<long>"
+        )
+        assigned = assign_inverted_lists(vq, cent_df, 1, "vec_id", "ev")
+        sums = (
+            assigned.join(vq, "vec_id")
+            .select("centroid_id", F.posexplode("ev").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cid.setdefault(r.centroid_id, {})[r.pos] = (r.s, r.n)
+        new_centroids = []
+        for cid, old in centroids:
+            dims = by_cid.get(cid)
+            if not dims:
+                new_centroids.append((cid, old))  # empty cluster: keep
+                continue
+            # floor of the DOUBLE division, matching the SQL twin
+            # FLOOR(CAST(s AS DOUBLE)/n) bit-for-bit
+            new_centroids.append(
+                (
+                    cid,
+                    [
+                        int(math.floor(dims[p][0] / dims[p][1]))
+                        for p in range(len(old))
+                    ],
+                )
+            )
+        centroids = new_centroids
+    return spark.createDataFrame(
+        centroids, "centroid_id int, centroid_emb array<long>"
+    )
+
+
 def assign_inverted_lists(
     df: DataFrame,
     centroids: DataFrame,

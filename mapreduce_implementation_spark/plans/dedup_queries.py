@@ -218,47 +218,79 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
 @register(
     "embedding_near_dup_pairs",
     tables=("embeddings",),
-    oracle="""
-        WITH q AS (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    oracle=f"""
+        WITH planes AS (
+            SELECT vec_id AS plane_id, embedding AS pe
+            FROM embeddings WHERE vec_id < 4
+        ),
+        b AS (
+            SELECT e.vec_id, e.embedding,
+                   string_agg(CASE WHEN ({_EMB_DOT.format(a="e.embedding", b="p.pe")}) >= 0
+                                   THEN '1' ELSE '0' END, ''
+                              ORDER BY p.plane_id) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id, e.embedding
+        ),
+        q AS (
+            SELECT a.vec_id AS vec_a, v.vec_id AS vec_b,
                    CAST(
-                     list_sum(list_transform(range(1, len(a.embedding) + 1),
-                              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                     ({_EMB_DOT.format(a="a.embedding", b="v.embedding")})
                      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-                        * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+                        * sqrt(list_sum(list_transform(v.embedding, x -> x::DOUBLE * x::DOUBLE))))
                      AS DECIMAL(10,4)) AS cos_sim
-            FROM embeddings a
-            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM b a
+            JOIN b v ON a.bucket = v.bucket AND a.vec_id < v.vec_id
         )
         SELECT vec_a, vec_b, CAST(cos_sim AS DOUBLE) AS cos_sim
-        FROM q WHERE cos_sim >= 0.5
+        FROM q WHERE cos_sim >= 0.35
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dups within label partitions (the blocking
-    key bounds the pair count; at scale the blocking key is an LSH/IVF
-    bucket instead — see operators/similarity.py).
+    """Embedding-cosine near-dups blocked by SRP-LSH bucket (reusing
+    operators.similarity._with_buckets — 4 deterministic planes → 16
+    buckets). The candidate join is an EQUI-join on the bucket string,
+    so the pair count is bounded by per-bucket size (tunable via
+    2^planes) instead of a data label whose hottest value becomes a
+    mega-bucket at 100 TB — the scale-safe blocking the label-based
+    form could not give.
 
     Cosine is quantized to DECIMAL(10,4) so engine-level double
     summation differences (≪1e-10) can't flip the comparison."""
-    emb = load_table(spark, sf_dir, "embeddings")
     from mapreduce_implementation_spark.functions.vectors import cosine
+    from mapreduce_implementation_spark.operators import similarity as sim
 
-    a = emb.alias("a")
-    b = emb.alias("b")
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("plane_emb")
+    )
+    bucketed = sim._with_buckets(emb, planes, "vec_id", "embedding").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
     cos_q = (
         cosine(F.col("a.embedding"), F.col("b.embedding")).cast("decimal(10,4)")
     )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             cos_q.alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= 0.5)
+        .where(F.col("cos_sim") >= 0.35)
         .withColumn("cos_sim", F.col("cos_sim").cast("double"))
     )

@@ -118,16 +118,69 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CENTROIDS = 8
 NPROBE = 2
+KMEANS_ITERS = 3
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """Unrolled integer-exact spherical k-means as chained CTEs — the
+    DuckDB twin of operators.similarity.train_centroids (same init, same
+    assignment, same floor(sum/count) micro-unit update)."""
+    parts = [
+        """vq AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ev
+            FROM embeddings
+        )""",
+        f"""cent0 AS (
+            SELECT CAST(rn - 1 AS INT) AS centroid_id, ev AS ce FROM (
+                SELECT ev, ROW_NUMBER() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                FROM vq
+            ) WHERE rn <= {k}
+        )""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""asg{i} AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_cos("v.ev", "c.ce")} DESC,
+                                    c.centroid_id) AS rn
+                FROM vq v CROSS JOIN cent{i} c
+            ) WHERE rn = 1
+        )"""
+        )
+        parts.append(
+            f"""sums{i} AS (
+            SELECT a.centroid_id, u.pos, SUM(u.val) AS s, COUNT(*) AS n
+            FROM asg{i} a JOIN vq v USING (vec_id),
+                 LATERAL (SELECT UNNEST(v.ev) AS val,
+                                 UNNEST(range(1, len(v.ev) + 1)) AS pos) u
+            GROUP BY 1, 2
+        )"""
+        )
+        parts.append(
+            f"""cent{i + 1} AS (
+            SELECT c.centroid_id, COALESCE(m.ce, c.ce) AS ce
+            FROM cent{i} c LEFT JOIN (
+                SELECT centroid_id,
+                       list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT)
+                            ORDER BY pos) AS ce
+                FROM sums{i} GROUP BY 1
+            ) m USING (centroid_id)
+        )"""
+        )
+    parts.append(f"cent AS (SELECT centroid_id, ce FROM cent{iters})")
+    return ",\n        ".join(parts)
 
 
 @register(
     "similarity_topk_ivf",
     tables=("embeddings",),
     oracle=f"""
-        WITH cent AS (
-            SELECT vec_id AS centroid_id, embedding AS ce
-            FROM embeddings WHERE vec_id < {N_CENTROIDS}
-        ),
+        WITH {_kmeans_ctes(N_CENTROIDS, KMEANS_ITERS)},
         va AS (
             SELECT vec_id, centroid_id FROM (
                 SELECT e.vec_id, c.centroid_id,
@@ -168,13 +221,13 @@ NPROBE = 2
     """,
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via IVF-flat: 8 deterministic centroid rows →
-    inverted lists; queries probe their 2 nearest lists. The partition-
-    prunable scale path for ANN (vs LSH's bucket join)."""
+    """Approximate top-10 via IVF-flat with TRAINED centroids: 3 rounds
+    of integer-exact spherical k-means (operators.similarity.
+    train_centroids) build 8 inverted lists; queries probe their 2
+    nearest. The partition-prunable scale path for ANN (vs LSH's bucket
+    join); the oracle replays the identical training as unrolled
+    CTEs."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    centroids = emb.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid_emb"),
-    )
+    centroids = sim.train_centroids(emb, k=N_CENTROIDS, iters=KMEANS_ITERS)
     return sim.ivf_topk(emb, queries, centroids, k=K, nprobe=NPROBE)

@@ -80,6 +80,17 @@ def test_asof_join_has_no_join_operator(spark, oracle_sf_dir):
     assert "Union" in plan and "Window" in plan, plan
 
 
+def test_embedding_near_dup_blocks_on_srp_bucket(spark, oracle_sf_dir):
+    """The candidate join must be an EQUI-join on the SRP bucket string
+    (the only acceptable nested-loop is the bounded 4-plane broadcast
+    scoring pass that computes the buckets)."""
+    df = all_queries()["embedding_near_dup_pairs"].fn(spark, oracle_sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "bucket" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, oracle_sf_dir):
     """Co-located join via bucketing: both tables bucketed+sorted on the
     join key → SortMergeJoin with NO exchange on either side. At 100 TB

@@ -83,6 +83,46 @@ def test_lsh_recall_against_bruteforce(spark, vectors):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+def test_kmeans_centroids_track_clusters(spark, vectors):
+    """Trained centroids must land on the 3 planted clusters: every
+    vector's nearest trained centroid is shared with its 9 cluster
+    mates (training actually moved the centroids to the structure)."""
+    cents = sim.train_centroids(vectors, k=3, iters=3)
+    assigned = sim.assign_inverted_lists(vectors, cents, 1)
+    got = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    for cluster in range(3):
+        members = {got[vid] for vid in range(cluster * 10, cluster * 10 + 10)}
+        assert len(members) == 1, (cluster, members)
+    # the three clusters map to three DISTINCT centroids
+    assert len({got[0], got[10], got[20]}) == 3
+
+
+def test_kmeans_training_is_deterministic(spark, vectors):
+    a = sorted(map(tuple, sim.train_centroids(vectors, k=3, iters=3).collect()))
+    b = sorted(map(tuple, sim.train_centroids(vectors, k=3, iters=3).collect()))
+    assert a == b
+
+
+def test_ivf_recall_against_bruteforce(spark, vectors):
+    """IVF with trained centroids recovers the exact top-5 on clustered
+    data (nprobe=1 suffices when lists align with true clusters)."""
+    queries = vectors.where(F.col("vec_id").isin(0, 10, 20))
+    cents = sim.train_centroids(vectors, k=3, iters=3)
+    exact = sim.brute_force_topk(vectors, queries, k=5).collect()
+    approx = sim.ivf_topk(vectors, queries, cents, k=5, nprobe=1).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets: dict = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
 def test_lsh_candidates_are_subset_of_bucket(spark, vectors):
     queries = vectors.where(F.col("vec_id") == 0)
     planes = vectors.where(F.col("vec_id").isin(0, 10)).select(
