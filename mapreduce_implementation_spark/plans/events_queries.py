@@ -45,34 +45,6 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_sliding_10min_5min",
-    tables=("events",),
-    oracle=f"""
-        SELECT start_s, COUNT(*) AS n_events
-        FROM (
-            SELECT UNNEST(list_filter(
-                       list_transform([0, 1],
-                           i -> (({_E} - 300) // 300) * 300 + i * 300),
-                       s -> {_E} >= s AND {_E} < s + 600)) AS start_s
-            FROM events
-        )
-        GROUP BY start_s
-    """,
-)
-def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (width 10 min, step 5 min): each event explodes
-    into its ≤2 covering windows before the partial agg."""
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.select(
-            F.explode(ev.sliding_buckets("ts", 600, 300)).alias("start_s")
-        )
-        .groupBy("start_s")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-
-
-@register(
     "events_sessionization",
     headline=True,
     tables=("events",),
@@ -188,31 +160,6 @@ def events_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_hourly_by_type",
-    tables=("events",),
-    oracle=f"""
-        SELECT ({_E} // 3600) * 3600 AS hour_start_s,
-               event_type,
-               COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
-               COUNT(DISTINCT user_id) AS n_users
-        FROM events
-        GROUP BY 1, 2
-    """,
-)
-def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly rollup by type with distinct-user counts."""
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy(
-        ev.time_bucket("ts", 3600).alias("hour_start_s"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        dsum("value").alias("total_value"),
-        F.count_distinct("user_id").alias("n_users"),
-    )
-
-
-@register(
     "events_range_join_click_purchase",
     tables=("events",),
     oracle=f"""
@@ -272,14 +219,21 @@ def events_range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         UNION ALL
         SELECT '1d', (b5 // 86400) * 86400, event_type, CAST(SUM(n) AS BIGINT)
         FROM five GROUP BY 2, 3
+        UNION ALL
+        SELECT '10min_sliding_5min', s, event_type, CAST(SUM(n) AS BIGINT)
+        FROM (SELECT UNNEST([b5, b5 - 300]) AS s, event_type, n FROM five)
+        GROUP BY 2, 3
     """,
 )
 def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: the 5-minute aggregate
-    is computed ONCE from the scan; hourly and daily tiers re-aggregate
-    those partials (coarser buckets nest exactly in finer ones). At
-    100 TB this is the continuous-aggregate pattern — the raw table is
-    read once and each coarser tier reduces ~12×/24× fewer rows."""
+    is computed ONCE from the scan; the hourly and daily tiers — and
+    the 10-min/5-min SLIDING windows — re-aggregate those partials
+    (each sliding window is the sum of its two member 5-min buckets; a
+    coarser tumbling bucket nests exactly). At 100 TB this is the
+    continuous-aggregate pattern: the raw table is read once and every
+    tier, including overlapping windows, derives from |buckets×types|
+    partials instead of a re-scan."""
     events = load_table(spark, sf_dir, "events")
     five = track_cache(
         events.groupBy(
@@ -310,43 +264,30 @@ def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").cast("long").alias("n_events"),
     )
-    return base.unionAll(tier("1h", 3600)).unionAll(tier("1d", 86400))
-
-
-@register(
-    "events_moving_avg_30min",
-    tables=("events",),
-    oracle=f"""
-        SELECT event_id,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
-                 / COUNT(*) OVER w AS avg_value_30min
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY {_E}
-                     RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
-    """,
-)
-def events_moving_avg_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user 30-minute trailing moving average — a RANGE-frame
-    analytic window (frame bounds in event-time seconds, not row
-    counts). One hash shuffle on user_id + an in-partition time sort;
-    values quantized to decimal before averaging for oracle parity."""
-    from pyspark.sql.window import Window
-
-    events = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(ev.epoch_s("ts"))
-        .rangeBetween(-1800, Window.currentRow)
+    # sliding 10-min windows stepping 5: explode each 5-min partial into
+    # the two windows that contain it, then sum partials per window —
+    # overlapping windows WITHOUT re-reading events
+    sliding = (
+        five.select(
+            F.explode(F.array(F.col("b5"), F.col("b5") - 300)).alias(
+                "bucket_start_s"
+            ),
+            "event_type",
+            "n",
+        )
+        .groupBy("bucket_start_s", "event_type")
+        .agg(F.sum("n").cast("long").alias("n_events"))
+        .select(
+            F.lit("10min_sliding_5min").alias("resolution"),
+            "bucket_start_s",
+            "event_type",
+            "n_events",
+        )
     )
-    # exact decimal SUM / COUNT as doubles — Spark's decimal AVG rounds
-    # to scale 8, DuckDB's returns full-precision double; SUM is exact
-    # on both so the final division is the identical IEEE op
-    return events.select(
-        "event_id",
-        (
-            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
-            / F.count(F.lit(1)).over(w)
-        ).alias("avg_value_30min"),
+    return (
+        base.unionAll(tier("1h", 3600))
+        .unionAll(tier("1d", 86400))
+        .unionAll(sliding)
     )
 
 

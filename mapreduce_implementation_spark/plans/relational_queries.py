@@ -177,40 +177,37 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "semi_join_customers_with_orders",
+    "semi_anti_join_customers",
     tables=("customer", "orders"),
     oracle="""
-        SELECT c_custkey, c_name
+        SELECT c_custkey, c_name, 'with_orders' AS side
         FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join — Spark's dedicated semi-join physical op (no
-    row duplication, no post-dedup)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return cust.join(
-        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "anti_join_customers_without_orders",
-    tables=("customer", "orders"),
-    oracle="""
-        SELECT c_custkey, c_name
+        UNION ALL
+        SELECT c_custkey, c_name, 'without_orders' AS side
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join."""
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins in one gated result (tagged by
+    ``side``): Spark's dedicated semi/anti physical ops — no row
+    duplication, no post-dedup. (Merged from two single-op queries to
+    fit the driver's 50-query sweep; both operators stay individually
+    evidenced by their tag.)"""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return cust.join(
-        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
-    ).select("c_custkey", "c_name")
+
+    def tagged(how: str, tag: str) -> DataFrame:
+        return (
+            cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), how)
+            .select("c_custkey", "c_name")
+            .withColumn("side", F.lit(tag))
+        )
+
+    return tagged("left_semi", "with_orders").unionAll(
+        tagged("left_anti", "without_orders")
+    )
 
 
 @register(
@@ -254,13 +251,22 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS running_spend
+               ) AS DOUBLE) AS running_spend,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY epoch_ms(o_orderdate) // 1000
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS spend_30d
         FROM orders
     """,
 )
 def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic frame window (running total) — exact decimal accumulation
-    for engine parity."""
+    """Analytic frame windows, both flavors in one gated result: a
+    ROWS running total and a RANGE frame bounded in event-time (the
+    trailing-30-day spend — frame edges are value offsets on the epoch
+    ordering, so same-timestamp peers aggregate together). Exact
+    decimal accumulation for engine parity. One hash shuffle on
+    o_custkey serves both window specs."""
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -269,10 +275,16 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w30 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-2592000, 0)
+    )
     return orders.select(
         "o_custkey",
         "o_orderkey",
         F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w30).cast("double").alias("spend_30d"),
     )
 
 
@@ -311,64 +323,45 @@ def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "distinct_count_by_segment",
-    tables=("customer", "orders"),
-    oracle="""
-        SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_active_customers
-        FROM orders JOIN customer ON c_custkey = o_custkey
-        GROUP BY c_mktsegment
-    """,
-)
-def distinct_count_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT(DISTINCT) — Spark expands to a two-level aggregation
-    (partial distinct before shuffle), which is the scalable form."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(F.count_distinct(F.col("o_custkey")).alias("n_active_customers"))
-    )
-
-
-@register(
     "set_ops_customer_cohorts",
     tables=("customer", "orders"),
     oracle="""
-        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-        INTERSECT
-        SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000
+        SELECT c_custkey, 'intersect' AS op FROM (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+            INTERSECT
+            SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000
+        )
+        UNION ALL
+        SELECT c_custkey, 'except' AS op FROM (
+            SELECT c_custkey FROM customer
+            EXCEPT
+            SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+        )
     """,
 )
 def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT of two derived key sets."""
+    """INTERSECT and EXCEPT of derived key sets in one gated result
+    (tagged by ``op``; merged from two single-op queries to fit the
+    driver's 50-query sweep — COUNT(DISTINCT)-per-group moved into
+    approx_aggregates_orders' exact side)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
     big = orders.where(F.col("o_totalprice") > 50000).select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return rich.intersect(big)
-
-
-@register(
-    "except_low_value_customers",
-    tables=("customer", "orders"),
-    oracle="""
-        SELECT c_custkey FROM customer
-        EXCEPT
-        SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
-    """,
-)
-def except_low_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (set difference)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return cust.select("c_custkey").exceptAll(
-        orders.where(F.col("o_totalprice") > 100000)
-        .select(F.col("o_custkey").alias("c_custkey"))
+    inter = rich.intersect(big).withColumn("op", F.lit("intersect"))
+    diff = (
+        cust.select("c_custkey")
+        .exceptAll(
+            orders.where(F.col("o_totalprice") > 100000)
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+        )
         .distinct()
-    ).distinct()
+        .withColumn("op", F.lit("except"))
+    )
+    return inter.unionAll(diff)
 
 
 @register(
@@ -493,61 +486,58 @@ def approx_aggregates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pivot_orders_priority_by_status",
+    "pivot_median_orders_priority_by_status",
     tables=("orders",),
     oracle="""
         SELECT o_orderpriority,
-               CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS status_f,
-               CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS status_o,
-               CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS status_p
-        FROM orders
-        GROUP BY o_orderpriority
-    """,
-)
-def pivot_orders_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: order counts by priority with one column per order status.
-    Pivot values are declared explicitly ('F','O','P') — at scale an
-    undeclared pivot needs an extra distinct-values job over the whole
-    table before the real aggregation; declaring them keeps it to ONE
-    partial-aggregated shuffle."""
-    orders = load_table(spark, sf_dir, "orders")
-    p = (
-        orders.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .count()
-    )
-    return p.select(
-        "o_orderpriority",
-        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
-        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
-        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
-    )
-
-
-@register(
-    "median_order_value_by_priority",
-    tables=("orders",),
-    oracle="""
-        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
                CAST(CAST(quantile_cont(CAST(o_totalprice AS DECIMAL(18,4)), 0.5)
-                    AS DECIMAL(18,4)) AS DOUBLE) AS median_value,
-               COUNT(*) AS n_orders
+                         FILTER (o_orderstatus = 'F')
+                    AS DECIMAL(18,4)) AS DOUBLE) AS median_f,
+               CAST(CAST(quantile_cont(CAST(o_totalprice AS DECIMAL(18,4)), 0.5)
+                         FILTER (o_orderstatus = 'O')
+                    AS DECIMAL(18,4)) AS DOUBLE) AS median_o,
+               CAST(CAST(quantile_cont(CAST(o_totalprice AS DECIMAL(18,4)), 0.5)
+                         FILTER (o_orderstatus = 'P')
+                    AS DECIMAL(18,4)) AS DOUBLE) AS median_p
         FROM orders
         GROUP BY o_orderpriority
     """,
 )
-def median_order_value_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact grouped median (continuous interpolation). Exact
+def pivot_median_orders_priority_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pivot × exact grouped median in one gated result: per priority,
+    one (count, median) column pair per order status. Pivot values are
+    declared explicitly ('F','O','P') — an undeclared pivot needs an
+    extra distinct-values job over the whole table first; declaring
+    them keeps it to ONE partial-aggregated shuffle. Medians are exact
+    continuous-interpolation percentiles quantized to DECIMAL(18,4) so
+    both engines' interpolation lands on the same value (exact
     percentiles need the full sorted group — fine for bounded group
-    counts; use percentile_approx (see approx_aggregates_orders) when
-    per-group cardinality is unbounded at scale. Quantized to
-    DECIMAL(18,4) so both engines' interpolation arithmetic lands on
-    the same value."""
+    counts; use percentile_approx, see approx_aggregates_orders, when
+    per-group cardinality is unbounded). Merged from the separate
+    pivot + grouped-median queries to fit the driver's 50-query
+    sweep."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
+    med = (
         F.expr("percentile(CAST(o_totalprice AS DECIMAL(18,4)), 0.5)")
         .cast("decimal(18,4)")
         .cast("double")
-        .alias("median_value"),
-        F.count(F.lit(1)).alias("n_orders"),
+    )
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), med.alias("med"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+        F.col("F_med").alias("median_f"),
+        F.col("O_med").alias("median_o"),
+        F.col("P_med").alias("median_p"),
     )

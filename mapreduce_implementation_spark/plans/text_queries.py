@@ -84,19 +84,6 @@ def wordcount_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "wordcount_salted",
-    tables=("documents",),
-    oracle="""
-        SELECT word, COUNT(*) AS cnt
-        FROM (
-            SELECT UNNEST(string_split(text, ' ')) AS word
-            FROM documents
-        )
-        WHERE word <> ''
-        GROUP BY word
-    """,
-)
 def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordCount with explicit two-stage salted aggregation — the
     skew-mitigation pattern for heavy-hitter keys (stopwords can be
@@ -106,42 +93,24 @@ def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest reduce task by total/16 instead of the raw key frequency.
     (Spark's partial agg + AQE skew handling make this optional for
     simple counts; the pattern is the point — it applies unchanged to
-    aggs with large per-key state such as collect_set.)"""
+    aggs with large per-key state such as collect_set.)
+
+    The salt hashes the source doc_id — deterministic under task retry
+    (a re-executed partition salts identically), unlike a
+    monotonically_increasing_id-based salt. Not registry-gated (the
+    50-query budget keeps one wordcount per semantics; this one's
+    results ≡ ``wordcount`` and are pytest-asserted equal)."""
     docs = load_table(spark, sf_dir, "documents")
     salted = (
-        docs.select(F.explode(tokens("text", mode="reference")).alias("word"))
+        docs.select(
+            F.pmod(F.hash("doc_id"), F.lit(16)).alias("salt"),
+            F.explode(tokens("text", mode="reference")).alias("word"),
+        )
         .where(F.col("word") != "")
-        .withColumn("salt", F.pmod(F.monotonically_increasing_id(), F.lit(16)))
         .groupBy("word", "salt")
         .agg(F.count("*").alias("partial_cnt"))
     )
     return salted.groupBy("word").agg(F.sum("partial_cnt").alias("cnt"))
-
-
-@register(
-    "wordcount_by_first_char",
-    tables=("documents",),
-    oracle="""
-        SELECT substring(word, 1, 1) AS first_char, COUNT(*) AS cnt
-        FROM (
-            SELECT UNNEST(string_split(text, ' ')) AS word
-            FROM documents
-        )
-        WHERE word <> ''
-        GROUP BY substring(word, 1, 1)
-    """,
-)
-def wordcount_by_first_char(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's demo customization axis — "group by the first
-    charter" (spec p.8; commented variant /root/reference/Worker.cc:240)
-    — as a one-argument change of grouping expression."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(tokens("text", mode="reference")).alias("word"))
-        .where(F.col("word") != "")
-        .groupBy(F.substring("word", 1, 1).alias("first_char"))
-        .agg(F.count("*").alias("cnt"))
-    )
 
 
 @register(
@@ -243,7 +212,8 @@ def locality_chunk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT substring(word, 1, 1) AS first_char,
                string_agg(DISTINCT word, ',' ORDER BY word) AS words,
-               COUNT(DISTINCT word) AS n_words
+               COUNT(DISTINCT word) AS n_words,
+               COUNT(*) AS n_occurrences
         FROM (
             SELECT UNNEST(string_split(text, ' ')) AS word
             FROM documents
@@ -253,13 +223,18 @@ def locality_chunk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def grouped_word_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference Group stage's OBSERVABLE value-list semantics
-    (/root/reference/Worker.cc:235-252 builds map<key, vector<values>>):
-    per first-char group, the sorted distinct word list, joined to a
-    string for engine-portable comparison. collect_set keeps per-group
-    state bounded by |distinct words in group| — at scale prefer
-    aggregating before collecting (this is the demo of the semantics,
-    not the preferred aggregation shape)."""
+    """The reference's demo customization axis — "group by the first
+    charter" (spec p.8; commented variant /root/reference/Worker.cc:240)
+    as a one-argument grouping change — AND the Group stage's
+    OBSERVABLE value-list semantics (/root/reference/Worker.cc:235-252
+    builds map<key, vector<values>>): per first-char group, the sorted
+    distinct word list (joined to a string for engine-portable
+    comparison), the distinct count, and the total occurrence count
+    (the former wordcount_by_first_char result, merged here to fit the
+    driver's 50-query sweep). collect_set keeps per-group state bounded
+    by |distinct words in group| — at scale prefer aggregating before
+    collecting (this is the demo of the semantics, not the preferred
+    aggregation shape)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens("text", mode="reference")).alias("word"))
@@ -268,5 +243,6 @@ def grouped_word_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.array_join(F.sort_array(F.collect_set("word")), ",").alias("words"),
             F.count_distinct("word").alias("n_words"),
+            F.count("*").alias("n_occurrences"),
         )
     )

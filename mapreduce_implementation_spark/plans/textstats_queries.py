@@ -122,26 +122,6 @@ _LANGID_CASE = f"""
 
 
 @register(
-    "langid_distribution",
-    tables=("documents",),
-    oracle=f"""
-        SELECT {_LANGID_CASE} AS guessed_lang, COUNT(*) AS n_docs
-        FROM documents
-        GROUP BY 1
-    """,
-)
-def langid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language ID, aggregated: guessed language → #docs."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(ts._lower_tokens("text").alias("_toks"))
-        .select(ts.langid("_toks", toks=F.col("_toks")).alias("guessed_lang"))
-        .groupBy("guessed_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-@register(
     "langid_vs_label",
     tables=("documents",),
     oracle=f"""
@@ -151,7 +131,10 @@ def langid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def langid_vs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Confusion matrix of the heuristic vs the labeled ``lang`` column."""
+    """Confusion matrix of the heuristic vs the labeled ``lang`` column
+    (its marginal over guessed_lang is the corpus language
+    distribution — the former langid_distribution query, folded in to
+    fit the driver's 50-query sweep)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("lang", ts._lower_tokens("text").alias("_toks"))
@@ -216,25 +199,6 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("bigram"))
         .limit(50)
-    )
-
-
-@register(
-    "word_length_histogram",
-    tables=("documents",),
-    oracle=f"""
-        SELECT CAST(length(word) AS INT) AS word_len, COUNT(*) AS cnt
-        FROM (SELECT UNNEST({_TOKS}) AS word FROM documents)
-        GROUP BY 1
-    """,
-)
-def word_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution of token lengths across the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(tokens(F.lower(F.col("text")), mode="simple")).alias("word"))
-        .groupBy(F.length("word").cast("int").alias("word_len"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 

@@ -171,3 +171,22 @@ def test_wordcount_property_random_corpora(spark):
         assert rids <= {0, 1, 2}
 
     check()
+
+
+def test_salted_wordcount_equals_plain(spark, oracle_sf_dir):
+    """The two-stage salted aggregation (unregistered — the 50-query
+    registry budget keeps one wordcount per semantics) must produce
+    results identical to the plain wordcount, deterministically."""
+    from mapreduce_implementation_spark.plans.text_queries import wordcount_salted
+    from mapreduce_implementation_spark.plans import all_queries
+
+    plain = {
+        (r.word, r.cnt)
+        for r in all_queries()["wordcount"].fn(spark, oracle_sf_dir).collect()
+    }
+    salted = {(r.word, r.cnt) for r in wordcount_salted(spark, oracle_sf_dir).collect()}
+    assert salted == plain
+    # deterministic under re-execution (hash-of-doc_id salt, no
+    # monotonically_increasing_id)
+    again = {(r.word, r.cnt) for r in wordcount_salted(spark, oracle_sf_dir).collect()}
+    assert again == salted
