@@ -166,6 +166,12 @@ def minhash_near_dup_pairs(
     # ints (the md5 pass) → signature. Inlining any of these reruns it
     # per reference (Catalyst has no CSE across output columns) — the
     # staged form tokenizes and hashes exactly once per row.
+    # NO filter in this chain: a deterministic filter (size(sh) > 0)
+    # gets PUSHED BELOW the round-robin repartition by Catalyst, which
+    # drags the whole shingle/md5 expression chain into the single
+    # pre-shuffle scan task (serializing it 32×) and evaluates it twice.
+    # Shingle-less docs instead yield a NULL signature (the F.when in
+    # minhash_signature_from_ints), which the band explode drops.
     sigs = (
         spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select(
@@ -176,7 +182,6 @@ def minhash_near_dup_pairs(
             "doc_id",
             F.array_distinct(word_ngrams(F.col("_toks"), shingle_n)).alias("sh"),
         )
-        .where(F.size("sh") > 0)
         .select("doc_id", shingle_ints(F.col("sh")).alias("_xs"))
         .select("doc_id", minhash_signature_from_ints(F.col("_xs"), k).alias("sig"))
     )
@@ -185,7 +190,10 @@ def minhash_near_dup_pairs(
     # materialized once per corpus anyway. Tracked: released by the next
     # registry query (caching.release_caches).
     sigs = track_cache(sigs)
-    banded = sigs.select(
+    # Filtering ABOVE the cached frame is pushdown-safe: cache
+    # substitution (InMemoryRelation) happens before the optimizer, so
+    # this filter lands on the cache scan, not the raw text scan.
+    banded = sigs.where(F.col("sig").isNotNull()).select(
         "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
     ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
     if max_bucket is not None:

@@ -101,6 +101,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
+    headline=True,
     tables=("documents",),
     oracle=_MINHASH_CTE.replace("WITH", "WITH RECURSIVE", 1)
     + f""",
@@ -142,6 +143,7 @@ _BIT = f"(({_HEXPOS}) // CAST(power(2.0, 3 - (b % 4)) AS INT)) % 2"
 
 @register(
     "simhash_signatures",
+    headline=True,
     tables=("documents",),
     oracle=f"""
         WITH hashed AS (
@@ -163,8 +165,10 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, then the 64-bit loop reads the column (the inline form rehashes
     per bit — no CSE across the bit expressions)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", dd.token_hashes("text").alias("_hs")).select(
-        "doc_id", dd.simhash_from_hashes(F.col("_hs"), 64).alias("simhash")
+    return (
+        dd.spread(docs.select("doc_id", "text"))
+        .select("doc_id", dd.token_hashes("text").alias("_hs"))
+        .select("doc_id", dd.simhash_from_hashes(F.col("_hs"), 64).alias("simhash"))
     )
 
 

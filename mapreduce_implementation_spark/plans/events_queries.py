@@ -90,6 +90,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_asof_latest_order",
+    headline=True,
     tables=("events", "orders"),
     oracle=f"""
         WITH e AS (
