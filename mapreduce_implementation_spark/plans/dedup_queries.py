@@ -202,7 +202,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from mapreduce_implementation_spark.functions.text import tokens, word_ngrams
 
-    f = docs.select(
+    f = dd.spread(docs.select("doc_id", "text")).select(
         "doc_id", tokens(F.lower(F.col("text")), mode="simple").alias("_toks")
     ).select(
         "doc_id",

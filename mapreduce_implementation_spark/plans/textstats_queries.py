@@ -4,9 +4,16 @@ fingerprinting, n-gram stats).
 
 Every Spark expression here lives in functions/textstats.py /
 functions/text.py (pure Column expressions, scan-stage projections — no
-shuffle except the final aggregations, no Python UDFs). The DuckDB
-oracle SQL is GENERATED from the same constants (stopword lists, regex
-patterns) so the two sides cannot drift.
+shuffle except the final aggregations, no Python UDFs). The heaviest
+inputs (per-token n-gram explosion, stopword-vote langid) pass through
+``spread()`` first — HOF projections run outside whole-stage codegen
+and a small parquet file scans as ONE partition, so without the
+widening repartition that work serializes onto one core locally (no-op
+at scale; measured: 3.4x on top_bigrams, while for sub-second
+projections the extra shuffle costs more than it saves, so those stay
+unspread). The DuckDB oracle SQL is GENERATED from the
+same constants (stopword lists, regex patterns) so the two sides cannot
+drift.
 
 Engine-parity notes:
 * token arrays: Spark ``split(lower(text), '\\s+')`` + filter empties ≙
@@ -23,6 +30,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_implementation_spark.functions import textstats as ts
 from mapreduce_implementation_spark.functions.text import tokens, word_ngrams
+from mapreduce_implementation_spark.operators.dedup import spread
 from mapreduce_implementation_spark.plans.registry import register
 from mapreduce_implementation_spark.sources.catalog import load_table
 
@@ -135,7 +143,7 @@ def langid_vs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     (its marginal over guessed_lang is the corpus language
     distribution — the former langid_distribution query, folded in to
     fit the driver's 50-query sweep)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents").select("lang", "text"))
     return (
         docs.select("lang", ts._lower_tokens("text").alias("_toks"))
         .select("lang", ts.langid("_toks", toks=F.col("_toks")).alias("guessed_lang"))
@@ -191,7 +199,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-50 word bigrams. Partial agg bounds the shuffle
     by |bigram vocab| per partition; top-k is TakeOrdered, no full sort."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents").select("text"))
     toks = tokens(F.lower(F.col("text")), mode="simple")
     return (
         docs.select(F.explode(word_ngrams(toks, 2)).alias("bigram"))
