@@ -77,40 +77,38 @@ def _rank_topk(scored: DataFrame, query_id_col: str, id_col: str, k: int) -> Dat
 
 
 def _with_buckets(
-    df: DataFrame, planes: DataFrame, id_col: str, emb_col: str
+    df: DataFrame,
+    planes: DataFrame,
+    id_col: str,
+    emb_col: str,
+    keep_emb: bool = False,
 ) -> DataFrame:
     """Attach an SRP bucket string: sign of dot(embedding, plane_j) for
-    each plane, concatenated in plane order."""
+    each plane, concatenated in plane order.
+
+    The planes (a handful of k×d vectors) are collected to the driver
+    and inlined as array literals, so the whole bucket computation is
+    ONE scan-side projection — no crossJoin row explosion, no groupBy
+    shuffle, no join-back (the same driver-side-small design as k-means
+    centroids). ``keep_emb`` also carries the embedding through,
+    saving callers the re-join."""
     from mapreduce_implementation_spark.functions.vectors import dot
 
-    p = F.broadcast(
-        planes.select(
-            F.col("plane_id"), F.col("plane_emb")
-        )
+    plane_rows = sorted(
+        planes.select("plane_id", "plane_emb").collect(), key=lambda r: r.plane_id
     )
-    bits = (
-        df.select(F.col(id_col), F.col(emb_col))
-        .crossJoin(p)
-        .select(
-            F.col(id_col),
-            F.col("plane_id"),
-            F.when(dot(F.col(emb_col), F.col("plane_emb")) >= 0, F.lit("1"))
-            .otherwise(F.lit("0"))
-            .alias("bit"),
+
+    def bit(pe) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in pe])
+        return F.when(dot(F.col(emb_col), arr) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
         )
-    )
-    return (
-        bits.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("plane_id", "bit"))),
-                    lambda s: s.getField("bit"),
-                ),
-                "",
-            ).alias("bucket")
-        )
-    )
+
+    bucket = F.concat(*[bit(r.plane_emb) for r in plane_rows]).alias("bucket")
+    cols = [F.col(id_col), bucket]
+    if keep_emb:
+        cols.insert(1, F.col(emb_col))
+    return df.select(*cols)
 
 
 MICRO = 1_000_000
@@ -159,8 +157,14 @@ def train_centroids(
     iterations as chained CTEs."""
     import math
 
-    vq = vectors.select(
-        F.col(id_col).alias("vec_id"), quantize_micro(emb_col).alias("ev")
+    from mapreduce_implementation_spark.caching import track_cache
+    from mapreduce_implementation_spark.operators.dedup import spread
+
+    # widened (single-file scans serialize otherwise) and cached: the
+    # quantized vectors are read 2×iters+1 times across the Lloyd jobs
+    vq = track_cache(
+        spread(vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col)))
+        .select("vec_id", quantize_micro(emb_col).alias("ev"))
     )
     spark = vectors.sparkSession
     init_rows = (
@@ -218,28 +222,55 @@ def assign_inverted_lists(
 ) -> DataFrame:
     """IVF assignment: nearest ``nprobe`` centroids per vector by
     quantized cosine (ties → smaller centroid_id). ``centroids`` is
-    DataFrame[centroid_id int, centroid_emb array<float>], broadcast.
+    DataFrame[centroid_id int, centroid_emb array<numeric>] — k×d,
+    collected to the driver and inlined as array literals, so the whole
+    assignment is ONE scan-side projection: per row, an array of
+    (score, -centroid_id) structs is sorted and the top ``nprobe``
+    taken. No crossJoin row explosion, no per-vector ranking-window
+    shuffle — at 100 TB this is a map-only pass over the vectors
+    (centroids are driver-small by construction, as in MLlib).
 
     Returns DataFrame[id_col, centroid_id] — one row per (vector,
-    probed list). Scoring is a broadcast pass over the scan (no
-    shuffle); the ranking window shuffles on id_col once."""
-    c = F.broadcast(centroids.select("centroid_id", "centroid_emb"))
-    scored = (
-        df.select(F.col(id_col), F.col(emb_col))
-        .crossJoin(c)
-        .select(
-            F.col(id_col),
-            F.col("centroid_id"),
-            _score(F.col("centroid_emb"), F.col(emb_col)).alias("c_sim"),
+    probed list). The struct sort orders by score then -centroid_id, so
+    reading from the top gives score DESC, centroid_id ASC — identical
+    to the oracle's ROW_NUMBER ordering."""
+    import math
+
+    from mapreduce_implementation_spark.functions.vectors import dot, norm
+
+    cent_rows = sorted(
+        centroids.select("centroid_id", "centroid_emb").collect(),
+        key=lambda r: r.centroid_id,
+    )
+    # centroid norms on the driver: Python's left-to-right double sum is
+    # the same IEEE fold as the SQL twin's list_sum, so the quantized
+    # score stays bit-identical while the per-row cost drops from
+    # k×(dot+2 norms) to k×dot + 1 norm.
+    cents = [
+        (
+            int(r.centroid_id),
+            [float(x) for x in r.centroid_emb],
+            math.sqrt(sum(float(x) * float(x) for x in r.centroid_emb)),
         )
+        for r in cent_rows
+    ]
+    pre = df.select(
+        F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("_vn")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("c_sim").desc(), F.col("centroid_id")
-    )
+
+    def score(c_emb: list, c_norm: float) -> Column:
+        denom = F.lit(c_norm) * F.col("_vn")
+        d = dot(F.array(*[F.lit(x) for x in c_emb]), F.col(emb_col))
+        return F.when(denom != 0, d / denom).cast(COS_Q)
+
+    structs = [
+        F.struct(score(c_emb, c_norm).alias("s"), F.lit(-cid).alias("negid"))
+        for cid, c_emb, c_norm in cents
+    ]
+    top = F.slice(F.reverse(F.array_sort(F.array(*structs))), 1, nprobe)
     return (
-        scored.withColumn("_crank", F.row_number().over(w))
-        .where(F.col("_crank") <= nprobe)
-        .select(id_col, "centroid_id")
+        pre.select(F.col(id_col), F.explode(top).alias("_t"))
+        .select(F.col(id_col), (-F.col("_t.negid")).cast("int").alias("centroid_id"))
     )
 
 
@@ -299,17 +330,11 @@ def lsh_topk(
     The candidate join shuffles on the bucket string only; per-bucket
     skew is bounded by 2^|planes| tuning at scale.
     """
-    vb = _with_buckets(vectors, planes, id_col, emb_col).join(
-        vectors.select(id_col, emb_col), id_col
-    )
-    qb = (
-        _with_buckets(queries, planes, id_col, emb_col)
-        .join(queries.select(id_col, emb_col), id_col)
-        .select(
-            F.col(id_col).alias(query_id_col),
-            F.col(emb_col).alias("_q_emb"),
-            F.col("bucket"),
-        )
+    vb = _with_buckets(vectors, planes, id_col, emb_col, keep_emb=True)
+    qb = _with_buckets(queries, planes, id_col, emb_col, keep_emb=True).select(
+        F.col(id_col).alias(query_id_col),
+        F.col(emb_col).alias("_q_emb"),
+        F.col("bucket"),
     )
     scored = (
         vb.join(F.broadcast(qb), "bucket")

@@ -276,9 +276,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("plane_id"), F.col("embedding").alias("plane_emb")
     )
-    bucketed = sim._with_buckets(emb, planes, "vec_id", "embedding").join(
-        emb.select("vec_id", "embedding"), "vec_id"
-    )
+    base = dd.spread(emb.select("vec_id", "embedding"))
+    bucketed = sim._with_buckets(base, planes, "vec_id", "embedding", keep_emb=True)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cos_q = (

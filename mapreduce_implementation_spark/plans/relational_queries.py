@@ -454,8 +454,14 @@ def approx_aggregates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle). At 100 TB the sketches are the scalable path — mergeable
     fixed-size state per partition, one narrow shuffle, no giant exact
     hash tables."""
+    from mapreduce_implementation_spark.operators.dedup import spread
+
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    # widen the single-file orders scan: the exact per-group percentile
+    # sorts whole groups, which otherwise serializes into the scan task
+    orders = spread(
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    )
     agg = (
         orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_mktsegment")
