@@ -70,7 +70,7 @@ def _rank_topk(scored: DataFrame, query_id_col: str, id_col: str, k: int) -> Dat
     avoids Decimal-object vs float dtype skew at the result boundary)."""
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .withColumn("cos_sim", F.col("cos_sim").cast("double"))
     )

@@ -237,7 +237,11 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         orders.select(
-            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            # long: DuckDB's ROW_NUMBER is BIGINT — exact dtype parity
+            F.row_number().over(w).cast("long").alias("rn"),
         ).where(F.col("rn") <= 3)
     )
 
