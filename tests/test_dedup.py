@@ -101,3 +101,38 @@ def test_connected_components_toy(spark):
         (5, 5), (6, 5),
         (8, 8), (9, 8), (10, 8),
     }
+
+
+def test_connected_components_distributed_path(spark):
+    """Force the distributed min-label-propagation path
+    (local_threshold=0) and check it labels components identically to
+    the driver union-find path."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        ["doc_a", "doc_b"],
+    )
+    local = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.connected_components(
+            edges, "doc_a", "doc_b", local_threshold=0
+        ).collect()
+    }
+    assert dist == local
+    assert local == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                     (20, 20), (21, 20), (22, 20)}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain longer than max_iterations can't converge — the operator
+    must raise rather than return wrong labels (advisor finding)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(
+            chain, "doc_a", "doc_b", max_iterations=2, local_threshold=0
+        )
