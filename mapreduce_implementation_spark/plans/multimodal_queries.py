@@ -1,11 +1,12 @@
 """Multimodal-column queries — binary payloads + typed metadata over
 ``documents`` (operators/multimodal.py).
 
-The decode/resize/frame-sample operators run REAL mapInPandas plumbing
-(Arrow binary transfer, per-row byte access, 1→N expansion); the codec
-is the deterministic fake (byte-length-derived headers), so every query
-here has an exact DuckDB oracle: the same formulas over
-``octet_length(encode(text))``.
+The decode/resize/frame-sample operators run REAL codecs (stdlib
+PNG/WAV/SVID, functions/codecs.py) over payloads built by the encode
+pass from doc_id-keyed generators; every DuckDB oracle predicts the
+decoded values from those generator formulas, so a green hash proves
+the byte-level round trip. The catalog query keeps the text-bytes
+payload (its subject is metadata pruning, not codecs).
 
 DuckDB parity notes:
 * Spark ``encode(text,'UTF-8')`` ≙ DuckDB ``encode(text)`` (VARCHAR→BLOB)
@@ -32,11 +33,12 @@ _MEDIA_TYPE = (
 _CODEC = (
     "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'pcm_s16le' ELSE 'h264' END"
 )
-_WIDTH = f"32 + {_N} % 97"
-_HEIGHT = f"32 + ({_N} * 7) % 89"
-_N_FRAMES = f"1 + {_N} % 24"
-_DURATION = f"1000 + {_N} % 9000"
-_SAMPLE_RATE = f"8000 + ({_N} % 5) * 8000"
+# generator formulas (operators/multimodal._generators — keyed by doc_id)
+_W = "16 + doc_id % 17"
+_H = "16 + (3 * doc_id) % 13"
+_NF = "4 + doc_id % 9"
+_RATE = "8000 + (doc_id % 3) * 8000"
+_NS = "800 + (doc_id % 5) * 400"
 
 
 @register(
@@ -70,21 +72,29 @@ def multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT doc_id,
                {_MEDIA_TYPE} AS media_type,
-               CAST({_N} AS BIGINT) AS n_bytes,
-               CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE {_WIDTH} END AS BIGINT) AS width,
-               CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE {_HEIGHT} END AS BIGINT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE {_W} END AS BIGINT) AS width,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE {_H} END AS BIGINT) AS height,
                CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 0
-                    ELSE {_N_FRAMES} END AS BIGINT) AS n_frames,
-               CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE {_DURATION} END AS BIGINT) AS duration_ms,
-               CAST(CASE WHEN doc_id % 3 = 1 THEN {_SAMPLE_RATE} ELSE 0 END AS BIGINT) AS sample_rate
+                    ELSE {_NF} END AS BIGINT) AS n_frames,
+               CAST(CASE doc_id % 3
+                    WHEN 0 THEN 0
+                    WHEN 1 THEN ({_NS}) * 1000 // ({_RATE})
+                    ELSE ({_NF}) * 40 END AS BIGINT) AS duration_ms,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN {_RATE} ELSE 0 END AS BIGINT) AS sample_rate,
+               CAST(CASE doc_id % 3
+                    WHEN 0 THEN ({_W}) * ({_H}) * 3
+                    WHEN 1 THEN ({_NS}) * 2
+                    ELSE ({_NF}) * ({_W}) * ({_H}) * 3 END AS BIGINT) AS decoded_bytes
         FROM documents
     """,
 )
 def media_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Header decode of every payload via Arrow-batched mapInPandas —
-    per-row byte access in Python, narrow (no shuffle)."""
-    media = mm.media_table(load_table(spark, sf_dir, "documents"))
-    return mm.decode_media(media, decoder="fake")
+    """Byte-level decode of REAL containers (PNG / PCM WAV / SVID) built
+    by the encode pass — the oracle predicts every decoded field from
+    the doc_id generator formulas, so a green hash proves the
+    encode → Arrow transfer → parse round trip, not just plumbing."""
+    media = mm.build_encoded_media(load_table(spark, sf_dir, "documents"))
+    return mm.decode_media(media)
 
 
 @register(
@@ -92,23 +102,27 @@ def media_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("documents",),
     oracle=f"""
         SELECT doc_id,
-               CAST({_WIDTH} AS BIGINT) AS width,
-               CAST({_HEIGHT} AS BIGINT) AS height,
+               CAST({_W} AS BIGINT) AS width,
+               CAST({_H} AS BIGINT) AS height,
                CAST(224 AS BIGINT) AS target_w,
                CAST(224 AS BIGINT) AS target_h,
-               224.0 / ({_WIDTH}) AS scale_x,
-               224.0 / ({_HEIGHT}) AS scale_y,
-               CAST(224 * 224 * 3 AS BIGINT) AS out_bytes
+               224.0 / ({_W}) AS scale_x,
+               224.0 / ({_H}) AS scale_y,
+               CAST(224 * 224 * 3 AS BIGINT) AS out_bytes,
+               CAST(3 * 224 * list_sum(list_transform(range(0, 224),
+                    rr -> (doc_id + (rr * ({_H})) // 224) % 256)) AS BIGINT)
+                    AS pixel_sum
         FROM documents
         WHERE doc_id % 3 = 0
     """,
 )
 def image_resize_224(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize-to-224×224 plan over image payloads. The media_type filter
-    runs BEFORE mapInPandas so only image bytes cross the Arrow
-    boundary — at 100 TB that's the difference between shipping the
-    whole corpus into Python and a third of it."""
-    media = mm.media_table(load_table(spark, sf_dir, "documents"))
+    """REAL nearest-neighbor resize of decoded PNG pixels to 224x224;
+    the oracle recomputes the resampled pixel sum from the generator
+    (each output row samples source row rr*H//224, whose bytes are all
+    (doc_id+row)%256). The media_type filter runs BEFORE mapInPandas so
+    only image bytes cross the Arrow boundary."""
+    media = mm.build_encoded_media(load_table(spark, sf_dir, "documents"))
     return mm.resize_images(media.where(F.col("media_type") == "image"), 224, 224)
 
 
@@ -118,21 +132,21 @@ def image_resize_224(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT doc_id,
                CAST(f AS BIGINT) AS frame_idx,
-               CAST(duration_ms * f // n_frames AS BIGINT) AS frame_ts_ms,
-               md5(h || ':' || CAST(f AS VARCHAR)) AS frame_md5
+               CAST(f * 40 AS BIGINT) AS frame_ts_ms,
+               CAST({_W} AS BIGINT) AS frame_w,
+               CAST({_H} AS BIGINT) AS frame_h,
+               CAST(({_W}) * ({_H}) * 3 * ((7 * doc_id + 13 * f) % 256) AS BIGINT)
+                   AS pixel_sum
         FROM (
-            SELECT doc_id,
-                   UNNEST(range(0, 1 + n % 24, 4)) AS f,
-                   1 + n % 24 AS n_frames,
-                   1000 + n % 9000 AS duration_ms,
-                   md5(text) AS h
-            FROM (SELECT doc_id, text, {_N} AS n FROM documents
-                  WHERE doc_id % 3 = 2)
+            SELECT doc_id, UNNEST(range(0, 4 + doc_id % 9, 4)) AS f
+            FROM documents WHERE doc_id % 3 = 2
         )
     """,
 )
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every-4th-frame sampling from video payloads — the 1→N
-    mapInPandas expansion, run after the media_type filter."""
-    media = mm.media_table(load_table(spark, sf_dir, "documents"))
+    """Every-4th-frame sampling with REAL per-frame PNG decode — the
+    1->N mapInPandas expansion, run after the media_type filter; the
+    oracle predicts each decoded frame's dimensions and pixel sum from
+    the generators."""
+    media = mm.build_encoded_media(load_table(spark, sf_dir, "documents"))
     return mm.sample_frames(media.where(F.col("media_type") == "video"), step=4)

@@ -57,9 +57,10 @@ def test_media_decode_prunes_unused_columns(spark, oracle_sf_dir):
     df = all_queries()["media_decode_dims"].fn(spark, oracle_sf_dir)
     plan = explain_str(df)
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
-    # decode needs doc_id + text (payload source); lang/n_chars pruned
-    assert read_schema and "text" in read_schema[0]
-    assert "lang" not in read_schema[0] and "n_chars" not in read_schema[0]
+    # the encode pass needs only doc_id — text/lang/n_chars all pruned
+    assert read_schema and "doc_id" in read_schema[0]
+    for col in ("text", "lang", "n_chars"):
+        assert col not in read_schema[0]
 
 
 def test_range_join_is_hash_join_not_nl(spark, oracle_sf_dir):
