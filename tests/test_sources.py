@@ -70,3 +70,23 @@ def test_csv_roundtrip_with_header(spark, tmp_path):
     a = sorted((r.n_nationkey, r.n_name) for r in nation.collect())
     b = sorted((r.n_nationkey, r.n_name) for r in back.collect())
     assert a == b
+
+
+def test_register_views_enables_plain_sql(spark):
+    """The SQL surface: after register_views, any ANSI query runs via
+    spark.sql against the catalog — the API a SQL-first user of the
+    engine would reach for."""
+    from mapreduce_implementation_spark.sources.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    out = spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n_customers DESC, n_name LIMIT 3
+        """
+    ).collect()
+    assert len(out) == 3 and all(r.n_customers >= 1 for r in out)
+    # events view got the ns-timestamp workaround: ts must be usable
+    mx = spark.sql("SELECT MAX(ts) AS m FROM events").collect()[0].m
+    assert mx is not None
