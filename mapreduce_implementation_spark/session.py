@@ -43,6 +43,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Split small single-file scans across the cores: the default
+        # 128 MiB split makes a ~50 MiB bench table a 1-task scan, which
+        # serializes scan-stage expression work 32×. 8 MiB is a LOCAL
+        # profile knob — on a real cluster the default is right (row
+        # groups are plentiful and tiny splits would bloat scheduling),
+        # so it's env-overridable.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
