@@ -73,6 +73,29 @@ def streaming_dedup_exact(stream: DataFrame, text_col: str = "text") -> DataFram
     )
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a hash's state only until
+    the watermark passes it, so state size is watermark-window ×
+    arrival rate instead of |all distinct hashes ever| — the production
+    shape for unbounded streams (dups in real pipelines arrive close
+    together). Duplicates farther apart than the watermark can BOTH
+    survive; that is the documented trade."""
+    from mapreduce_implementation_spark.functions.textstats import content_hash
+
+    return (
+        stream.select(content_hash(text_col).alias("chash"), F.col(ts_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["chash"])
+        .select("chash")
+    )
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -61,3 +61,25 @@ def test_partitioned_sink_prunes_scan(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "event_type" in plan
     assert back.count() == events.where(F.col("event_type") == "click").count()
+
+
+def test_sessionize_custom_tie_break_column(spark):
+    """sessionize() must work on inputs without an event_id column when
+    a tie-break column is named (advisor finding)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.operators.events import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 100, "a"), (1, 100, "b"), (1, 5000, "c")],
+        ["user_id", "ts", "row_key"],
+    )
+    out = sessionize(
+        df.withColumn("ts", F.col("ts").cast("timestamp")),
+        "user_id",
+        "ts",
+        gap_s=1800,
+        tie_break_col="row_key",
+    ).collect()
+    by_key = {r.row_key: r.session_idx for r in out}
+    assert by_key == {"a": 1, "b": 1, "c": 2}
