@@ -21,3 +21,16 @@ def test_queries_and_oracles_align():
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     assert "wordcount" in qs
+
+
+def test_registry_holds_exactly_fifty_oracle_gated_queries():
+    """The driver's correctness sweep verifies at most the FIRST 50
+    registry entries (measured in round 1: 58 registered, exactly the
+    first 50 in registration order got CORRECTNESS rows). Guard the
+    budget: exactly 50 queries, every one with a DuckDB oracle — adding
+    a 51st requires merging or cutting first (see plans/__init__)."""
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert len(qs) == 50, f"registry must stay at 50 queries, got {len(qs)}"
+    assert set(osql) == set(qs), "every registered query needs an oracle"
