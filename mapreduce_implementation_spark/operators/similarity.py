@@ -179,10 +179,13 @@ def train_centroids(
         cent_df = spark.createDataFrame(
             centroids, "centroid_id int, centroid_emb array<long>"
         )
-        assigned = assign_inverted_lists(vq, cent_df, 1, "vec_id", "ev")
+        # keep_cols carries the vector through the assignment projection
+        # — no per-iteration shuffle self-join back to vq
+        assigned = assign_inverted_lists(
+            vq, cent_df, 1, "vec_id", "ev", keep_cols=("ev",)
+        )
         sums = (
-            assigned.join(vq, "vec_id")
-            .select("centroid_id", F.posexplode("ev").alias("pos", "val"))
+            assigned.select("centroid_id", F.posexplode("ev").alias("pos", "val"))
             .groupBy("centroid_id", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
@@ -219,6 +222,7 @@ def assign_inverted_lists(
     nprobe: int = 1,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF assignment: nearest ``nprobe`` centroids per vector by
     quantized cosine (ties → smaller centroid_id). ``centroids`` is
@@ -255,7 +259,10 @@ def assign_inverted_lists(
         for r in cent_rows
     ]
     pre = df.select(
-        F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("_vn")
+        F.col(id_col),
+        F.col(emb_col),
+        *[F.col(c) for c in keep_cols if c != emb_col],
+        norm(F.col(emb_col)).alias("_vn"),
     )
 
     def score(c_emb: list, c_norm: float) -> Column:
@@ -268,9 +275,14 @@ def assign_inverted_lists(
         for cid, c_emb, c_norm in cents
     ]
     top = F.slice(F.reverse(F.array_sort(F.array(*structs))), 1, nprobe)
+    kept = [F.col(c) for c in keep_cols]
     return (
-        pre.select(F.col(id_col), F.explode(top).alias("_t"))
-        .select(F.col(id_col), (-F.col("_t.negid")).cast("int").alias("centroid_id"))
+        pre.select(F.col(id_col), *kept, F.explode(top).alias("_t"))
+        .select(
+            F.col(id_col),
+            *kept,
+            (-F.col("_t.negid")).cast("int").alias("centroid_id"),
+        )
     )
 
 
@@ -294,10 +306,12 @@ def ivf_topk(
     candidates are naturally duplicate-free. At scale, pre-materialize
     the assignment as a ``centroid_id``-partitioned table: probing then
     prunes partitions at the scan."""
-    va = assign_inverted_lists(vectors, centroids, 1, id_col, emb_col)
-    vb = va.join(vectors.select(id_col, emb_col), id_col)
-    qa = assign_inverted_lists(queries, centroids, nprobe, id_col, emb_col)
-    qb = qa.join(queries.select(id_col, emb_col), id_col).select(
+    vb = assign_inverted_lists(
+        vectors, centroids, 1, id_col, emb_col, keep_cols=(emb_col,)
+    )
+    qb = assign_inverted_lists(
+        queries, centroids, nprobe, id_col, emb_col, keep_cols=(emb_col,)
+    ).select(
         F.col(id_col).alias(query_id_col),
         F.col(emb_col).alias("_q_emb"),
         F.col("centroid_id"),
