@@ -523,7 +523,8 @@ def pivot_median_orders_priority_by_status(
     one (count, median) column pair per order status. Pivot values are
     declared explicitly ('F','O','P') — an undeclared pivot needs an
     extra distinct-values job over the whole table first; declaring
-    them keeps it to ONE partial-aggregated shuffle. Medians are exact
+    them keeps it to the two-phase pivot aggregation (partial agg below
+    each of its two exchanges). Medians are exact
     continuous-interpolation percentiles quantized to DECIMAL(18,4) so
     both engines' interpolation lands on the same value (exact
     percentiles need the full sorted group — fine for bounded group

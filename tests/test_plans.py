@@ -70,6 +70,45 @@ def test_range_join_is_hash_join_not_nl(spark, oracle_sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_merged_semi_anti_query_has_both_join_types(spark, oracle_sf_dir):
+    """The consolidated semi+anti query must still plan BOTH dedicated
+    join operators — the merge may not degrade either side."""
+    df = all_queries()["semi_anti_join_customers"].fn(spark, oracle_sf_dir)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_pivot_median_plans_two_phase_aggregation(spark, oracle_sf_dir):
+    """Declared pivot values: the plan is the two-phase pivot aggregate
+    (partial → exchange → pivot-first → exchange → final) and nothing
+    more — an UNdeclared pivot would additionally run a whole
+    distinct-values scan of the table before this plan exists."""
+    df = all_queries()["pivot_median_orders_priority_by_status"].fn(
+        spark, oracle_sf_dir
+    )
+    plan = explain_str(df)
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 2, plan
+    # partial aggregation below each exchange
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+
+
+def test_multires_rollup_scans_events_once(spark, oracle_sf_dir):
+    """All four tiers (5min/1h/1d/sliding) must derive from ONE scan of
+    events via the cached 5-minute partials — the continuous-aggregate
+    claim, asserted."""
+    df = all_queries()["events_rollup_multires"].fn(spark, oracle_sf_dir)
+    plan = explain_str(df)
+    # every tier reads the cached partials (the parquet scan lines in
+    # the plan text are the one cached relation's description, repeated
+    # with the same node id per reference)
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    import re
+
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) <= 1, plan
+
+
 def test_asof_join_has_no_join_operator(spark, oracle_sf_dir):
     """The as-of join must be the union-sort-merge shape: zero Join
     operators in the physical plan (a theta-join + row_number form is
