@@ -62,3 +62,39 @@ def test_asof_matches_naive_spec(spark, lefts, rights):
     )
     got = {r.event_id: (r.o_id, r.asof_ts_s) for r in out.collect()}
     assert got == naive_asof(l_rows, r_rows)
+
+
+def naive_range_join(lefts, rights, lo, hi):
+    out = set()
+    for lid, lkey, lts in lefts:
+        for rid, rkey, rts in rights:
+            if rkey == lkey and lts + lo <= rts <= lts + hi:
+                out.add((lid, rid))
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(lefts=left_rows, rights=right_rows, lo=st.integers(-5, 5), span=st.integers(0, 20))
+def test_range_join_matches_naive_spec(spark, lefts, rights, lo, span):
+    """The bucketed interval join must emit exactly the naive
+    all-pairs-filter result for arbitrary windows (including negative
+    lower bounds and zero-width spans)."""
+    from mapreduce_implementation_spark.operators.events import range_join
+
+    l_rows = [(i, k, t) for i, (k, t) in enumerate(lefts)]
+    r_rows = [(100 + i, k, t) for i, (k, t) in enumerate(rights)]
+    ldf = spark.createDataFrame(
+        l_rows or [(None, None, None)], "l_id long, user_id long, ts_s long"
+    ).where("l_id IS NOT NULL")
+    rdf = spark.createDataFrame(
+        r_rows or [(None, None, None)], "r_id long, user_id long, ts_s long"
+    ).where("r_id IS NOT NULL")
+    out = range_join(
+        ldf, rdf, key="user_id", lo_s=lo, hi_s=lo + span
+    )
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    assert got == naive_range_join(l_rows, r_rows, lo, lo + span)
