@@ -253,12 +253,92 @@ def _union_find_local(
     return {v: find(v) for v in parent}
 
 
+def _star_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"). ``e`` is a directed edge list
+    (u, v), no self-loops; returns the contracted edge list."""
+    # large-star: per node u (over the SYMMETRIC neighborhood), link
+    # every strictly-larger neighbor to min(N(u) ∪ {u})
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    large = (
+        sym.where(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # small-star: orient every edge to its larger endpoint, link the
+    # smaller neighbors AND the node itself to the minimum
+    oriented = large.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    with_min = oriented.join(smins, "u")
+    small = (
+        with_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(with_min.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return small
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction — O(log n) rounds instead of min-label propagation's
+    O(component diameter), so a 10^6-hop chain labels in ~20 bounded
+    shuffles at 100 TB. Each round is two groupBy aggregations + a
+    distinct; ``localCheckpoint`` truncates lineage per round.
+
+    Returns (doc_id, cluster_id) with cluster_id = min id of the
+    component, matching the other implementations exactly."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = _star_round(e).localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: full-range hash longs overflow BIGINT under ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        if prev_sig == (sig.n, sig.h):
+            break
+        prev_sig = (sig.n, sig.h)
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge within {max_rounds} rounds"
+        )
+    # converged: every edge points child → component root (the min id)
+    return (
+        nodes.join(e, nodes["u"] == e["u"], "left")
+        .select(
+            nodes["u"].alias("doc_id"),
+            F.coalesce(e["v"], nodes["u"]).alias("cluster_id"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 25,
     local_threshold: int = 5_000_000,
+    distributed_algorithm: str = "star",
 ) -> DataFrame:
     """Connected components of the near-dup pair graph → duplicate
     CLUSTERS: ``(doc_id, cluster_id)`` with cluster_id = min doc id in
@@ -266,21 +346,19 @@ def connected_components(
     component labeling is what dedup actually needs — keep one doc per
     cluster, not per pair.
 
-    Algorithm: iterative min-label propagation (the Pregel pattern as
-    DataFrame joins). Per iteration: one shuffle join edges⋈labels + a
-    min-aggregate; converges in O(graph diameter) rounds — near-dup
-    clusters are shallow (dozens of hops at the extreme), so this is a
-    handful of bounded shuffles even at 100 TB. ``localCheckpoint``
-    truncates lineage so the loop's plan doesn't grow unboundedly.
-    (At extreme scale swap in alternating large-star/small-star
-    [Kiveris et al., "Connected Components in MapReduce and Beyond"]
-    for O(log d) rounds; same DataFrame skeleton.)
-
     Hybrid: when the edge list is small (≤ ``local_threshold`` pairs —
     it is a candidate-pair DERIVATIVE of the corpus, usually tiny
-    relative to it), collect it and run driver-side union-find: one
-    job instead of ~6 jobs × diameter iterations. The distributed loop
-    below is the path for graphs that don't fit the driver.
+    relative to it), collect it and run driver-side union-find: one job
+    instead of many bounded shuffles. Above the threshold,
+    ``distributed_algorithm`` picks the cluster path:
+
+    * ``"star"`` (default): alternating large-star/small-star
+      contraction (connected_components_star) — O(log n) rounds
+      regardless of component diameter.
+    * ``"label-propagation"``: iterative min-label propagation (the
+      Pregel pattern as DataFrame joins), one shuffle join + min-agg
+      per round, O(diameter) rounds — fine for shallow near-dup
+      clusters, kept for comparison/fallback.
     """
     # persist: the edge pipeline (LSH join + verify) is consumed 2×
     # here (count + collect) or once per iteration in the loop
@@ -298,6 +376,14 @@ def connected_components(
         labels_map = _union_find_local(pairs)
         return spark.createDataFrame(
             sorted(labels_map.items()), "doc_id long, cluster_id long"
+        )
+    if distributed_algorithm == "star":
+        out = connected_components_star(edges, src, dst, max_rounds=max_iterations)
+        edges.unpersist()
+        return out
+    if distributed_algorithm != "label-propagation":
+        raise ValueError(
+            f"unknown distributed_algorithm {distributed_algorithm!r}"
         )
     sym = edges.select(F.col(src).alias("v"), F.col(dst).alias("n")).union(
         edges.select(F.col(dst).alias("v"), F.col(src).alias("n"))

@@ -134,5 +134,34 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dd.connected_components(
-            chain, "doc_a", "doc_b", max_iterations=2, local_threshold=0
+            chain, "doc_a", "doc_b", max_iterations=2, local_threshold=0,
+            distributed_algorithm="label-propagation",
         )
+
+
+def test_star_contraction_matches_union_find_on_random_graph(spark):
+    """large-star/small-star must label exactly like driver union-find
+    on a seeded random graph (multiple components, cycles, chains)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    expected = dd._union_find_local(edges)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components_star(df).collect()
+    }
+    assert got == expected
+
+
+def test_star_contraction_handles_long_chain_in_log_rounds(spark):
+    """A 120-hop chain needs ~120 min-label rounds but only O(log n)
+    star rounds — it must converge well inside max_rounds=10."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], ["doc_a", "doc_b"]
+    )
+    out = dd.connected_components_star(chain, max_rounds=10).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == 121
