@@ -51,3 +51,10 @@ def normalize(a: Column | str) -> Column:
     query)."""
     n = norm(a)
     return F.when(n != 0, F.transform(as_double(a), lambda v: v / n))
+
+
+# NOTE (measured): do NOT unroll dot-with-constant into 64 chained
+# ``v[i]*c_i`` additions hoping for whole-stage codegen — a k-centroid
+# scoring projection becomes a multi-thousand-node expression tree and
+# runs 2-3x SLOWER than the HOF ``aggregate`` fold (codegen/JIT method
+# limits). The fold over an array literal is the fast portable form.
