@@ -80,3 +80,26 @@ def test_cli_locality_restricts_chunks(spark, tmp_path):
 
 def test_cli_usage_error(capsys):
     assert main(["too", "few"]) == 2
+
+
+def test_cli_twelve_reducers_numeric_file_order(spark, tmp_path):
+    """With >= 10 reducers the returned file list must be in NUMERIC
+    reducer order (lexicographic directory order would interleave
+    1,10,11,2,…), and empty reducers still get files."""
+    inp = tmp_path / "input.txt"
+    inp.write_text("alpha beta Gamma delta Zeta omega\n")
+    outdir = str(tmp_path / "out12")
+    os.makedirs(outdir, exist_ok=True)
+    rc = main(["cli_r12", "12", "0", str(inp), "2", "-", outdir])
+    assert rc == 0
+    files = sorted(
+        (f for f in os.listdir(outdir) if f.endswith(".out") and "log" not in f),
+        key=lambda f: int(f.rsplit("-", 1)[1].split(".")[0]),
+    )
+    assert files == [f"cli_r12-{r}.out" for r in range(1, 13)]
+    # every word routed by first-char pmod into its numeric file
+    for rid0, fname in enumerate(files):
+        with open(os.path.join(outdir, fname)) as fh:
+            for line in fh:
+                word = line.rsplit(" ", 1)[0]
+                assert _pmod_first_char(word, 12) == rid0, (word, fname)
