@@ -300,13 +300,14 @@ def connected_components_star(
 
     Returns (doc_id, cluster_id) with cluster_id = min id of the
     component, matching the other implementations exactly."""
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # nodes come from the UNFILTERED edge list: a node whose only edge is
+    # a self-loop must still appear (own-label singleton), matching the
+    # union-find and label-propagation paths.
+    nodes = (
+        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
     )
-    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    e = raw.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
     prev_sig = None
     for _ in range(max_rounds):
         e = _star_round(e).localCheckpoint()

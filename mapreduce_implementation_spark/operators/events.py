@@ -180,13 +180,20 @@ def asof_join_latest(
         l_struct.alias("_l"),
         F.lit(None).cast(r_type).alias("_r"),
     )
+    # NULL semantics match a LEFT theta join: a NULL key or NULL right
+    # timestamp never matches, so such right rows are dropped before the
+    # union (otherwise Window.partitionBy groups NULL keys together and a
+    # NULL-key left could pick up a NULL-key right payload, and a NULL
+    # right ts sorts nulls-first and could be picked). NULL-key / NULL-ts
+    # LEFT rows stay: their partition then holds no rights, so the pick
+    # is NULL — exactly the unmatched-left outcome.
     tagged_r = right.select(
         F.col(right_key).alias("_k"),
         right_ts_s.alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_type).alias("_l"),
         r_struct.alias("_r"),
-    )
+    ).where(F.col("_k").isNotNull() & F.col("_ts").isNotNull())
     w = (
         Window.partitionBy("_k")
         .orderBy(

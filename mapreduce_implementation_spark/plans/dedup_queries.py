@@ -128,8 +128,11 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the MinHash+LSH
     near-dup pair graph (cluster_id = min doc_id in component) — the
-    keep-one-per-cluster shape of corpus dedup. Iterative min-label
-    propagation; the DuckDB twin is a recursive reachability CTE."""
+    keep-one-per-cluster shape of corpus dedup. Hybrid labeling: driver
+    union-find below the edge-count threshold (one job), large-star/
+    small-star contraction above it (O(log n) bounded shuffles); min-
+    label propagation is kept only as an opt-in fallback. The DuckDB
+    twin is a recursive reachability CTE."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_near_dup_pairs(
         docs, "doc_id", "text", shingle_n=3, k=K, bands=BANDS, rows=ROWS, threshold=0.5

@@ -185,12 +185,16 @@ def streaming_late_data_watermark_query(spark: SparkSession, sf_dir: str) -> Dat
 
     def write_batch(df, name: str, mtime: float) -> None:
         tmp = tempfile.mkdtemp(prefix="late_batch_")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        dest = os.path.join(stream_dir, name)
-        shutil.move(os.path.join(tmp, part), dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (mtime, mtime))
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            if not parts:  # empty split (no rows) — skip the micro-batch
+                return
+            dest = os.path.join(stream_dir, name)
+            shutil.move(os.path.join(tmp, parts[0]), dest)
+            os.utime(dest, (mtime, mtime))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     import time as _time
 
@@ -221,7 +225,13 @@ def streaming_late_data_watermark_query(spark: SparkSession, sf_dir: str) -> Dat
             "n_events",
         )
     )
-    return _drain(spark, counted, "append")
+    try:
+        result = _drain(spark, counted, "append")
+        # materialize out of the memory sink before the source files go
+        result = result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+    return result
 
 
 @register(

@@ -63,26 +63,33 @@ def _sessionize_fn(gap_s: int, use_timeout: bool = True):
             for pdf in pdfs:
                 ts_list.extend(int(t) for t in pdf["ts_s"])
             ts_list.sort()
-            if state.exists:
-                start_s, last_s, n = state.get
-            else:
-                start_s = last_s = -1
-                n = 0
+            # Sessionize the batch's events among themselves, then merge
+            # the resulting intervals with the open-state interval by the
+            # same gap rule. Gap logic only needs interval BOUNDS, so the
+            # merge is exactly the batch sessionize over every event seen
+            # so far: a cross-batch late event lands inside/adjacent to
+            # the open session and extends it, while one older than
+            # start_s - gap_s forms its own earlier session — emitted as
+            # CLOSED below instead of being wrongly folded in.
+            sessions: list[tuple[int, int, int]] = []
             for t in ts_list:
-                if n == 0:
-                    start_s, last_s, n = t, t, 1
-                elif t - last_s > gap_s:
-                    closed.append((start_s, last_s, n))
-                    start_s, last_s, n = t, t, 1
+                if sessions and t - sessions[-1][1] <= gap_s:
+                    s0, _, n0 = sessions[-1]
+                    sessions[-1] = (s0, t, n0 + 1)
                 else:
-                    # A late event (t < last_s, possible across
-                    # micro-batches) extends the open session's bounds,
-                    # never moves them backwards — matches the batch
-                    # sessionize over the same (sorted) event set.
-                    start_s = min(start_s, t)
-                    last_s, n = max(last_s, t), n + 1
-            if n > 0:
-                state.update((start_s, last_s, n))
+                    sessions.append((t, t, 1))
+            if state.exists:
+                intervals = sorted(sessions + [tuple(state.get)])
+                sessions = [intervals[0]]
+                for s0, l0, n0 in intervals[1:]:
+                    ps, pl, pn = sessions[-1]
+                    if s0 - pl <= gap_s:
+                        sessions[-1] = (ps, max(pl, l0), pn + n0)
+                    else:
+                        sessions.append((s0, l0, n0))
+            if sessions:
+                closed.extend(sessions[:-1])
+                state.update(sessions[-1])
                 if use_timeout:
                     state.setTimeoutDuration(gap_s * 1000)
         if closed:

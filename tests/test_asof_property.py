@@ -64,6 +64,36 @@ def test_asof_matches_naive_spec(spark, lefts, rights):
     assert got == naive_asof(l_rows, r_rows)
 
 
+def test_asof_null_key_and_ts_semantics(spark):
+    """LEFT theta-join NULL semantics survive the union-sort-merge
+    rewrite: NULL keys never match (a NULL-key left gets NULL payloads,
+    a NULL-key right is never picked), and a NULL right timestamp never
+    matches (NULL rts sorts nulls-first and must not be picked)."""
+    ldf = spark.createDataFrame(
+        [(0, None, 10), (1, 5, 10), (2, 5, None)],
+        "event_id long, user_id long, ts_s long",
+    )
+    rdf = spark.createDataFrame(
+        [(100, None, 5), (101, 5, None), (102, 5, 7)],
+        "o_id long, o_user long, o_ts long",
+    )
+    out = asof_join_latest(
+        ldf,
+        rdf,
+        left_key="user_id",
+        right_key="o_user",
+        left_ts_s=F.col("ts_s"),
+        right_ts_s=F.col("o_ts"),
+        right_cols=["o_id"],
+    )
+    got = {r.event_id: (r.o_id, r.asof_ts_s) for r in out.collect()}
+    assert got == {
+        0: (None, None),  # NULL-key left: unmatched
+        1: (102, 7),  # matches the real right row, not 100/101
+        2: (None, None),  # NULL-ts left: rts <= NULL is never true
+    }
+
+
 def naive_range_join(lefts, rights, lo, hi):
     out = set()
     for lid, lkey, lts in lefts:

@@ -156,6 +156,20 @@ def test_star_contraction_matches_union_find_on_random_graph(spark):
     assert got == expected
 
 
+def test_star_contraction_keeps_self_loop_only_nodes(spark):
+    """A node whose only edge is a self-loop must survive as its own
+    singleton cluster — same node set as union-find and label
+    propagation (advisor finding)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (5, 5)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.connected_components_star(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (5, 5)}
+
+
 def test_star_contraction_handles_long_chain_in_log_rounds(spark):
     """A 120-hop chain needs ~120 min-label rounds but only O(log n)
     star rounds — it must converge well inside max_rounds=10."""

@@ -127,6 +127,46 @@ def test_sessionize_stream_two_batches(spark, stream_dir, tmp_path):
     )
 
 
+def test_sessionize_stream_late_events_cross_batch(spark, stream_dir, tmp_path):
+    """Cross-batch late events follow batch semantics: one within the
+    gap of the open session extends it backwards; one older than
+    start - gap becomes its OWN closed session (not folded in)."""
+    q = run_to_memory(
+        sessionize_stream(read_events_stream(spark, stream_dir), gap_s=1800),
+        "sess_late_stream",
+        output_mode="append",
+    )
+    try:
+        _write_events_batch(
+            tmp_path / "b0.parquet", [(1, 1_010_000, 1), (2, 1_010_100, 1)]
+        )
+        _feed(str(tmp_path / "b0.parquet"), stream_dir, "b0.parquet")
+        wait_for_input_rows(q, 2)
+        assert spark.table("sess_late_stream").count() == 0  # open
+        # batch 1: t=1_009_000 is within gap of start (extends it);
+        # t=1_000_000 is > gap older than the extended start → its own
+        # session, emitted closed because the open session follows it.
+        _write_events_batch(
+            tmp_path / "b1.parquet", [(3, 1_000_000, 1), (4, 1_009_000, 1)]
+        )
+        _feed(str(tmp_path / "b1.parquet"), stream_dir, "b1.parquet")
+        wait_for_input_rows(q, 4)
+        closed = spark.table("sess_late_stream").collect()
+        # close the extended session with a far-future event
+        _write_events_batch(tmp_path / "b2.parquet", [(5, 2_000_000, 1)])
+        _feed(str(tmp_path / "b2.parquet"), stream_dir, "b2.parquet")
+        wait_for_input_rows(q, 5)
+        all_closed = spark.table("sess_late_stream").collect()
+    finally:
+        q.stop()
+    assert [
+        (r.session_start_s, r.session_end_s, r.n_events) for r in closed
+    ] == [(1_000_000, 1_000_000, 1)]
+    assert sorted(
+        (r.session_start_s, r.session_end_s, r.n_events) for r in all_closed
+    ) == [(1_000_000, 1_000_000, 1), (1_009_000, 1_010_100, 3)]
+
+
 def test_sessionize_stream_timeout_flushes_open_session(spark, stream_dir, tmp_path):
     """The ProcessingTimeTimeout path: an open session with no further
     events is flushed by state timeout once a later micro-batch gives
