@@ -141,38 +141,33 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
-def minhash_near_dup_pairs(
+def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
     shingle_n: int = 3,
     k: int = 16,
-    bands: int = 4,
-    rows: int = 4,
-    threshold: float = 0.5,
-    max_bucket: int | None = None,
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs.
+    """Scan-side MinHash signature chain → DataFrame[doc_id, sig
+    array<long>] (NULL sig for shingle-less docs).
 
-    Pipeline: shingle → signature (scan-side) → band explode → bucket
-    self-join (the single shuffle) → signature-agreement filter.
-    ``max_bucket`` drops LSH buckets larger than the cap (boilerplate
-    guard at scale; None keeps all for oracle parity).
-    """
-    assert bands * rows == k, "signature length must equal bands*rows"
-    # Staged projections, one expensive expression per step, each
-    # referenced as a COLUMN downstream: tokens → shingles → shingle
-    # ints (the md5 pass) → signature. Inlining any of these reruns it
-    # per reference (Catalyst has no CSE across output columns) — the
-    # staged form tokenizes and hashes exactly once per row.
-    # NO filter in this chain: a deterministic filter (size(sh) > 0)
-    # gets PUSHED BELOW the round-robin repartition by Catalyst, which
-    # drags the whole shingle/md5 expression chain into the single
-    # pre-shuffle scan task (serializing it 32×) and evaluates it twice.
-    # Shingle-less docs instead yield a NULL signature (the F.when in
-    # minhash_signature_from_ints), which the band explode drops.
-    sigs = (
+    Staged projections, one expensive expression per step, each
+    referenced as a COLUMN downstream: tokens → shingles → shingle
+    ints (the md5 pass) → signature. Inlining any of these reruns it
+    per reference (Catalyst has no CSE across output columns) — the
+    staged form tokenizes and hashes exactly once per row.
+    NO filter in this chain: a deterministic filter (size(sh) > 0)
+    gets PUSHED BELOW the round-robin repartition by Catalyst, which
+    drags the whole shingle/md5 expression chain into the single
+    pre-shuffle scan task (serializing it 32×) and evaluates it twice.
+    Shingle-less docs instead yield a NULL signature (the F.when in
+    minhash_signature_from_ints), which the band explode drops.
+
+    This is the frame to MATERIALIZE once per corpus
+    (sources/materialize.ensure_table) — signatures feed every LSH
+    band join, verify pass, and clustering run downstream."""
+    return (
         spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select(
             "doc_id",
@@ -185,11 +180,41 @@ def minhash_near_dup_pairs(
         .select("doc_id", shingle_ints(F.col("sh")).alias("_xs"))
         .select("doc_id", minhash_signature_from_ints(F.col("_xs"), k).alias("sig"))
     )
-    # the signature frame feeds three consumers (band explode + both
-    # sides of the verify join); cache it — at scale signatures are
-    # materialized once per corpus anyway. Tracked: released by the next
-    # registry query (caching.release_caches).
-    sigs = track_cache(sigs)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    Pipeline: shingle → signature (scan-side) → band explode → bucket
+    self-join (the single shuffle) → signature-agreement filter.
+    ``max_bucket`` drops LSH buckets larger than the cap (boilerplate
+    guard at scale; None keeps all for oracle parity).
+
+    ``signatures``: a precomputed DataFrame[doc_id, sig] — normally the
+    materialized signature TABLE (sources/materialize) — consumed by all
+    three readers (band explode + both verify-join sides). When omitted,
+    the chain is computed here and session-cached as a small-scale
+    stand-in (released by the next registry query via
+    caching.release_caches)."""
+    assert bands * rows == k, "signature length must equal bands*rows"
+    if signatures is None:
+        sigs = track_cache(
+            minhash_signatures(df, id_col, text_col, shingle_n=shingle_n, k=k)
+        )
+    else:
+        sigs = signatures
     # Filtering ABOVE the cached frame is pushdown-safe: cache
     # substitution (InMemoryRelation) happens before the optimizer, so
     # this filter lands on the cache scan, not the raw text scan.

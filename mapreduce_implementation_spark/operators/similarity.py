@@ -328,6 +328,81 @@ def ivf_topk(
     return _rank_topk(scored, query_id_col, id_col, k)
 
 
+def materialize_ivf_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Write the IVF assignment as a ``centroid_id``-partitioned parquet
+    dataset — the at-scale index layout: one directory per inverted
+    list, so probing ``nprobe`` lists prunes every other partition at
+    planning time (``PartitionFilters`` on the probe scan, plan-gated).
+    Built once per corpus (sources/materialize.ensure_table) and reused
+    by every query batch; the assignment itself is the map-only
+    literal-inlined projection from assign_inverted_lists."""
+    from mapreduce_implementation_spark.sources.sinks import (
+        write_partitioned_dataset,
+    )
+
+    assigned = assign_inverted_lists(
+        vectors, centroids, 1, id_col, emb_col, keep_cols=(emb_col,)
+    )
+    write_partitioned_dataset(assigned, path, ["centroid_id"])
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k probing a MATERIALIZED index (materialize_ivf_index).
+
+    Query assignments are computed once and collected (queries are
+    small by contract — same reason they broadcast), so the probed
+    centroid ids become LITERAL partition predicates: the index scan
+    reads ONLY the probed inverted-list directories (PartitionFilters),
+    never the full table — at 100 TB that is nprobe/k_lists of the
+    corpus per query batch. Results are identical to ivf_topk on the
+    same centroids (pytest-pinned)."""
+    qrows = assign_inverted_lists(
+        queries, centroids, nprobe, id_col, emb_col, keep_cols=(emb_col,)
+    ).collect()
+    probe_ids = sorted({int(r["centroid_id"]) for r in qrows})
+    qb = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    int(r[id_col]),
+                    [float(x) for x in r[emb_col]],
+                    int(r["centroid_id"]),
+                )
+                for r in qrows
+            ],
+            f"{query_id_col} long, _q_emb array<double>, centroid_id int",
+        )
+    )
+    index = spark.read.parquet(index_path)
+    scored = (
+        index.where(F.col("centroid_id").isin(probe_ids))
+        .join(qb, "centroid_id")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            _score(F.col("_q_emb"), F.col(emb_col)).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(scored, query_id_col, id_col, k)
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -92,10 +92,34 @@ _MINHASH_CTE = f"""
 )
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=16) + LSH(4×4) near-dup candidate pairs with estimated
-    Jaccard ≥ 0.5."""
+    Jaccard ≥ 0.5. Signatures are MATERIALIZED once as a parquet table
+    and consumed by all three readers (band explode + both verify-join
+    sides) — the corpus-artifact layout a 100 TB run needs (a cache
+    can't hold it; a table also survives for downstream clustering)."""
     docs = load_table(spark, sf_dir, "documents")
+    sigs = _signature_table(spark, sf_dir, docs)
     return dd.minhash_near_dup_pairs(
-        docs, "doc_id", "text", shingle_n=3, k=K, bands=BANDS, rows=ROWS, threshold=0.5
+        docs, "doc_id", "text", shingle_n=3, k=K, bands=BANDS, rows=ROWS,
+        threshold=0.5, signatures=sigs,
+    )
+
+
+def _signature_table(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
+    """Per-invocation materialized MinHash signature table (honestly
+    cold: a fresh scratch path every call — cross-run reuse is
+    ensure_table pointed at a stable path, pytest-covered)."""
+    import os
+
+    from mapreduce_implementation_spark.sources.materialize import (
+        ensure_table,
+        scratch_dir,
+    )
+
+    path = os.path.join(scratch_dir("mris_minhash_"), "sigs")
+    return ensure_table(
+        spark,
+        path,
+        lambda: dd.minhash_signatures(docs, "doc_id", "text", shingle_n=3, k=K),
     )
 
 
@@ -132,10 +156,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-find below the edge-count threshold (one job), large-star/
     small-star contraction above it (O(log n) bounded shuffles); min-
     label propagation is kept only as an opt-in fallback. The DuckDB
-    twin is a recursive reachability CTE."""
+    twin is a recursive reachability CTE. Pair emission reads the same
+    materialized signature table layout as minhash_near_dup_pairs."""
     docs = load_table(spark, sf_dir, "documents")
+    sigs = _signature_table(spark, sf_dir, docs)
     pairs = dd.minhash_near_dup_pairs(
-        docs, "doc_id", "text", shingle_n=3, k=K, bands=BANDS, rows=ROWS, threshold=0.5
+        docs, "doc_id", "text", shingle_n=3, k=K, bands=BANDS, rows=ROWS,
+        threshold=0.5, signatures=sigs,
     )
     return dd.connected_components(pairs, "doc_a", "doc_b")
 

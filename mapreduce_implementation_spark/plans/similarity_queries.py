@@ -223,11 +223,30 @@ def _kmeans_ctes(k: int, iters: int) -> str:
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via IVF-flat with TRAINED centroids: 3 rounds
     of integer-exact spherical k-means (operators.similarity.
-    train_centroids) build 8 inverted lists; queries probe their 2
-    nearest. The partition-prunable scale path for ANN (vs LSH's bucket
-    join); the oracle replays the identical training as unrolled
-    CTEs."""
+    train_centroids) build 8 inverted lists; the assignment is
+    MATERIALIZED as a centroid_id-partitioned table and queries probe
+    their 2 nearest lists through it — the probe scan reads only the
+    probed partitions (PartitionFilters, plan-gated). The oracle
+    replays the identical training as unrolled CTEs."""
+    import os
+
+    from mapreduce_implementation_spark.sources.materialize import (
+        ensure_table,
+        scratch_dir,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     centroids = sim.train_centroids(emb, k=N_CENTROIDS, iters=KMEANS_ITERS)
-    return sim.ivf_topk(emb, queries, centroids, k=K, nprobe=NPROBE)
+    index_path = os.path.join(scratch_dir("mris_ivf_"), "index")
+    ensure_table(
+        spark,
+        index_path,
+        lambda: sim.assign_inverted_lists(
+            emb, centroids, 1, keep_cols=("embedding",)
+        ),
+        partition_cols=("centroid_id",),
+    )
+    return sim.ivf_topk_from_index(
+        spark, index_path, queries, centroids, k=K, nprobe=NPROBE
+    )

@@ -1,0 +1,68 @@
+"""Materialized corpus-artifact tables — signatures and index
+assignments as parquet TABLES rather than session caches.
+
+This is the engine analog of the reference's materialized ``./inter/``
+intermediate layout (/root/reference/Worker.cc:174-183), done the way a
+100 TB pipeline needs it: a ``.cache()`` dies with the session and
+cannot hold a corpus-sized derivative, while a (partitioned) parquet
+table survives the run, is shared by every consumer in a query, and —
+for partition-keyed artifacts like IVF inverted lists — lets probes
+prune whole directories at planning time (``PartitionFilters``,
+plan-gated in tests/test_plans.py).
+
+Two lifecycles:
+
+* ``ensure_table`` — build-once / reuse-everywhere: a committed dataset
+  (``_SUCCESS`` marker) is read back without rebuilding, so repeated
+  queries (and repeated runs pointed at the same path) share one build.
+* ``scratch_dir`` — a per-invocation artifact directory for registered
+  queries, so the correctness/bench sweeps stay honestly COLD (every
+  invocation pays the full build); removed at interpreter exit because
+  the returned result frame reads the table lazily — the driver
+  collects AFTER the query function returns.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_implementation_spark.sources.sinks import (
+    write_partitioned_dataset,
+)
+
+
+def scratch_dir(prefix: str = "mris_artifact_") -> str:
+    """Temp directory for artifact tables built inside a registered
+    query; cleaned up at process exit (not earlier — see module doc)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def ensure_table(
+    spark: SparkSession,
+    path: str,
+    build: Callable[[], DataFrame],
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Read the artifact table at ``path`` if it is committed (has the
+    ``_SUCCESS`` marker); otherwise call ``build()``, write it (hive-
+    partitioned when ``partition_cols`` is given), and read it back.
+
+    The read-back (rather than returning ``build()``'s frame) matters:
+    every consumer scans the TABLE, so the expensive derivation runs
+    exactly once per path no matter how many times the artifact is
+    consumed — within a query, across queries, or across runs."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = build()
+        if partition_cols:
+            write_partitioned_dataset(df, path, list(partition_cols))
+        else:
+            df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -137,6 +137,32 @@ def test_embedding_near_dup_blocks_on_srp_bucket(spark, oracle_sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_probe_prunes_partitions(spark, oracle_sf_dir):
+    """The registered IVF query probes the MATERIALIZED centroid_id-
+    partitioned index; the probe scan must carry a non-empty
+    PartitionFilters on centroid_id — whole inverted-list directories
+    pruned at planning time, the 100 TB ANN read path."""
+    df = all_queries()["similarity_topk_ivf"].fn(spark, oracle_sf_dir)
+    plan = explain_str(df)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    probe = [l for l in pf_lines if "centroid_id" in l and ": []" not in l]
+    assert probe, plan
+
+
+def test_minhash_consumes_materialized_signature_table(spark, oracle_sf_dir):
+    """All three signature consumers (band explode + both verify-join
+    sides) must scan the materialized signature TABLE — no cache, no
+    recomputation of the shingle/md5 chain per consumer."""
+    df = all_queries()["minhash_near_dup_pairs"].fn(spark, oracle_sf_dir)
+    plan = explain_str(df)
+    assert "InMemoryTableScan" not in plan, plan
+    assert "mris_minhash_" in plan, plan  # the artifact table's path
+    # the shingle/signature chain ran at build time: this plan never
+    # touches the raw documents table (only band-hash md5 over sig
+    # slices remains, which reads the table's sig column)
+    assert "documents.parquet" not in plan, plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, oracle_sf_dir):
     """Co-located join via bucketing: both tables bucketed+sorted on the
     join key → SortMergeJoin with NO exchange on either side. At 100 TB

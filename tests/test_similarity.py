@@ -123,6 +123,40 @@ def test_ivf_recall_against_bruteforce(spark, vectors):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_ivf_from_materialized_index_matches_in_memory(spark, vectors, tmp_path):
+    """The materialized-index probe must return EXACTLY the in-memory
+    ivf_topk result on the same centroids, and a second probe must reuse
+    the committed table without rebuilding (ensure_table contract)."""
+    from mapreduce_implementation_spark.sources.materialize import ensure_table
+
+    queries = vectors.where(F.col("vec_id").isin(0, 10, 20))
+    cents = sim.train_centroids(vectors, k=3, iters=3)
+    path = str(tmp_path / "ivf_index")
+    builds = []
+
+    def build():
+        builds.append(1)
+        return sim.assign_inverted_lists(
+            vectors, cents, 1, keep_cols=("embedding",)
+        )
+
+    for _ in range(2):  # second call must hit the committed table
+        ensure_table(spark, path, build, partition_cols=("centroid_id",))
+    assert len(builds) == 1
+    want = sorted(
+        map(tuple, sim.ivf_topk(vectors, queries, cents, k=5, nprobe=2).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            sim.ivf_topk_from_index(
+                spark, path, queries, cents, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_lsh_candidates_are_subset_of_bucket(spark, vectors):
     queries = vectors.where(F.col("vec_id") == 0)
     planes = vectors.where(F.col("vec_id").isin(0, 10)).select(
