@@ -48,7 +48,9 @@ from pyspark.sql.types import (
 
 MEDIA_TYPES = ("image", "audio", "video")
 
-_CODEC = {"image": "png", "audio": "pcm_s16le", "video": "h264"}
+# "svid" = the homegrown framed-PNG video container (functions/codecs.py)
+# — labeled truthfully; real H.264 needs av/ffmpeg, absent in this env.
+_CODEC = {"image": "png", "audio": "pcm_s16le", "video": "svid"}
 
 
 def media_table(docs: DataFrame) -> DataFrame:

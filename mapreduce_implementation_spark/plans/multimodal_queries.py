@@ -31,7 +31,7 @@ _MEDIA_TYPE = (
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 )
 _CODEC = (
-    "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'pcm_s16le' ELSE 'h264' END"
+    "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'pcm_s16le' ELSE 'svid' END"
 )
 # generator formulas (operators/multimodal._generators — keyed by doc_id)
 _W = "16 + doc_id % 17"

@@ -39,6 +39,12 @@ from mapreduce_implementation_spark.streaming.sources import (
 )
 
 
+# progress JSON of the most recent _drain — state-store metrics
+# (numRowsDroppedByWatermark etc.) OBSERVED from the engine, so tests
+# assert what the state store did, not what row counts imply
+_LAST_PROGRESS: list = []
+
+
 def _drain(
     spark: SparkSession, stream_df: DataFrame, output_mode: str
 ) -> DataFrame:
@@ -46,7 +52,8 @@ def _drain(
     source (Trigger.AvailableNow — terminates even for
     ProcessingTimeTimeout stateful ops) and return the sink table."""
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    run_available_now(stream_df, name, output_mode=output_mode)
+    q = run_available_now(stream_df, name, output_mode=output_mode)
+    _LAST_PROGRESS[:] = list(q.recentProgress)
     return spark.table(name)
 
 

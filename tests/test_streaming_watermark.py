@@ -70,6 +70,23 @@ def test_late_row_for_evicted_window_is_dropped(spark):
     assert dropped == 1
 
 
+def test_registered_watermark_query_observes_drops(spark):
+    """The REGISTERED late-data query's drain must record
+    numRowsDroppedByWatermark > 0 in the engine's progress JSON — the
+    late batch-3 rows are observed dropped by the state store, not
+    merely inferred from the output counts."""
+    from mapreduce_implementation_spark.plans import streaming_queries as sq
+
+    out = sq.streaming_late_data_watermark_query(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in sq._LAST_PROGRESS
+        if p.get("stateOperators")
+    )
+    assert dropped > 0, sq._LAST_PROGRESS
+
+
 def test_dedup_within_watermark_bounds_state(spark):
     """dropDuplicatesWithinWatermark: near-in-time duplicates collapse;
     a duplicate arriving in a later batch far beyond the watermark
