@@ -403,16 +403,95 @@ def ivf_topk_from_index(
     return _rank_topk(scored, query_id_col, id_col, k)
 
 
+def _query_probe_buckets(
+    queries: DataFrame,
+    planes: DataFrame,
+    id_col: str,
+    emb_col: str,
+    query_id_col: str,
+    probes: int,
+) -> DataFrame:
+    """Multi-probe SRP bucket set per query: the query's own bucket
+    plus, for ``probes > 1``, the (probes-1) Hamming-distance-1 buckets
+    obtained by flipping its LEAST-CONFIDENT bits first (smallest |dot|
+    margin — the standard multi-probe perturbation order). A
+    near-boundary query's true neighbors usually sit one such flip
+    away, so recall rises at a bounded probes× candidate cost — the
+    SRP analog of IVF's nprobe. Probed buckets are pairwise distinct
+    (each variant flips a different single bit), so candidates stay
+    duplicate-free.
+
+    Per-plane dots are STAGED as columns (Catalyst has no CSE across
+    the bit/flip/order expressions that reuse them)."""
+    from mapreduce_implementation_spark.functions.vectors import dot
+
+    plane_rows = sorted(
+        planes.select("plane_id", "plane_emb").collect(), key=lambda r: r.plane_id
+    )
+    n = len(plane_rows)
+    probes = max(1, min(probes, n + 1))
+    staged = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(emb_col).alias("_q_emb"),
+        *[
+            dot(
+                F.col(emb_col),
+                F.array(*[F.lit(float(x)) for x in r.plane_emb]),
+            ).alias(f"_d{j}")
+            for j, r in enumerate(plane_rows)
+        ],
+    )
+    bits = [
+        F.when(F.col(f"_d{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(n)
+    ]
+    flips = [
+        F.when(F.col(f"_d{j}") >= 0, F.lit("0")).otherwise(F.lit("1"))
+        for j in range(n)
+    ]
+    variants = [F.concat(*bits)]
+    if probes > 1:
+        margin_order = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(F.col(f"_d{j}")).alias("m"), F.lit(j).alias("j")
+                    )
+                    for j in range(n)
+                ]
+            )
+        )
+        for v in range(probes - 1):
+            fj = F.element_at(margin_order, v + 1)["j"]
+            variants.append(
+                F.concat(
+                    *[
+                        F.when(F.lit(j) == fj, flips[j]).otherwise(bits[j])
+                        for j in range(n)
+                    ]
+                )
+            )
+    return staged.select(
+        F.col(query_id_col),
+        F.col("_q_emb"),
+        F.explode(F.array(*variants)).alias("bucket"),
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     planes: DataFrame,
     k: int = 10,
+    probes: int = 1,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's SRP bucket.
+    """Approximate top-k: candidates limited to the query's SRP bucket
+    (``probes=1``) or its multi-probe bucket set (``probes>1`` — see
+    _query_probe_buckets; each vector still lives in exactly one
+    bucket, only the tiny query side fans out).
 
     ``planes`` is DataFrame[plane_id int, plane_emb array<float>] —
     deterministic projection directions (dataset rows or centroids).
@@ -420,10 +499,8 @@ def lsh_topk(
     skew is bounded by 2^|planes| tuning at scale.
     """
     vb = _with_buckets(vectors, planes, id_col, emb_col, keep_emb=True)
-    qb = _with_buckets(queries, planes, id_col, emb_col, keep_emb=True).select(
-        F.col(id_col).alias(query_id_col),
-        F.col(emb_col).alias("_q_emb"),
-        F.col("bucket"),
+    qb = _query_probe_buckets(
+        queries, planes, id_col, emb_col, query_id_col, probes
     )
     scored = (
         vb.join(F.broadcast(qb), "bucket")

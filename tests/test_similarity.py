@@ -83,6 +83,49 @@ def test_lsh_recall_against_bruteforce(spark, vectors):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+def test_multiprobe_lsh_beats_single_bucket_recall(spark, vectors):
+    """Multi-probe SRP (probes>1: flip least-confident bits → probe
+    Hamming-distance-1 buckets) must STRICTLY beat single-bucket recall
+    when the planes split the true neighborhoods — the SRP analog of
+    IVF's nprobe. Planes here deliberately cut through each cluster so
+    a query's neighbors scatter across adjacent buckets."""
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType
+
+    pschema = StructType(
+        [
+            StructField("plane_id", IntegerType(), False),
+            StructField("plane_emb", ArrayType(FloatType()), False),
+        ]
+    )
+    raw_planes = [
+        (0, [-0.15, 0, 0, 1, 0, 0, 0, 0]),
+        (1, [0, -0.15, 0, 0, 1, 0, 0, 0]),
+        (2, [0, 0, -0.15, 0, 0, 0, 1, 0]),
+    ]
+    planes = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in raw_planes], pschema
+    )
+    queries = vectors.where(F.col("vec_id").isin(0, 10, 20))
+    exact_sets: dict = {}
+    for r in sim.brute_force_topk(vectors, queries, k=5).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def avg_recall(probes: int) -> float:
+        got: dict = {}
+        for r in sim.lsh_topk(
+            vectors, queries, planes, k=5, probes=probes
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(exact_sets[q] & got.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ) / len(exact_sets)
+
+    single, multi = avg_recall(1), avg_recall(4)
+    assert multi > single, (single, multi)
+    assert multi >= 0.8, multi
+
+
 def test_kmeans_centroids_track_clusters(spark, vectors):
     """Trained centroids must land on the 3 planted clusters: every
     vector's nearest trained centroid is shared with its 9 cluster
