@@ -86,11 +86,22 @@ HOT_N, RARE_N, SALTS = 20000, 40, 16
 
 
 def _skewed_words(spark):
-    """'hot' at 20000 occurrences, 200 rare words at ~40 each (500×)."""
+    """'hot' at 20000 occurrences, 200 rare words at ~40 each (500×).
+
+    Carries a globally unique per-row ``rid`` so the salting tests can
+    derive the salt from a high-cardinality source. Salting by a
+    low-cardinality column (e.g. a doc_id with only 64 distinct values)
+    maps unevenly into SALTS buckets and does NOT bound the hot
+    partition — that is the precondition documented on
+    ``plans/text_queries.wordcount_salted``.
+    """
     hot = spark.range(0, HOT_N).select(
-        (F.col("id") % 64).alias("doc_id"), F.lit("hot").alias("word")
+        F.col("id").alias("rid"),
+        (F.col("id") % 64).alias("doc_id"),
+        F.lit("hot").alias("word"),
     )
     rare = spark.range(0, 200 * RARE_N).select(
+        (F.col("id") + HOT_N).alias("rid"),
         (F.col("id") % 64).alias("doc_id"),
         F.concat(F.lit("w"), (F.col("id") % 200).cast("string")).alias("word"),
     )
@@ -113,9 +124,13 @@ def test_salting_bounds_partition_rows(spark):
     state); partitioning by (key, salt) bounds every partition to
     ~hot/SALTS. This is what protects aggregations whose per-key state
     doesn't collapse map-side (collect_list/set, exact median) and any
-    key-partitioned sort/write."""
+    key-partitioned sort/write.
+
+    The salt comes from the per-row unique ``rid`` (uniform across
+    SALTS buckets); see _skewed_words for why a low-cardinality salt
+    source would not bound anything."""
     words = _skewed_words(spark).withColumn(
-        "salt", F.pmod(F.hash("doc_id"), F.lit(SALTS))
+        "salt", F.pmod(F.hash("rid"), F.lit(SALTS))
     )
     plain_max = _max_partition_rows(words, "word")
     salted_max = _max_partition_rows(words, "word", "salt")
@@ -129,7 +144,7 @@ def test_salted_wordcount_correct_on_skewed_corpus(spark):
     result)."""
     words = _skewed_words(spark)
     salted = (
-        words.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(SALTS)))
+        words.withColumn("salt", F.pmod(F.hash("rid"), F.lit(SALTS)))
         .groupBy("word", "salt")
         .agg(F.count(F.lit(1)).alias("partial_cnt"))
         .groupBy("word")
