@@ -362,6 +362,7 @@ def ivf_topk_from_index(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """IVF top-k probing a MATERIALIZED index (materialize_ivf_index).
 
@@ -371,7 +372,23 @@ def ivf_topk_from_index(
     reads ONLY the probed inverted-list directories (PartitionFilters),
     never the full table — at 100 TB that is nprobe/k_lists of the
     corpus per query batch. Results are identical to ivf_topk on the
-    same centroids (pytest-pinned)."""
+    same centroids (pytest-pinned).
+
+    The small-queries contract is ENFORCED, not trusted:
+    ``max_queries`` caps the driver collect (nprobe assignments per
+    query × ~embedding bytes each — 100k queries ≈ low-GB driver heap)
+    and raises before collecting anything larger. A corpus-sized query
+    set belongs in ``ivf_topk`` (distributed join against the
+    assignment table), not here."""
+    n_queries = queries.count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"ivf_topk_from_index collects query assignments to the "
+            f"driver; got {n_queries} queries > max_queries="
+            f"{max_queries}. Use ivf_topk (distributed) for large "
+            f"query sets, or raise max_queries if the driver heap "
+            f"genuinely allows it."
+        )
     qrows = assign_inverted_lists(
         queries, centroids, nprobe, id_col, emb_col, keep_cols=(emb_col,)
     ).collect()

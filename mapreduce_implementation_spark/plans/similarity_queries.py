@@ -67,31 +67,74 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, queries, k=K)
 
 
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via single-bucket SRP-LSH (4 data-derived
+    planes → 16 buckets). NOT registry-gated: the shipped ANN
+    configuration is ``similarity_topk_lsh_multiprobe`` (strictly
+    higher recall at ≤2× candidate cost — 0.42 vs 0.28 measured on the
+    real fixture, gated in tests/test_similarity.py); this single-probe
+    variant stays as the comparison baseline the gate measures
+    against, and to keep the registry at the driver's 50-query
+    verification budget."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    planes = emb.where(F.col("vec_id") < N_PLANES).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("plane_emb")
+    )
+    return sim.lsh_topk(emb, queries, planes, k=K)
+
+
+PROBES = 2
+
+
 @register(
-    "similarity_topk_lsh",
+    "similarity_topk_lsh_multiprobe",
     tables=("embeddings",),
     oracle=f"""
         WITH planes AS (
             SELECT vec_id AS plane_id, embedding AS pe
             FROM embeddings WHERE vec_id < {N_PLANES}
         ),
-        b AS (
-            SELECT e.vec_id,
-                   string_agg(CASE WHEN ({_dot("e.embedding", "p.pe")}) >= 0
-                                   THEN '1' ELSE '0' END, '' ORDER BY p.plane_id) AS bucket
+        dots AS (
+            SELECT e.vec_id, p.plane_id, ({_dot("e.embedding", "p.pe")}) AS d
             FROM embeddings e CROSS JOIN planes p
-            GROUP BY e.vec_id
         ),
-        q AS (
-            SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qe
-            FROM b JOIN embeddings e ON e.vec_id = b.vec_id
-            WHERE b.vec_id < {N_QUERIES}
+        b AS (
+            SELECT vec_id,
+                   string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END,
+                              '' ORDER BY plane_id) AS bucket
+            FROM dots GROUP BY vec_id
+        ),
+        qflip AS (
+            SELECT vec_id, plane_id AS fj FROM (
+                SELECT vec_id, plane_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY abs(d), plane_id
+                       ) AS rn
+                FROM dots WHERE vec_id < {N_QUERIES}
+            ) WHERE rn = 1
+        ),
+        qb AS (
+            SELECT vec_id AS query_id, bucket
+            FROM b WHERE vec_id < {N_QUERIES}
+            UNION ALL
+            SELECT d.vec_id AS query_id,
+                   string_agg(
+                       CASE WHEN d.plane_id = f.fj
+                            THEN (CASE WHEN d.d >= 0 THEN '0' ELSE '1' END)
+                            ELSE (CASE WHEN d.d >= 0 THEN '1' ELSE '0' END)
+                       END, '' ORDER BY d.plane_id) AS bucket
+            FROM dots d JOIN qflip f USING (vec_id)
+            WHERE d.vec_id < {N_QUERIES}
+            GROUP BY d.vec_id
         ),
         scored AS (
-            SELECT q.query_id, v.vec_id, {_cos("q.qe", "v.embedding")} AS cos_sim
-            FROM q
+            SELECT q.query_id, v.vec_id,
+                   {_cos("qe.embedding", "v.embedding")} AS cos_sim
+            FROM qb q
             JOIN b vb ON vb.bucket = q.bucket
             JOIN embeddings v ON v.vec_id = vb.vec_id
+            JOIN embeddings qe ON qe.vec_id = q.query_id
             WHERE v.vec_id <> q.query_id
         ),
         ranked AS (
@@ -105,15 +148,23 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE "rank" <= {K}
     """,
 )
-def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via SRP-LSH bucketing (4 data-derived planes →
-    16 buckets); candidates shrink ~16×, the scale path for ANN."""
+def similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via multi-probe SRP-LSH (probes=2): each query
+    probes its own bucket PLUS the Hamming-distance-1 bucket from
+    flipping its least-confident bit (smallest |dot| margin — the
+    standard multi-probe perturbation order). Near-boundary queries
+    recover neighbors a single-bucket probe misses, at ≤2× candidate
+    cost — only the tiny query side fans out; every corpus vector still
+    lives in exactly one bucket. This is the REGISTERED ANN
+    configuration (test_similarity gates its recall on the real
+    fixture); the oracle replays the identical margin-ordered flip as
+    CTEs."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     planes = emb.where(F.col("vec_id") < N_PLANES).select(
         F.col("vec_id").alias("plane_id"), F.col("embedding").alias("plane_emb")
     )
-    return sim.lsh_topk(emb, queries, planes, k=K)
+    return sim.lsh_topk(emb, queries, planes, k=K, probes=PROBES)
 
 
 N_CENTROIDS = 8

@@ -172,56 +172,17 @@ def streaming_late_data_watermark_query(spark: SparkSession, sf_dir: str) -> Dat
     windows the final watermark closed: if the late rows leaked in,
     every old window's count would be ~11% high and the value-hash
     would fail."""
-    import os
     import shutil
-    import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from mapreduce_implementation_spark.streaming.sources import (
-        EVENTS_RAW_SCHEMA,
+    from mapreduce_implementation_spark.streaming.fixtures import (
+        stage_late_events_stream,
     )
 
-    raw = (
-        spark.read.schema(EVENTS_RAW_SCHEMA)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
-        .select("event_id", "ts")
-    )
-    mx_s = raw.agg(F.max(F.expr("ts div 1000000000"))).collect()[0][0]
-    split_s = mx_s - 3600
-    stream_dir = tempfile.mkdtemp(prefix="late_stream_")
-
-    def write_batch(df, name: str, mtime: float) -> None:
-        tmp = tempfile.mkdtemp(prefix="late_batch_")
-        try:
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-            if not parts:  # empty split (no rows) — skip the micro-batch
-                return
-            dest = os.path.join(stream_dir, name)
-            shutil.move(os.path.join(tmp, parts[0]), dest)
-            os.utime(dest, (mtime, mtime))
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-
-    import time as _time
-
-    now = _time.time()
-    # FileStreamSource processes files oldest-mtime first: new events
-    # form batch 1, 90% of old events batch 2, the late 10% batch 3.
-    is_new = F.expr("ts div 1000000000") > split_s
-    write_batch(raw.where(is_new), "b1.parquet", now - 60)
-    write_batch(
-        raw.where(~is_new & (F.col("event_id") % 10 != 0)), "b2.parquet", now - 30
-    )
-    write_batch(
-        raw.where(~is_new & (F.col("event_id") % 10 == 0)), "b3.parquet", now
-    )
-
+    stream_dir = stage_late_events_stream(spark, sf_dir)
     stream = (
-        spark.readStream.schema("event_id long, ts long")
+        spark.readStream.schema("event_id long, ts timestamp")
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     counted = (
         stream.withWatermark("ts", "60 seconds")

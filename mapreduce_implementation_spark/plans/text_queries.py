@@ -97,9 +97,20 @@ def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The salt hashes the source doc_id — deterministic under task retry
     (a re-executed partition salts identically), unlike a
-    monotonically_increasing_id-based salt. Not registry-gated (the
-    50-query budget keeps one wordcount per semantics; this one's
-    results ≡ ``wordcount`` and are pytest-asserted equal)."""
+    monotonically_increasing_id-based salt. PRECONDITION: the salt
+    source must be high-cardinality relative to SALTS so hash(source)
+    spreads ~uniformly over the 16 buckets. doc_id qualifies in the
+    real corpus (one id per document, millions of values); a
+    low-cardinality source (e.g. a 64-value synthetic doc_id) maps
+    unevenly into the buckets and bounds nothing — which is why
+    tests/test_skew.py salts its fixture by the per-row unique ``rid``
+    instead of this plan's doc_id. Also scale the stage-1 partition
+    count with the split factor (≈ SALTS× the unsalted count):
+    (word,salt) groups still HASH into physical partitions, and with
+    too few partitions hot-group collisions rebuild the skew the salt
+    just removed. Not registry-gated (the 50-query budget keeps one
+    wordcount per semantics; this one's results ≡ ``wordcount`` and
+    are pytest-asserted equal)."""
     docs = load_table(spark, sf_dir, "documents")
     salted = (
         docs.select(

@@ -32,14 +32,43 @@ TABLES = (
 BROADCASTABLE = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (µs, UTC instant)
+    regardless of how the writer encoded it.
+
+    Real lakes mix encodings — a fixed assumption about one writer's
+    choice is a day-one breakage for everyone else. Handled:
+
+    * LONG — parquet TIMESTAMP(NANOS) read via ``nanosAsLong`` (Spark's
+      vectorized reader rejects nanos outright). Floor-convert with
+      integer ``div`` — epoch-nanos ≈ 1.7e18 exceeds double's 2^53
+      exact range, so ``/`` would corrupt low digits.
+    * TIMESTAMP_NTZ — µs parquet without UTC adjustment (DuckDB,
+      pandas default). Cast to TIMESTAMP; the session pins UTC so the
+      NTZ→LTZ reinterpretation is instant-preserving.
+    * TIMESTAMP — already what we want.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, LongType):
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    if isinstance(dtype, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if isinstance(dtype, TimestampType):
+        return df
+    raise TypeError(f"unsupported {ts_col!r} encoding: {dtype}")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as
-    long and floor-convert to a microsecond timestamp — byte-identical
-    to DuckDB's own ns→µs truncation. Integer ``div`` (not ``/``) is
-    essential: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range.
+    ``events.ts`` arrives in whatever encoding the upstream writer
+    chose; ``normalize_event_ts`` branches on the ACTUAL parquet type
+    so every encoding yields the same TIMESTAMP column.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -48,11 +77,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # caller's session (e.g. the verify driver's) didn't set a timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        from pyspark.sql import functions as F
-
+        # nanosAsLong only affects TIMESTAMP(NANOS) columns; harmless
+        # for µs encodings, required to even read the nanos one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -8,7 +8,6 @@ every transformation downstream is source-agnostic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -27,8 +26,10 @@ DOCUMENTS_SCHEMA = StructType(
     ]
 )
 
-# events.ts is parquet TIMESTAMP(NANOS) → read as long (see
-# sources/catalog.py) and convert with integer div.
+# Legacy events encoding: parquet TIMESTAMP(NANOS) exposed as long via
+# ``nanosAsLong``. Only for callers (hermetic tests) that stage nanos
+# fixtures into an initially-empty stream dir, where the schema cannot
+# be sniffed from files; production paths derive the schema from disk.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -51,11 +52,38 @@ def read_documents_stream(
 
 
 def read_events_stream(
-    spark: SparkSession, input_dir: str, glob: str | None = None
+    spark: SparkSession,
+    input_dir: str,
+    glob: str | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
+    """Stream the events layout with a schema DERIVED from the files.
+
+    A readStream needs an explicit schema, but hardcoding one silently
+    corrupts data the moment the upstream writer changes timestamp
+    encoding (µs-timestamp read as long → ~1970-epoch garbage, zero
+    errors raised). So: one batch metadata read of the same path
+    supplies the actual on-disk schema, and ``normalize_event_ts``
+    converts ``ts`` per-encoding exactly as the batch catalog does.
+
+    ``schema`` overrides the sniff — required when the stream starts on
+    an empty directory (nothing to sniff yet); the caller then promises
+    the files it will feed match it.
+    """
+    from mapreduce_implementation_spark.sources.catalog import (
+        normalize_event_ts,
+    )
+
+    # Required to read the legacy TIMESTAMP(NANOS) encoding at all;
+    # no-op for µs encodings.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if schema is None:
+        batch = spark.read
+        if glob:
+            batch = batch.option("pathGlobFilter", glob)
+        schema = batch.parquet(input_dir).schema
+
+    reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    raw = reader.parquet(input_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.parquet(input_dir))

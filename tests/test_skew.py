@@ -108,9 +108,9 @@ def _skewed_words(spark):
     return hot.union(rare)
 
 
-def _max_partition_rows(df, *cols) -> int:
+def _max_partition_rows(df, n_partitions, *cols) -> int:
     counted = (
-        df.repartition(32, *[F.col(c) for c in cols])
+        df.repartition(n_partitions, *[F.col(c) for c in cols])
         .groupBy(F.spark_partition_id().alias("pid"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -121,21 +121,34 @@ def test_salting_bounds_partition_rows(spark):
     """The salted two-stage shape (plans/text_queries.wordcount_salted)
     under a partition-size gate: partitioning by bare key puts the hot
     word's ENTIRE frequency in one partition (the failing-before
-    state); partitioning by (key, salt) bounds every partition to
-    ~hot/SALTS. This is what protects aggregations whose per-key state
-    doesn't collapse map-side (collect_list/set, exact median) and any
-    key-partitioned sort/write.
+    state); partitioning by (key, salt) bounds every partition to a
+    few×hot/SALTS. This is what protects aggregations whose per-key
+    state doesn't collapse map-side (collect_list/set, exact median)
+    and any key-partitioned sort/write.
 
     The salt comes from the per-row unique ``rid`` (uniform across
     SALTS buckets); see _skewed_words for why a low-cardinality salt
-    source would not bound anything."""
+    source would not bound anything.
+
+    Collision math behind the bounds: salting splits the hot word into
+    SALTS=16 groups of ~HOT_N/16=1250 rows, but groups then HASH into
+    physical partitions — with only 32 partitions, several hot groups
+    colliding into one partition is near-certain (the exact failure of
+    the earlier ``<= HOT_N//4`` bound at 32). Salting widens the
+    per-partition ceiling only if the partition count gives groups room
+    to spread, so the salted stage repartitions to 256 (matching the
+    plan guidance: scale partitions with the split factor), where the
+    expected hot-group collisions per partition are ≪ 1 and
+    ``2·HOT_N/SALTS`` (= one collision pair + rare-word noise) is a
+    sound deterministic bound."""
     words = _skewed_words(spark).withColumn(
         "salt", F.pmod(F.hash("rid"), F.lit(SALTS))
     )
-    plain_max = _max_partition_rows(words, "word")
-    salted_max = _max_partition_rows(words, "word", "salt")
+    plain_max = _max_partition_rows(words, 32, "word")
+    salted_max = _max_partition_rows(words, 256, "word", "salt")
     assert plain_max >= HOT_N  # hot key lands whole in one partition
-    assert salted_max <= HOT_N // 4, (plain_max, salted_max)
+    assert salted_max <= 2 * HOT_N // SALTS, (plain_max, salted_max)
+    assert salted_max <= plain_max // 3, (plain_max, salted_max)
 
 
 def test_salted_wordcount_correct_on_skewed_corpus(spark):

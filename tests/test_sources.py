@@ -90,3 +90,68 @@ def test_register_views_enables_plain_sql(spark):
     # events view got the ns-timestamp workaround: ts must be usable
     mx = spark.sql("SELECT MAX(ts) AS m FROM events").collect()[0].m
     assert mx is not None
+
+def _write_events_fixture(path, ts_unit: str, tz=None) -> list[int]:
+    """Tiny events table with ts in the given pyarrow timestamp unit.
+    Returns the expected epoch seconds per event_id order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    secs = [1_700_000_000, 1_700_000_007, 1_700_003_600]
+    mult = {"ns": 1_000_000_000, "us": 1_000_000}[ts_unit]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    [s * mult for s in secs], pa.timestamp(ts_unit, tz=tz)
+                ),
+                "user_id": pa.array([10, 11, 10], pa.int64()),
+                "event_type": pa.array(["click", "view", "purchase"]),
+                "value": pa.array([1.0, 2.0, 3.0]),
+                "props": pa.array(["{}"] * 3),
+            }
+        ),
+        path,
+    )
+    return secs
+
+
+def test_events_loader_is_encoding_portable(spark, tmp_path):
+    """Regression armor for the round-5 breakage: the SAME instants
+    written as parquet TIMESTAMP(NANOS), timestamp[us] (NTZ), and
+    timestamp[us, UTC] must load to identical epoch seconds through
+    BOTH the batch loader and the streaming source. A hardcoded
+    encoding assumption fails this on day one."""
+    from mapreduce_implementation_spark.operators.events import epoch_s
+    from mapreduce_implementation_spark.streaming.queries import (
+        run_available_now,
+    )
+    from mapreduce_implementation_spark.streaming.sources import (
+        read_events_stream,
+    )
+
+    encodings = [("ns", None), ("us", None), ("us", "UTC")]
+    for i, (unit, tz) in enumerate(encodings):
+        d = tmp_path / f"enc_{unit}_{tz or 'ntz'}"
+        d.mkdir()
+        expected = _write_events_fixture(d / "events.parquet", unit, tz)
+
+        batch = load_table(spark, str(d), "events")
+        got = [
+            r.s
+            for r in batch.select("event_id", epoch_s("ts").alias("s"))
+            .orderBy("event_id")
+            .collect()
+        ]
+        assert got == expected, f"batch loader wrong for {unit}/{tz}"
+
+        stream = read_events_stream(spark, str(d), glob="events.parquet")
+        name = f"enc_stream_{i}"
+        run_available_now(
+            stream.select("event_id", epoch_s("ts").alias("s")),
+            name,
+            output_mode="append",
+        )
+        got_s = [r.s for r in spark.table(name).orderBy("event_id").collect()]
+        assert got_s == expected, f"streaming source wrong for {unit}/{tz}"

@@ -18,6 +18,7 @@ from mapreduce_implementation_spark.streaming.queries import (
 )
 from mapreduce_implementation_spark.streaming.sessionize import sessionize_stream
 from mapreduce_implementation_spark.streaming.sources import (
+    EVENTS_RAW_SCHEMA,
     read_documents_stream,
     read_events_stream,
 )
@@ -75,12 +76,14 @@ def test_streaming_wordcount_matches_batch(spark, stream_dir):
 
 
 def test_streaming_windowed_counts_incremental(spark, stream_dir):
+    # Feed BEFORE starting so read_events_stream sniffs the real file's
+    # encoding (whatever the generator wrote) instead of assuming one.
+    _feed(f"{SF}/events.parquet", stream_dir, "b0.parquet")
     q = run_to_memory(
         streaming_windowed_counts(read_events_stream(spark, stream_dir)),
         "win_stream",
     )
     try:
-        _feed(f"{SF}/events.parquet", stream_dir, "b0.parquet")
         q.processAllAvailable()
         rows = spark.table("win_stream").collect()
     finally:
@@ -100,7 +103,7 @@ def test_sessionize_stream_two_batches(spark, stream_dir, tmp_path):
     write_batch = _write_events_batch
 
     q = run_to_memory(
-        sessionize_stream(read_events_stream(spark, stream_dir), gap_s=1800),
+        sessionize_stream(read_events_stream(spark, stream_dir, schema=EVENTS_RAW_SCHEMA), gap_s=1800),
         "sess_stream",
         output_mode="append",
     )
@@ -132,7 +135,7 @@ def test_sessionize_stream_late_events_cross_batch(spark, stream_dir, tmp_path):
     gap of the open session extends it backwards; one older than
     start - gap becomes its OWN closed session (not folded in)."""
     q = run_to_memory(
-        sessionize_stream(read_events_stream(spark, stream_dir), gap_s=1800),
+        sessionize_stream(read_events_stream(spark, stream_dir, schema=EVENTS_RAW_SCHEMA), gap_s=1800),
         "sess_late_stream",
         output_mode="append",
     )
@@ -174,7 +177,7 @@ def test_sessionize_stream_timeout_flushes_open_session(spark, stream_dir, tmp_p
     import time
 
     q = run_to_memory(
-        sessionize_stream(read_events_stream(spark, stream_dir), gap_s=2),
+        sessionize_stream(read_events_stream(spark, stream_dir, schema=EVENTS_RAW_SCHEMA), gap_s=2),
         "sess_timeout_stream",
         output_mode="append",
     )
