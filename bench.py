@@ -56,16 +56,105 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    warm = warm_probe_timings(spark, sf_dir)
+
     out = {
         "metric": "headline query wall-clock, noop sink, min of 2 runs",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "warm_queries": warm,
         "runs_per_query": 2,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
+    """Build-vs-probe cost split for the materialized-artifact layouts.
+
+    The registered (cold) queries deliberately pay the full artifact
+    build on every invocation — honest for the correctness sweep, but
+    it masks the number that matters in production, where signature
+    tables and IVF indexes are built once and probed thousands of
+    times. Each artifact is built ONCE here (reported as *_build), then
+    only the probe is timed (min of 2) against the committed table.
+    Kept out of `value`/`queries` so the cold headline total stays
+    comparable across rounds (BASELINE.md)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.operators import dedup as dd
+    from mapreduce_implementation_spark.operators import similarity as sim
+    from mapreduce_implementation_spark.plans.dedup_queries import (
+        BANDS,
+        K as MH_K,
+        ROWS,
+    )
+    from mapreduce_implementation_spark.plans.similarity_queries import (
+        K as ANN_K,
+        KMEANS_ITERS,
+        N_CENTROIDS,
+        N_QUERIES,
+        NPROBE,
+    )
+    from mapreduce_implementation_spark.sources.catalog import load_table
+    from mapreduce_implementation_spark.sources.materialize import ensure_table
+
+    warm: dict[str, float] = {}
+    with tempfile.TemporaryDirectory(prefix="mris_bench_warm_") as root:
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        sigs = ensure_table(
+            spark,
+            os.path.join(root, "minhash_sigs"),
+            lambda: dd.minhash_signatures(
+                docs, "doc_id", "text", shingle_n=3, k=MH_K
+            ),
+        )
+        warm["minhash_signatures_build"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(
+                dd.minhash_near_dup_pairs(
+                    docs, "doc_id", "text", shingle_n=3, k=MH_K,
+                    bands=BANDS, rows=ROWS, threshold=0.5, signatures=sigs,
+                )
+            )
+            best = min(best, time.perf_counter() - t0)
+        warm["minhash_near_dup_pairs_warm"] = round(best, 3)
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < N_QUERIES)
+        t0 = time.perf_counter()
+        centroids = sim.train_centroids(
+            emb, k=N_CENTROIDS, iters=KMEANS_ITERS
+        )
+        index_path = os.path.join(root, "ivf_index")
+        ensure_table(
+            spark,
+            index_path,
+            lambda: sim.assign_inverted_lists(
+                emb, centroids, 1, keep_cols=("embedding",)
+            ),
+            partition_cols=("centroid_id",),
+        )
+        warm["ivf_index_build"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(
+                sim.ivf_topk_from_index(
+                    spark, index_path, queries, centroids,
+                    k=ANN_K, nprobe=NPROBE,
+                )
+            )
+            best = min(best, time.perf_counter() - t0)
+        warm["similarity_topk_ivf_warm"] = round(best, 3)
+    return warm
 
 
 if __name__ == "__main__":

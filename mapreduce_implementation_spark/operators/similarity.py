@@ -380,14 +380,14 @@ def ivf_topk_from_index(
     and raises before collecting anything larger. A corpus-sized query
     set belongs in ``ivf_topk`` (distributed join against the
     assignment table), not here."""
-    n_queries = queries.count()
-    if n_queries > max_queries:
+    # limit(cap+1).count() bounds the guard's own cost: it never scans
+    # more than cap+1 rows even when the query set is corpus-sized.
+    if queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(
             f"ivf_topk_from_index collects query assignments to the "
-            f"driver; got {n_queries} queries > max_queries="
-            f"{max_queries}. Use ivf_topk (distributed) for large "
-            f"query sets, or raise max_queries if the driver heap "
-            f"genuinely allows it."
+            f"driver; query set exceeds max_queries={max_queries}. "
+            f"Use ivf_topk (distributed) for large query sets, or "
+            f"raise max_queries if the driver heap genuinely allows it."
         )
     qrows = assign_inverted_lists(
         queries, centroids, nprobe, id_col, emb_col, keep_cols=(emb_col,)
