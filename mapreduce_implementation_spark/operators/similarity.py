@@ -380,18 +380,23 @@ def ivf_topk_from_index(
     and raises before collecting anything larger. A corpus-sized query
     set belongs in ``ivf_topk`` (distributed join against the
     assignment table), not here."""
-    # limit(cap+1).count() bounds the guard's own cost: it never scans
-    # more than cap+1 rows even when the query set is corpus-sized.
-    if queries.limit(max_queries + 1).count() > max_queries:
+    # The guard rides the collect itself (no extra job): cap+1 rows is
+    # the most that ever reaches the driver, corpus-sized input or not.
+    cap_rows = max_queries * max(1, nprobe)
+    qrows = (
+        assign_inverted_lists(
+            queries, centroids, nprobe, id_col, emb_col, keep_cols=(emb_col,)
+        )
+        .limit(cap_rows + 1)
+        .collect()
+    )
+    if len(qrows) > cap_rows:
         raise ValueError(
             f"ivf_topk_from_index collects query assignments to the "
             f"driver; query set exceeds max_queries={max_queries}. "
             f"Use ivf_topk (distributed) for large query sets, or "
             f"raise max_queries if the driver heap genuinely allows it."
         )
-    qrows = assign_inverted_lists(
-        queries, centroids, nprobe, id_col, emb_col, keep_cols=(emb_col,)
-    ).collect()
     probe_ids = sorted({int(r["centroid_id"]) for r in qrows})
     qb = F.broadcast(
         spark.createDataFrame(

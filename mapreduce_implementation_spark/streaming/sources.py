@@ -45,7 +45,19 @@ EVENTS_RAW_SCHEMA = StructType(
 def read_documents_stream(
     spark: SparkSession, input_dir: str, glob: str | None = None
 ) -> DataFrame:
-    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    """Stream the documents layout, sniffing the schema from the files
+    when any exist (same writer-drift armor as read_events_stream);
+    DOCUMENTS_SCHEMA is only the empty-dir fallback for streams that
+    start before their first file arrives."""
+    schema = DOCUMENTS_SCHEMA
+    try:
+        batch = spark.read
+        if glob:
+            batch = batch.option("pathGlobFilter", glob)
+        schema = batch.parquet(input_dir).schema
+    except Exception:
+        pass  # no files yet — trust the declared layout
+    reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.parquet(input_dir)
