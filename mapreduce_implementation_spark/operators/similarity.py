@@ -99,7 +99,9 @@ def _with_buckets(
     )
 
     def bit(pe) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in pe])
+        # one py4j call per ARRAY, not per element (64-dim planes
+        # otherwise cost ~100 py4j round-trips each at plan build)
+        arr = F.lit([float(x) for x in pe])
         return F.when(dot(F.col(emb_col), arr) >= 0, F.lit("1")).otherwise(
             F.lit("0")
         )
@@ -267,7 +269,9 @@ def assign_inverted_lists(
 
     def score(c_emb: list, c_norm: float) -> Column:
         denom = F.lit(c_norm) * F.col("_vn")
-        d = dot(F.array(*[F.lit(x) for x in c_emb]), F.col(emb_col))
+        # F.lit(list) builds the whole array literal in ONE py4j call;
+        # per-element F.lit cost ~1s of driver time per probe at d=64×k=8
+        d = dot(F.lit(c_emb), F.col(emb_col))
         return F.when(denom != 0, d / denom).cast(COS_Q)
 
     structs = [
@@ -458,7 +462,7 @@ def _query_probe_buckets(
         *[
             dot(
                 F.col(emb_col),
-                F.array(*[F.lit(float(x)) for x in r.plane_emb]),
+                F.lit([float(x) for x in r.plane_emb]),
             ).alias(f"_d{j}")
             for j, r in enumerate(plane_rows)
         ],
