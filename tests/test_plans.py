@@ -195,3 +195,20 @@ def test_bucketed_join_avoids_shuffle(spark, oracle_sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_events_scan_pushdown_survives_ts_normalization(spark, oracle_sf_dir):
+    """normalize_event_ts wraps every events scan in a ts conversion;
+    that wrapper must NOT block Catalyst from pushing other-column
+    filters into the scan or pruning unused columns. Gate on the range
+    join: event_type equality must reach PushedFilters and `props`
+    (unused) must be pruned from every events ReadSchema."""
+    df = all_queries()["events_range_join_click_purchase"].fn(
+        spark, oracle_sf_dir
+    )
+    plan = explain_str(df)
+    assert "EqualTo(event_type,click)" in plan, plan
+    assert "EqualTo(event_type,purchase)" in plan, plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "props" not in line, line
