@@ -265,9 +265,9 @@ def registered_recalls(spark):
 
 def test_registered_multiprobe_recall_floor(registered_recalls):
     """Failing-if-degraded gate tied to the shipped params (4 planes,
-    probes=2): measured 0.42 on the real fixture; the floor catches a
+    probes=3): measured 0.56 on the real fixture; the floor catches a
     config/logic regression while leaving host-variance headroom."""
-    assert registered_recalls["similarity_topk_lsh_multiprobe"] >= 0.35, (
+    assert registered_recalls["similarity_topk_lsh_multiprobe"] >= 0.5, (
         registered_recalls
     )
 
@@ -275,7 +275,7 @@ def test_registered_multiprobe_recall_floor(registered_recalls):
 def test_registered_multiprobe_beats_single_probe(registered_recalls):
     """The registered ANN path must be the multi-probe config for a
     reason: strictly higher recall than the single-bucket probe on the
-    same planes (0.42 vs 0.28 measured)."""
+    same planes (0.56 vs 0.28 measured)."""
     assert (
         registered_recalls["similarity_topk_lsh_multiprobe"]
         > registered_recalls["similarity_topk_lsh"]
@@ -283,9 +283,9 @@ def test_registered_multiprobe_beats_single_probe(registered_recalls):
 
 
 def test_registered_ivf_recall_floor(registered_recalls):
-    """Shipped IVF params (8 lists, nprobe=2, 3 k-means iters):
-    measured 0.34 on the real fixture."""
-    assert registered_recalls["similarity_topk_ivf"] >= 0.25, registered_recalls
+    """Shipped IVF params (8 lists, nprobe=3, 3 k-means iters):
+    measured 0.56 on the real fixture."""
+    assert registered_recalls["similarity_topk_ivf"] >= 0.45, registered_recalls
 
 
 def test_ivf_from_index_rejects_oversized_query_set(spark, vectors, tmp_path):
