@@ -282,7 +282,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of integer-exact spherical k-means (operators.similarity.
     train_centroids) build 8 inverted lists; the assignment is
     MATERIALIZED as a centroid_id-partitioned table and queries probe
-    their 2 nearest lists through it — the probe scan reads only the
+    their NPROBE nearest lists through it — the probe scan reads only the
     probed partitions (PartitionFilters, plan-gated). The oracle
     replays the identical training as unrolled CTEs."""
     import os
