@@ -71,8 +71,8 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via single-bucket SRP-LSH (4 data-derived
     planes → 16 buckets). NOT registry-gated: the shipped ANN
     configuration is ``similarity_topk_lsh_multiprobe`` (strictly
-    higher recall at ≤2× candidate cost — 0.42 vs 0.28 measured on the
-    real fixture, gated in tests/test_similarity.py); this single-probe
+    higher recall at ≤probes× candidate cost — 0.56 vs 0.28 measured on
+    the real fixture, gated in tests/test_similarity.py); this single-probe
     variant stays as the comparison baseline the gate measures
     against, and to keep the registry at the driver's 50-query
     verification budget."""
