@@ -1,0 +1,125 @@
+"""Deterministic corpus sampling and splitting — the subsetting layer a
+training-data pipeline runs before anything else (ablations, holdouts,
+per-source mixing rates).
+
+Everything here is keyed on a HASH of a stable id column, never on
+``rand()``:
+
+* reproducible across runs, retries, and partition re-executions (a
+  re-executed task re-derives the same decisions — ``rand()`` does not,
+  which silently corrupts exactly-once sinks under speculation);
+* map-only: the sample decision is a scan-stage filter, no shuffle, no
+  driver state, and Catalyst pushes surviving predicates below it —
+  sampling 0.1% of 100 TB reads the column-pruned scan once and writes
+  ~100 GB, with zero exchange;
+* composable: disjoint splits come from disjoint hash-bucket ranges of
+  the SAME hash, so train/holdout are provably non-overlapping without
+  any anti-join.
+
+The reference engine has no sampling surface (its only scan is the full
+chunked text file, /root/reference/Worker.cc:123-141); this module is
+part of the LLM-pipeline extension set alongside dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Hash-bucket resolution. 1e6 buckets → fraction granularity 1e-6, fine
+# enough for any realistic mixing rate while keeping bucket ids in int32.
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Uniform bucket in [0, BUCKETS) from a stable key.
+
+    xxhash64 (JVM-side, whole-stage-codegen-able) rather than ``hash``:
+    64-bit avalanche keeps bucket occupancy uniform even for dense
+    sequential ids. ``salt`` decouples independent sampling decisions
+    on the same key (e.g. a 1% eval sample drawn independently of the
+    train/holdout split) — different salt, statistically independent
+    buckets."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli-by-key sample of ~``fraction`` rows.
+
+    All rows sharing a key land together (in or out) — for documents
+    keyed by doc_id that is per-row sampling; for event streams keyed
+    by user_id it is per-entity sampling, which preserves within-entity
+    structure (sessions stay whole) where row-wise ``rand()`` would
+    shred it."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.where(hash_bucket(key_col, salt) < int(round(fraction * BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. keep 100% of wiki, 10% of web, 1% of logs).
+
+    The per-stratum threshold is a small CASE expression on
+    ``stratum_col`` (broadcast-free: strata names are plan literals),
+    compared against the same map-only hash bucket — still zero
+    shuffle. Strata absent from ``fractions`` fall back to
+    ``default_fraction``."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0,1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    threshold: Column = F.lit(int(round(default_fraction * BUCKETS)))
+    for s, f in sorted(fractions.items()):
+        threshold = (
+            F.when(F.col(stratum_col) == s, F.lit(int(round(f * BUCKETS))))
+            .otherwise(threshold)
+        )
+    return df.where(hash_bucket(key_col, salt) < threshold)
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    salt: str = "",
+) -> dict[str, DataFrame]:
+    """Disjoint, exhaustive, deterministic splits (train/val/test).
+
+    Each split owns a contiguous range of the hash-bucket space
+    proportional to its weight; ranges partition [0, BUCKETS), so the
+    splits are provably disjoint and their union is the input — no
+    anti-join, no second pass, and a key always lands in the same split
+    in every run. The last split absorbs rounding residue."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError(f"weights must sum to a positive value, got {total}")
+    names = list(weights)
+    bounds = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bounds.append(int(round(acc * BUCKETS)))
+    bounds.append(BUCKETS)
+    bucket = hash_bucket(key_col, salt)
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    for name, hi in zip(names, bounds):
+        out[name] = df.where((bucket >= lo) & (bucket < hi))
+        lo = hi
+    return out

@@ -1,0 +1,109 @@
+"""Deterministic sampling/splitting: reproducibility, disjointness,
+fraction accuracy, and the map-only (no-shuffle) plan property."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators import sampling as sp
+from mapreduce_implementation_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_sample_fraction_and_determinism(spark):
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    a = sp.hash_sample(docs, "doc_id", 0.2)
+    b = sp.hash_sample(docs, "doc_id", 0.2)
+    ids_a = {r.doc_id for r in a.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # same decision every run
+    # xxhash64 uniformity: expect ~n*0.2 ± a generous binomial bound
+    assert abs(len(ids_a) - 0.2 * n) < 4 * (0.2 * 0.8 * n) ** 0.5 + 5
+
+
+def test_hash_sample_salt_decorrelates(spark):
+    docs = load_table(spark, SF, "documents")
+    a = {r.doc_id for r in sp.hash_sample(docs, "doc_id", 0.5).collect()}
+    b = {r.doc_id for r in sp.hash_sample(docs, "doc_id", 0.5, salt="eval").collect()}
+    assert a != b  # different salt, different (independent) draw
+    n = docs.count()
+    # independent 50% draws overlap ~25% of the corpus, not ~50%
+    assert abs(len(a & b) - 0.25 * n) < 0.1 * n
+
+
+def test_hash_sample_is_map_only(spark):
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        sp.hash_sample(docs, "doc_id", 0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan  # sampling must never shuffle
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark):
+    docs = load_table(spark, SF, "documents")
+    by_lang = {r.lang: r.cnt for r in docs.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    langs = sorted(by_lang)
+    keep_all, keep_none = langs[0], langs[1] if len(langs) > 1 else None
+    fractions = {keep_all: 1.0}
+    if keep_none:
+        fractions[keep_none] = 0.0
+    out = sp.stratified_sample(docs, "lang", fractions, "doc_id",
+                               default_fraction=0.5)
+    got = {r.lang: r.cnt for r in out.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert got.get(keep_all) == by_lang[keep_all]  # 100% stratum intact
+    if keep_none:
+        assert keep_none not in got  # 0% stratum fully dropped
+    for lang in langs[2:]:  # default 50% strata in a generous band
+        frac = got.get(lang, 0) / by_lang[lang]
+        assert 0.3 < frac < 0.7, (lang, frac)
+
+
+def test_split_by_hash_disjoint_and_exhaustive(spark):
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    splits = sp.split_by_hash(docs, "doc_id",
+                              {"train": 0.8, "val": 0.1, "test": 0.1})
+    ids = {name: {r.doc_id for r in df.select("doc_id").collect()}
+           for name, df in splits.items()}
+    assert sum(len(s) for s in ids.values()) == n  # exhaustive
+    assert not (ids["train"] & ids["val"])  # pairwise disjoint
+    assert not (ids["train"] & ids["test"])
+    assert not (ids["val"] & ids["test"])
+    assert len(ids["train"]) > len(ids["val"])  # weights roughly respected
+    # stable under re-evaluation
+    again = sp.split_by_hash(docs, "doc_id",
+                             {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert {r.doc_id for r in again["val"].collect()} == ids["val"]
+
+
+def test_split_matches_duckdb_twin(spark):
+    """Cross-engine pin: the bucket expression is plain xxhash64+pmod,
+    so DuckDB can't replay it bit-for-bit (different hash) — instead
+    pin the CONTRACT the twin would rely on: split membership is a
+    pure function of doc_id, computable by re-running the same Spark
+    expression on a second, differently-partitioned copy."""
+    docs = load_table(spark, SF, "documents")
+    shuffled = docs.repartition(7, "lang")  # different physical layout
+    a = sp.split_by_hash(docs, "doc_id", {"x": 0.5, "y": 0.5})
+    b = sp.split_by_hash(shuffled, "doc_id", {"x": 0.5, "y": 0.5})
+    assert {r.doc_id for r in a["x"].collect()} == {
+        r.doc_id for r in b["x"].collect()
+    }
+
+
+def test_invalid_fractions_raise(spark):
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError):
+        sp.hash_sample(docs, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        sp.stratified_sample(docs, "lang", {"en": -0.1}, "doc_id")
+    with pytest.raises(ValueError):
+        sp.split_by_hash(docs, "doc_id", {})
