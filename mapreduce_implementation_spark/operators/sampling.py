@@ -91,6 +91,40 @@ def stratified_sample(
     return df.where(hash_bucket(key_col, salt) < threshold)
 
 
+def upsample_by_rate(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    salt: str = "",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic upsampling for mixing rates ≥ 0 (e.g. wiki ×2.5
+    against web ×1): every key gets ``floor(rate)`` copies plus one
+    more iff its hash bucket falls under ``frac(rate)`` — expected
+    multiplicity exactly ``rate``, decided per KEY (reproducible under
+    retry), emitted via a scan-stage explode (map-only, no shuffle).
+
+    ``copy_col`` (0-based) disambiguates the copies downstream — e.g.
+    a training shuffle can mix copies into different shards while keys
+    stay traceable. ``rate < 1`` degrades to ``hash_sample`` semantics
+    (0 or 1 copies)."""
+    if rate < 0:
+        raise ValueError(f"rate must be >= 0, got {rate}")
+    whole = int(rate)
+    frac_threshold = int(round((rate - whole) * BUCKETS))
+    copies = F.lit(whole) + (
+        hash_bucket(key_col, salt) < frac_threshold
+    ).cast("int")
+    return (
+        df.withColumn("_copies", copies)
+        .where(F.col("_copies") > 0)
+        .withColumn(
+            copy_col, F.explode(F.sequence(F.lit(0), F.col("_copies") - 1))
+        )
+        .drop("_copies")
+    )
+
+
 def split_by_hash(
     df: DataFrame,
     key_col: str,

@@ -107,3 +107,48 @@ def test_invalid_fractions_raise(spark):
         sp.stratified_sample(docs, "lang", {"en": -0.1}, "doc_id")
     with pytest.raises(ValueError):
         sp.split_by_hash(docs, "doc_id", {})
+
+
+def test_upsample_by_rate_multiplicity(spark):
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    up = sp.upsample_by_rate(docs, "doc_id", 2.5)
+    per_key = up.groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+    assert {r.c for r in per_key} <= {2, 3}  # floor(2.5) or floor+1 copies
+    total = sum(r.c for r in per_key)
+    # expected multiplicity 2.5 per key, binomial band on the +1 draws
+    assert abs(total - 2.5 * n) < 4 * (0.25 * n) ** 0.5 + 5
+    # deterministic: same keys get the extra copy every run
+    again = sp.upsample_by_rate(docs, "doc_id", 2.5)
+    a = sorted((r.doc_id, r.c) for r in per_key)
+    b = sorted(
+        (r.doc_id, r.c)
+        for r in again.groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+    )
+    assert a == b
+    # copy_idx enumerates 0..c-1 per key
+    idx = sp.upsample_by_rate(docs.limit(20), "doc_id", 2.0)
+    got = {}
+    for r in idx.select("doc_id", "copy_idx").collect():
+        got.setdefault(r.doc_id, []).append(r.copy_idx)
+    assert all(sorted(v) == [0, 1] for v in got.values())
+
+
+def test_upsample_below_one_is_sampling(spark):
+    docs = load_table(spark, SF, "documents")
+    up = {r.doc_id for r in sp.upsample_by_rate(docs, "doc_id", 0.3).collect()}
+    samp = {r.doc_id for r in sp.hash_sample(docs, "doc_id", 0.3).collect()}
+    assert up == samp  # same hash, same threshold, same keys
+
+
+def test_upsample_is_map_only(spark):
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        sp.upsample_by_rate(docs, "doc_id", 3.2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    with pytest.raises(ValueError):
+        sp.upsample_by_rate(docs, "doc_id", -0.1)
