@@ -154,6 +154,32 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
             )
             best = min(best, time.perf_counter() - t0)
         warm["similarity_topk_ivf_warm"] = round(best, 3)
+
+        # LLM-pipeline throughput: chunk the corpus into 512-token
+        # windows (64 overlap) and FFD-pack into 1024-token sequences —
+        # the chunk stage is map-only Column exprs, packing is one
+        # bucket shuffle + applyInPandas (see operators/packing.py).
+        from mapreduce_implementation_spark.operators.chunking import (
+            chunk_documents,
+        )
+        from mapreduce_implementation_spark.operators.packing import (
+            pack_greedy,
+        )
+
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            chunks = chunk_documents(
+                docs, chunk_tokens=512, overlap=64
+            ).select(
+                (F.col("doc_id") * 4096 + F.col("chunk_idx")).alias(
+                    "chunk_key"
+                ),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+            )
+            materialize(pack_greedy(chunks, "chunk_key", "n_tokens", 1024))
+            best = min(best, time.perf_counter() - t0)
+        warm["chunk512_pack1024_pipeline"] = round(best, 3)
     return warm
 
 
