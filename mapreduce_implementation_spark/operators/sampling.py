@@ -33,21 +33,42 @@ from pyspark.sql import functions as F
 BUCKETS = 1_000_000
 
 
-def hash_bucket(key: Column | str, salt: str = "") -> Column:
+def hash_bucket(key: Column | str, salt: str = "", method: str = "xxhash64") -> Column:
     """Uniform bucket in [0, BUCKETS) from a stable key.
 
-    xxhash64 (JVM-side, whole-stage-codegen-able) rather than ``hash``:
-    64-bit avalanche keeps bucket occupancy uniform even for dense
-    sequential ids. ``salt`` decouples independent sampling decisions
-    on the same key (e.g. a 1% eval sample drawn independently of the
-    train/holdout split) — different salt, statistically independent
-    buckets."""
+    Methods:
+      * ``xxhash64`` (default) — JVM-side, whole-stage-codegen-able,
+        the fastest path; 64-bit avalanche keeps bucket occupancy
+        uniform even for dense sequential ids.
+      * ``md5`` — engine-portable: first 8 hex chars of
+        ``md5(str(key) || salt)`` parsed base-16, mod BUCKETS. Any
+        engine with md5 (DuckDB, Trino, Postgres) derives the IDENTICAL
+        bucket, so split membership itself is oracle-checkable:
+        ``CAST('0x' || substr(md5(concat(CAST(k AS VARCHAR), salt)), 1, 8)
+        AS BIGINT) % 1000000``. Slightly slower (md5 + string round
+        trip) — use when cross-engine reproducibility of the split
+        matters more than scan speed.
+
+    ``salt`` decouples independent sampling decisions on the same key
+    (e.g. a 1% eval sample drawn independently of the train/holdout
+    split) — different salt, statistically independent buckets."""
     col = F.col(key) if isinstance(key, str) else key
-    return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(BUCKETS))
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(BUCKETS))
+    if method == "md5":
+        hexpart = F.substring(
+            F.md5(F.concat(col.cast("string"), F.lit(salt)).cast("binary")), 1, 8
+        )
+        return F.conv(hexpart, 16, 10).cast("long") % F.lit(BUCKETS)
+    raise ValueError(f"unknown hash method {method!r}")
 
 
 def hash_sample(
-    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic Bernoulli-by-key sample of ~``fraction`` rows.
 
@@ -58,7 +79,9 @@ def hash_sample(
     shred it."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return df.where(hash_bucket(key_col, salt) < int(round(fraction * BUCKETS)))
+    return df.where(
+        hash_bucket(key_col, salt, method) < int(round(fraction * BUCKETS))
+    )
 
 
 def stratified_sample(
@@ -68,6 +91,7 @@ def stratified_sample(
     key_col: str,
     default_fraction: float = 0.0,
     salt: str = "",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum deterministic sampling — the corpus-mixing primitive
     (e.g. keep 100% of wiki, 10% of web, 1% of logs).
@@ -88,7 +112,7 @@ def stratified_sample(
             F.when(F.col(stratum_col) == s, F.lit(int(round(f * BUCKETS))))
             .otherwise(threshold)
         )
-    return df.where(hash_bucket(key_col, salt) < threshold)
+    return df.where(hash_bucket(key_col, salt, method) < threshold)
 
 
 def upsample_by_rate(
@@ -97,6 +121,7 @@ def upsample_by_rate(
     rate: float,
     salt: str = "",
     copy_col: str = "copy_idx",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic upsampling for mixing rates ≥ 0 (e.g. wiki ×2.5
     against web ×1): every key gets ``floor(rate)`` copies plus one
@@ -113,7 +138,7 @@ def upsample_by_rate(
     whole = int(rate)
     frac_threshold = int(round((rate - whole) * BUCKETS))
     copies = F.lit(whole) + (
-        hash_bucket(key_col, salt) < frac_threshold
+        hash_bucket(key_col, salt, method) < frac_threshold
     ).cast("int")
     return (
         df.withColumn("_copies", copies)
@@ -130,6 +155,7 @@ def split_by_hash(
     key_col: str,
     weights: Mapping[str, float],
     salt: str = "",
+    method: str = "xxhash64",
 ) -> dict[str, DataFrame]:
     """Disjoint, exhaustive, deterministic splits (train/val/test).
 
@@ -140,6 +166,11 @@ def split_by_hash(
     in every run. The last split absorbs rounding residue."""
     if not weights:
         raise ValueError("weights must be non-empty")
+    for name, w in weights.items():
+        if w < 0:
+            # a negative weight would silently yield an always-empty
+            # split whose sibling absorbs everything — fail loudly
+            raise ValueError(f"weight for split {name!r} must be >= 0, got {w}")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError(f"weights must sum to a positive value, got {total}")
@@ -150,7 +181,7 @@ def split_by_hash(
         acc += weights[name] / total
         bounds.append(int(round(acc * BUCKETS)))
     bounds.append(BUCKETS)
-    bucket = hash_bucket(key_col, salt)
+    bucket = hash_bucket(key_col, salt, method)
     out: dict[str, DataFrame] = {}
     lo = 0
     for name, hi in zip(names, bounds):

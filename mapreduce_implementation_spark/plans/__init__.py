@@ -28,6 +28,7 @@ from mapreduce_implementation_spark.plans.registry import (
 from mapreduce_implementation_spark.plans import dedup_queries  # noqa: E402,F401
 from mapreduce_implementation_spark.plans import events_queries  # noqa: E402,F401
 from mapreduce_implementation_spark.plans import multimodal_queries  # noqa: E402,F401
+from mapreduce_implementation_spark.plans import pipeline_queries  # noqa: E402,F401
 from mapreduce_implementation_spark.plans import relational_queries  # noqa: E402,F401
 from mapreduce_implementation_spark.plans import similarity_queries  # noqa: E402,F401
 from mapreduce_implementation_spark.plans import text_queries  # noqa: E402,F401

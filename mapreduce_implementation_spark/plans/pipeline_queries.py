@@ -1,0 +1,313 @@
+"""LLM-pipeline queries with DuckDB twins: deterministic sampling /
+splitting, token-budget chunking, sequence packing, and the composed
+sample → dedup → split → chunk → pack dataflow.
+
+Promoted to the oracle gate in round 7 (they were pytest-only in r6):
+the registered variants use ``method="md5"`` hash bucketing
+(operators/sampling.hash_bucket) so SPLIT MEMBERSHIP ITSELF is
+engine-portable — DuckDB derives the identical bucket from
+``md5(str(key) || salt)`` and the oracle checks actual row membership,
+not just invariants. Packing output (FFD assignment) is inherently
+procedural, so its oracle pins the invariants a pipeline owner relies
+on — exactly-once, per-pack budget compliance, slot contiguity —
+against independently-replayed chunk counts; FFD determinism stays
+pytest-gated (tests/test_packing.py, tests/test_pipeline_e2e.py).
+
+The reference has no sampling/chunking/packing surface (its unit of
+work is the whole input chunk, /root/reference/Worker.cc:123-141);
+this is the LLM-pipeline extension set of SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators import sampling as sp
+from mapreduce_implementation_spark.operators.chunking import chunk_documents
+from mapreduce_implementation_spark.operators.dedup import exact_dedup
+from mapreduce_implementation_spark.operators.packing import pack_greedy
+from mapreduce_implementation_spark.plans.registry import register
+from mapreduce_implementation_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Shared Spark-side config (mirrored literally in the oracle SQL below —
+# change together or the hash gate goes red).
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SALT = "split"
+CHUNK_TOKENS, CHUNK_OVERLAP = 16, 4  # step 12; sf0.01 docs avg ~54 tokens
+CHUNK_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+KEY_STRIDE = 1 << 32  # chunk_key = doc_id * STRIDE + chunk_idx (collision-free)
+PACK_BUDGET = 64
+PACK_BUCKETS = 8
+MIX_FRACTIONS = {"en": 1.0, "es": 0.5}
+MIX_DEFAULT = 0.25
+MIX_SALT = "mix"
+
+# DuckDB twin of operators/sampling.hash_bucket(method="md5"):
+# bucket = int(hex[:8] of md5(str(key) || salt)) % BUCKETS.
+def _bucket_sql(key: str, salt: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), "
+        f"'{salt}')), 1, 8)) AS BIGINT) % {sp.BUCKETS}"
+    )
+
+
+# DuckDB twin of functions/text.tokens(mode="simple"): split on
+# whitespace runs, drop empties, case preserved.
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+# DuckDB twin of operators/chunking.chunk_documents: one row per chunk
+# with 1-based slice replay. {src} must provide (doc_id, text) with
+# text IS NOT NULL.
+_CHUNKS_SQL = f"""
+    sized AS (
+        SELECT doc_id, {_TOKS} AS t,
+               CASE WHEN len({_TOKS}) <= 0 THEN 0
+                    ELSE greatest(1, CAST(ceil((len({_TOKS}) - {CHUNK_OVERLAP})
+                                          / {CHUNK_STEP}.0) AS BIGINT))
+               END AS nc
+        FROM {{src}}
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               t[(i * {CHUNK_STEP} + 1):(i * {CHUNK_STEP} + {CHUNK_TOKENS})] AS ctoks
+        FROM sized, unnest(generate_series(0, nc - 1)) AS u(i)
+        WHERE nc > 0
+    )
+"""
+
+
+@register(
+    "sample_split_assignment",
+    tables=("documents",),
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, {_bucket_sql("doc_id", SPLIT_SALT)} AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 800000 THEN 'train'
+                    WHEN bucket < 900000 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT doc_id) AS n_keys,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_key
+        FROM b GROUP BY 1
+    """,
+)
+def sample_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.
+    split_by_hash, md5 mode) with MEMBERSHIP oracle-checked: the oracle
+    recomputes each doc's bucket from md5 and must land every key in
+    the same split. Disjointness + exhaustiveness follow from the
+    hash-compare (per-split counts and key-sums must both match).
+    Map-only: three scan-stage filters, zero exchange before the agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    splits = sp.split_by_hash(
+        docs, "doc_id", SPLIT_WEIGHTS, salt=SPLIT_SALT, method="md5"
+    )
+    parts = [
+        df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_keys"),
+            F.sum("doc_id").alias("sum_key"),
+        ).withColumn("split", F.lit(name))
+        for name, df in splits.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select("split", "n_rows", "n_keys", "sum_key")
+
+
+@register(
+    "chunk_documents_replay",
+    tables=("documents",),
+    oracle=f"""
+        WITH {_CHUNKS_SQL.format(src="(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)")}
+        SELECT doc_id, chunk_idx,
+               CAST(len(ctoks) AS BIGINT) AS n_tokens,
+               md5(array_to_string(ctoks, ' ')) AS chunk_md5
+        FROM chunks
+    """,
+)
+def chunk_documents_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking (operators/chunking.chunk_documents,
+    {CHUNK_TOKENS}-token windows, {CHUNK_OVERLAP} overlap) replayed
+    chunk-by-chunk in the oracle: identical (doc, idx, token-count,
+    content-md5) per chunk. The md5 keeps the compared rows small while
+    still pinning exact chunk CONTENT, not just counts. Map-only —
+    tokenize → explode is a scan-stage generator, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    return chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
+def _pack_summary(packed: DataFrame, budget: int) -> DataFrame:
+    """One-row invariant summary of a pack assignment.
+
+    ``violations`` counts packs breaking ANY of: token sum over budget
+    (oversize single-row packs exempt by construction — a chunk wider
+    than the budget gets a dedicated pack), slots not 0..n-1. The
+    oracle pins it to 0; n_rows/n_keys/total_tokens are independently
+    replayed, so exactly-once packing is hash-checked end to end."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("tok"),
+        F.min("pack_slot").alias("lo"),
+        F.max("pack_slot").alias("hi"),
+    )
+    bad = (
+        ((F.col("tok") > budget) & (F.col("n") > 1))
+        | (F.col("lo") != 0)
+        | (F.col("hi") != F.col("n") - 1)
+    )
+    violations = per_pack.agg(
+        F.count(F.when(bad, 1)).alias("violations")
+    )
+    totals = packed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("chunk_key").alias("n_keys"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return totals.crossJoin(violations)
+
+
+@register(
+    "pack_invariants",
+    tables=("documents",),
+    oracle=f"""
+        WITH {_CHUNKS_SQL.format(src="(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)")}
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT doc_id * {KEY_STRIDE} + chunk_idx) AS n_keys,
+               CAST(SUM(len(ctoks)) AS BIGINT) AS total_tokens,
+               CAST(0 AS BIGINT) AS violations
+        FROM chunks
+    """,
+)
+def pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.pack_greedy, budget
+    {PACK_BUDGET}) gated on its contract: every chunk packed exactly
+    once (n_rows == n_keys == oracle's replayed chunk count), total
+    tokens conserved, zero packs over budget or with broken slot
+    numbering. The assignment itself is procedural (best-fit-decreasing
+    inside hash buckets) so the oracle checks the invariants, not the
+    bin layout; determinism of the layout is pytest-gated."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    chunks = chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+    keyed = chunks.select(
+        (F.col("doc_id") * F.lit(KEY_STRIDE) + F.col("chunk_idx")).alias(
+            "chunk_key"
+        ),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    packed = pack_greedy(
+        keyed, "chunk_key", "n_tokens", PACK_BUDGET, n_buckets=PACK_BUCKETS
+    )
+    return _pack_summary(packed, PACK_BUDGET)
+
+
+@register(
+    "pipeline_sample_dedup_chunk_pack",
+    tables=("documents",),
+    oracle=f"""
+        WITH samp AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL
+              AND {_bucket_sql("doc_id", MIX_SALT)} <
+                  CASE lang WHEN 'en' THEN 1000000
+                            WHEN 'es' THEN 500000
+                            ELSE 250000 END
+        ),
+        survivors AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM samp
+            GROUP BY md5(array_to_string(
+                list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> ''), ' '))
+        ),
+        train AS (
+            SELECT s.doc_id, s.text
+            FROM samp s JOIN survivors USING (doc_id)
+            WHERE {_bucket_sql("s.doc_id", SPLIT_SALT)} < 800000
+        ),
+        {_CHUNKS_SQL.format(src="train")}
+        SELECT (SELECT COUNT(*) FROM samp) AS n_sampled,
+               (SELECT COUNT(*) FROM survivors) AS n_surviving,
+               (SELECT COUNT(*) FROM train) AS n_train,
+               COUNT(*) AS n_packed_rows,
+               COUNT(DISTINCT doc_id * {KEY_STRIDE} + chunk_idx) AS n_packed_keys,
+               CAST(SUM(len(ctoks)) AS BIGINT) AS total_tokens,
+               CAST(0 AS BIGINT) AS violations
+        FROM chunks
+    """,
+)
+def pipeline_sample_dedup_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-data pipeline as ONE oracle-gated dataflow:
+    stratified corpus mixing (en 100% / es 50% / rest 25%, md5 mode) →
+    exact dedup (content-hash survivors, semi join back for text) →
+    train split (80%, independent salt) → 16-token chunking → packing.
+
+    The integration seam is where column-name/semantics drift between
+    operators hides; the oracle replays every stage in SQL — sample
+    membership, survivor set, split membership, chunk counts — and pins
+    the pack invariants on the final artifact. Sample/split/chunk
+    stages are map-only (zero exchange — gated in tests/test_plans.py);
+    the shuffles are the dedup groupBy, the survivor semi join, and the
+    pack bucket groupBy."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    samp = sp.stratified_sample(
+        docs,
+        "lang",
+        MIX_FRACTIONS,
+        key_col="doc_id",
+        default_fraction=MIX_DEFAULT,
+        salt=MIX_SALT,
+        method="md5",
+    )
+    survivors = exact_dedup(samp, "doc_id", "text").select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    deduped = samp.join(survivors, "doc_id", "semi")
+    train = sp.split_by_hash(
+        deduped, "doc_id", SPLIT_WEIGHTS, salt=SPLIT_SALT, method="md5"
+    )["train"]
+    chunks = chunk_documents(
+        train, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+    keyed = chunks.select(
+        (F.col("doc_id") * F.lit(KEY_STRIDE) + F.col("chunk_idx")).alias(
+            "chunk_key"
+        ),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    packed = pack_greedy(
+        keyed, "chunk_key", "n_tokens", PACK_BUDGET, n_buckets=PACK_BUCKETS
+    )
+    n_sampled = samp.agg(F.count(F.lit(1)).alias("n_sampled"))
+    n_surviving = survivors.agg(F.count(F.lit(1)).alias("n_surviving"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    summary = _pack_summary(packed, PACK_BUDGET).select(
+        F.col("n_rows").alias("n_packed_rows"),
+        F.col("n_keys").alias("n_packed_keys"),
+        "total_tokens",
+        "violations",
+    )
+    return (
+        n_sampled.crossJoin(n_surviving).crossJoin(n_train).crossJoin(summary)
+    )

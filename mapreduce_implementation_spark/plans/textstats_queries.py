@@ -210,17 +210,17 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_stats_by_lang",
-    tables=("documents",),
-    oracle=f"""
+# Demoted round 7 (corpus rollup overlaps token_stats + doc_quality +
+# langid_vs_label coverage); pytest-gated via tests/test_demoted_oracles.py.
+CORPUS_STATS_ORACLE = f"""
         SELECT lang, source, COUNT(*) AS n_docs,
                CAST(SUM(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT) AS total_tokens,
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         FROM documents
         GROUP BY lang, source
-    """,
-)
+    """
+
+
 def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rollup by (lang, source) using the labeled metadata."""
     docs = load_table(spark, sf_dir, "documents")

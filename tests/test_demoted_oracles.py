@@ -1,0 +1,27 @@
+"""Queries demoted from the 50-slot driver registry in round 7 (to make
+room for the LLM-pipeline layer) keep their DuckDB parity gate HERE —
+same compare as the driver, just pytest-run. The operators stay fully
+exercised; only the driver-sweep slot moved."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_implementation_spark.oracle import compare, run_oracle
+from mapreduce_implementation_spark.plans import relational_queries as rq
+from mapreduce_implementation_spark.plans import textstats_queries as tq
+
+DEMOTED = [
+    (rq.window_running_customer_spend, rq.WINDOW_RUNNING_ORACLE),
+    (rq.cube_lineitem_flags, rq.CUBE_LINEITEM_ORACLE),
+    (rq.set_ops_customer_cohorts, rq.SET_OPS_ORACLE),
+    (tq.corpus_stats_by_lang, tq.CORPUS_STATS_ORACLE),
+]
+
+
+@pytest.mark.parametrize("fn,oracle", DEMOTED, ids=lambda p: getattr(p, "__name__", ""))
+def test_demoted_query_matches_oracle(spark, sf_dir, fn, oracle):
+    spark_pdf = fn(spark, sf_dir).toPandas()
+    oracle_pdf = run_oracle(sf_dir, oracle)
+    problems = compare(spark_pdf, oracle_pdf)
+    assert not problems, f"{fn.__name__}: " + " | ".join(map(str, problems))

@@ -87,3 +87,60 @@ def test_invalid_params_raise(spark, chunked):
         pack_greedy(chunked, "chunk_key", "n_tokens", 0)
     with pytest.raises(ValueError):
         pack_greedy(chunked, "chunk_key", "n_tokens", BUDGET, n_buckets=0)
+
+
+def test_string_keys_supported(spark):
+    df = spark.createDataFrame(
+        [("a", 200), ("b", 50), ("c", 56), ("d", 100)],
+        "chunk_key string, n_tokens long",
+    )
+    packed = pack_greedy(df, "chunk_key", "n_tokens", BUDGET, n_buckets=1)
+    assert packed.count() == 4
+    assert dict(packed.dtypes)["chunk_key"] == "string"
+    stats = pack_stats(packed, "n_tokens", BUDGET)
+    assert stats.where(F.col("n_tokens") > BUDGET).count() == 0
+
+
+def test_non_integral_tokens_rejected(spark):
+    df = spark.createDataFrame(
+        [(1, 1.5)], "chunk_key long, n_tokens double"
+    )
+    with pytest.raises(TypeError):
+        pack_greedy(df, "chunk_key", "n_tokens", BUDGET)
+
+
+def test_best_fit_prefers_tightest_pack(spark):
+    """BFD places each row in the fullest pack that still fits: after
+    200 and 150 open two packs (cap 56 / 106), a 56-token row must land
+    on the 200-pack (exact fit), not the first-opened one."""
+    df = spark.createDataFrame(
+        [(1, 200), (2, 150), (3, 56), (4, 100)],
+        "chunk_key long, n_tokens long",
+    )
+    packed = pack_greedy(df, "chunk_key", "n_tokens", BUDGET, n_buckets=1)
+    by_key = {r.chunk_key: r.pack_id for r in packed.collect()}
+    assert by_key[3] == by_key[1]  # exact fit into the 200-pack
+    assert by_key[4] == by_key[2]  # 100 fits the 150-pack
+
+
+def test_derive_n_buckets_sizing_rule():
+    from mapreduce_implementation_spark.operators.packing import (
+        derive_n_buckets,
+    )
+
+    assert derive_n_buckets(1) == 1
+    assert derive_n_buckets(100_000) == 1
+    assert derive_n_buckets(100_001) == 2
+    assert derive_n_buckets(10**9) == 10_000
+    with pytest.raises(ValueError):
+        derive_n_buckets(0)
+
+
+def test_rows_hint_drives_bucket_count(spark, chunked):
+    """rows_hint → derived n_buckets; tiny hint packs in one bucket and
+    the invariants hold unchanged."""
+    packed = pack_greedy(
+        chunked, "chunk_key", "n_tokens", BUDGET, rows_hint=500
+    )
+    assert packed.count() == chunked.count()
+    assert packed.select((F.col("pack_id") / (1 << 32)).cast("long")).distinct().count() == 1

@@ -212,3 +212,49 @@ def test_events_scan_pushdown_survives_ts_normalization(spark, oracle_sf_dir):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "props" not in line, line
+
+
+def test_sample_and_chunk_stages_are_map_only(spark, oracle_sf_dir):
+    """The pipeline's sampling + chunking prefix must add ZERO exchanges:
+    hash-bucket filters and the chunk explode are scan-stage work, so at
+    100 TB they run at scan parallelism with no shuffle. (The full
+    composed query then adds exactly its documented shuffles: dedup
+    groupBy, survivor join, pack bucket groupBy.)"""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.operators import sampling as sp
+    from mapreduce_implementation_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from mapreduce_implementation_spark.sources.catalog import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    samp = sp.stratified_sample(
+        docs, "lang", {"en": 1.0, "es": 0.5}, key_col="doc_id",
+        default_fraction=0.25, salt="mix", method="md5",
+    )
+    train = sp.split_by_hash(
+        samp, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split", method="md5",
+    )["train"]
+    chunks = chunk_documents(train, chunk_tokens=16, overlap=4)
+    plan = explain_str(chunks)
+    assert "Exchange" not in plan, plan
+
+
+def test_split_by_hash_is_scan_stage_filter(spark, oracle_sf_dir):
+    """Each split is a plain Filter over the scan — no exchange, no
+    subquery; the xxhash64 default stays inside whole-stage codegen."""
+    from mapreduce_implementation_spark.operators import sampling as sp
+    from mapreduce_implementation_spark.sources.catalog import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    splits = sp.split_by_hash(docs, "doc_id", {"a": 0.5, "b": 0.5})
+    plan = explain_str(splits["a"])
+    assert "Exchange" not in plan
+    assert "xxhash64" in plan
+    # the filter runs inside a codegen stage (formatted explain tags
+    # codegen'd operators with "[codegen id : N]")
+    assert "codegen id" in plan

@@ -152,3 +152,38 @@ def test_upsample_is_map_only(spark):
     assert "Exchange" not in plan, plan
     with pytest.raises(ValueError):
         sp.upsample_by_rate(docs, "doc_id", -0.1)
+
+
+def test_md5_method_matches_duckdb_bucketing(spark):
+    """The md5 hash method is engine-portable: DuckDB derives the
+    identical bucket from md5(str(key) || salt), so split membership
+    itself is oracle-checkable (plans/pipeline_queries.py relies on
+    this)."""
+    import duckdb
+
+    from mapreduce_implementation_spark.operators.sampling import (
+        BUCKETS,
+        hash_bucket,
+    )
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    got = {
+        r.k: r.b
+        for r in df.select(
+            "k", hash_bucket("k", salt="s1", method="md5").alias("b")
+        ).collect()
+    }
+    want = {
+        k: b
+        for k, b in duckdb.sql(
+            f"SELECT r AS k, CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR), 's1')), 1, 8)) AS BIGINT) % {BUCKETS} AS b"
+            " FROM range(0, 500) t(r)"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_split_rejects_negative_weight(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="must be >= 0"):
+        sp.split_by_hash(df, "id", {"a": -0.5, "b": 1.5})
