@@ -38,11 +38,25 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     Higher-order-function pipelines (shingle → hash → permute) run
     OUTSIDE whole-stage codegen, so per-row cost is high; a small
     parquet file scans as ONE partition and serializes that work onto a
-    single core. At 100 TB the scan has thousands of row groups and this
-    is a no-op (partitions >= target); at bench/test scale it is a 30×
-    parallelism fix. Round-robin repartition: no keys, no skew."""
+    single core. At 100 TB the scan has thousands of files and this is
+    a no-op; at bench/test scale it is a 30× parallelism fix.
+    Round-robin repartition: no keys, no skew.
+
+    Thinness probe: ``df.inputFiles()`` (an analyzed-plan walk — no
+    physical planning, unlike ``df.rdd.getNumPartitions()``, which
+    forces a full Catalyst→RDD conversion per call). A corpus with
+    fewer files than cores is (a) small enough that an extra
+    round-robin exchange is cheap and (b) at risk of scanning on a
+    handful of cores; one with >= target files already scans wide.
+    Non-file sources (in-memory test frames, streams) report zero
+    files and get the defensive repartition — correct for the frames
+    this is used on (raw text ahead of shingle/hash projections)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 

@@ -32,7 +32,29 @@ TABLES = (
 BROADCASTABLE = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+def parquet_long_ts_is_nanos(path: str, ts_col: str = "ts") -> bool:
+    """True iff the parquet footer types ``ts_col`` as timestamp[ns] —
+    the encoding Spark's ``nanosAsLong`` flag surfaces as LongType.
+
+    The footer's logical type is AUTHORITATIVE where magnitude
+    heuristics are not: a 1970-era nanos value (1e15) is numerically
+    identical to a 2001-era micros value. One driver-side footer read
+    (pyarrow dataset schema — no data pages); False on plain int64 or
+    any sniff failure, which routes the load through the per-row
+    magnitude guard instead."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        field = ds.dataset(path, format="parquet").schema.field(ts_col)
+        return pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+    except Exception:
+        return False
+
+
+def normalize_event_ts(
+    df: DataFrame, ts_col: str = "ts", long_is_nanos: bool = False
+) -> DataFrame:
     """Normalize an event-time column to TIMESTAMP (µs, UTC instant)
     regardless of how the writer encoded it.
 
@@ -42,7 +64,16 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     * LONG — parquet TIMESTAMP(NANOS) read via ``nanosAsLong`` (Spark's
       vectorized reader rejects nanos outright). Floor-convert with
       integer ``div`` — epoch-nanos ≈ 1.7e18 exceeds double's 2^53
-      exact range, so ``/`` would corrupt low digits.
+      exact range, so ``/`` would corrupt low digits. A LongType column
+      is ambiguous by TYPE alone: a writer emitting plain BIGINT
+      epoch-micros/millis/seconds looks identical, and dividing those
+      by 1000 is silent garbage. ``long_is_nanos=True`` declares the
+      encoding known (callers should derive it from the parquet footer
+      — ``parquet_long_ts_is_nanos`` — or a fixture contract);
+      otherwise the conversion carries a per-row magnitude guard
+      (epoch-nanos for 1973–2128 live in [1e17, 5e18]) that raises
+      with the offending value instead of guessing. One codegen
+      comparison per row; no driver-side sampling job.
     * TIMESTAMP_NTZ — µs parquet without UTC adjustment (DuckDB,
       pandas default). Cast to TIMESTAMP; the session pins UTC so the
       NTZ→LTZ reinterpretation is instant-preserving.
@@ -53,8 +84,35 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
     dtype = df.schema[ts_col].dataType
     if isinstance(dtype, LongType):
-        return df.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        src = F.col(ts_col)
+        if not long_is_nanos:
+            nanos_lo = 100_000_000_000_000_000
+            nanos_hi = 5_000_000_000_000_000_000
+            src = F.when(
+                F.col(ts_col).isNull()
+                | F.col(ts_col).between(nanos_lo, nanos_hi),
+                F.col(ts_col),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"{ts_col} is LONG but outside the epoch-nanos "
+                            "range [1e17, 5e18] — writer likely emitted "
+                            "micros/millis/seconds; refusing to silently "
+                            "divide. Pass long_is_nanos=True only if the "
+                            "encoding is genuinely nanos. Offending value: "
+                        ),
+                        F.col(ts_col).cast("string"),
+                    )
+                )
+            )
+        return (
+            df.withColumn("_ts_nanos_checked", src)
+            .withColumn(
+                ts_col,
+                F.timestamp_micros(F.expr("_ts_nanos_checked div 1000")),
+            )
+            .drop("_ts_nanos_checked")
         )
     if isinstance(dtype, TimestampNTZType):
         return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -80,7 +138,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanosAsLong only affects TIMESTAMP(NANOS) columns; harmless
         # for µs encodings, required to even read the nanos one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_event_ts(spark.read.parquet(path))
+        df = spark.read.parquet(path)
+        from pyspark.sql.types import LongType
+
+        long_is_nanos = isinstance(
+            df.schema["ts"].dataType, LongType
+        ) and parquet_long_ts_is_nanos(path)
+        return normalize_event_ts(df, long_is_nanos=long_is_nanos)
     return spark.read.parquet(path)
 
 

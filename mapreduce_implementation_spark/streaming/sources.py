@@ -49,14 +49,20 @@ def read_documents_stream(
     when any exist (same writer-drift armor as read_events_stream);
     DOCUMENTS_SCHEMA is only the empty-dir fallback for streams that
     start before their first file arrives."""
+    from pyspark.errors import AnalysisException
+
     schema = DOCUMENTS_SCHEMA
     try:
         batch = spark.read
         if glob:
             batch = batch.option("pathGlobFilter", glob)
         schema = batch.parquet(input_dir).schema
-    except Exception:
-        pass  # no files yet — trust the declared layout
+    except AnalysisException:
+        # missing path / nothing to infer yet — trust the declared
+        # layout. Real IO failures (permissions, corrupt footers) are
+        # NOT AnalysisException and propagate instead of silently
+        # falling back to a schema that may misread the files later.
+        pass
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
@@ -80,10 +86,14 @@ def read_events_stream(
 
     ``schema`` overrides the sniff — required when the stream starts on
     an empty directory (nothing to sniff yet); the caller then promises
-    the files it will feed match it.
+    the files it will feed match it, INCLUDING that a LongType ``ts``
+    really is epoch-nanos (EVENTS_RAW_SCHEMA's contract).
     """
+    from pyspark.sql.types import LongType
+
     from mapreduce_implementation_spark.sources.catalog import (
         normalize_event_ts,
+        parquet_long_ts_is_nanos,
     )
 
     # Required to read the legacy TIMESTAMP(NANOS) encoding at all;
@@ -94,8 +104,19 @@ def read_events_stream(
         if glob:
             batch = batch.option("pathGlobFilter", glob)
         schema = batch.parquet(input_dir).schema
+        # schema came from real files → the parquet footer can also
+        # settle whether a LongType ts is genuinely nanos
+        long_is_nanos = isinstance(
+            schema["ts"].dataType, LongType
+        ) and parquet_long_ts_is_nanos(input_dir)
+    else:
+        # explicit schema = the caller's encoding promise (empty-dir
+        # streams have nothing to sniff)
+        long_is_nanos = isinstance(schema["ts"].dataType, LongType)
 
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    return normalize_event_ts(reader.parquet(input_dir))
+    return normalize_event_ts(
+        reader.parquet(input_dir), long_is_nanos=long_is_nanos
+    )

@@ -44,6 +44,18 @@ def _build(spark):
 def test_pipeline_end_to_end(spark):
     splits, train, keyed, packed = _build(spark)
 
+    # the doc_id*1024+chunk_idx key encoding (and its /1024 decode
+    # below) requires <1024 chunks per document — pin it on the raw
+    # chunk_idx (pre-encoding) so a fixture regeneration with longer
+    # documents fails loudly, not by silent key collision
+    max_idx = (
+        chunk_documents(train, chunk_tokens=100, overlap=10)
+        .agg(F.max("chunk_idx").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert max_idx < 1024, f"chunk_idx overflows the 1024 key stride: {max_idx}"
+
     # every surviving chunk packed exactly once
     assert packed.count() == keyed.count() > 0
     assert packed.groupBy("chunk_key").count().where("count > 1").count() == 0

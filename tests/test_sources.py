@@ -4,6 +4,8 @@ rely on — schema fidelity, nested JSON props, header handling)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -155,3 +157,50 @@ def test_events_loader_is_encoding_portable(spark, tmp_path):
         )
         got_s = [r.s for r in spark.table(name).orderBy("event_id").collect()]
         assert got_s == expected, f"streaming source wrong for {unit}/{tz}"
+
+
+def test_long_ts_outside_nanos_range_raises(spark, tmp_path):
+    """A plain BIGINT ts column holding epoch-MICROS is type-identical
+    to the nanosAsLong encoding; blind div-1000 would turn it into
+    ~1970 garbage with zero errors. The magnitude guard must refuse
+    loudly instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_implementation_spark.sources.catalog import (
+        normalize_event_ts,
+    )
+
+    path = tmp_path / "events.parquet"
+    micros = [1_700_000_000 * 1_000_000, 1_700_000_007 * 1_000_000]
+    pq.write_table(
+        pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array(micros, pa.int64())}),
+        str(path),
+    )
+    df = normalize_event_ts(spark.read.parquet(str(path)))
+    with pytest.raises(Exception, match="epoch-nanos"):
+        df.collect()
+
+
+def test_long_ts_in_nanos_range_converts_exactly(spark, tmp_path):
+    """Genuine nanos pass the guard and floor-convert without float
+    corruption (the low microsecond digits must survive)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_implementation_spark.sources.catalog import (
+        normalize_event_ts,
+    )
+
+    path = tmp_path / "events.parquet"
+    nanos = 1_700_000_000_123_456_789  # odd low digits on purpose
+    pq.write_table(
+        pa.table({"event_id": pa.array([1], pa.int64()),
+                  "ts": pa.array([nanos], pa.int64())}),
+        str(path),
+    )
+    out = normalize_event_ts(spark.read.parquet(str(path))).select(
+        F.unix_micros("ts").alias("us")
+    ).collect()
+    assert out[0].us == nanos // 1000
