@@ -203,6 +203,38 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
             materialize(pack_greedy(chunks, "chunk_key", "n_tokens", 1024))
             best = min(best, time.perf_counter() - t0)
         warm["chunk512_pack1024_pipeline"] = round(best, 3)
+
+        # Packing throughput at 100 TB bucket fill: 2M synthetic
+        # metadata rows (deterministic pseudo-random sizes) packed at
+        # the rows_hint-derived bucket count (~100k rows/bucket — the
+        # sizing rule) and at 4× more buckets (~25k rows/bucket). The
+        # per-row pack cost must stay flat across bucket sizes — the
+        # bisect open-pack list makes placement O(log P); the old
+        # linear first-fit scan degraded superlinearly as buckets grew.
+        synth = ensure_table(
+            spark,
+            os.path.join(root, "pack_synth"),
+            lambda: spark.range(0, 2_000_000, 1, 32).select(
+                F.col("id").alias("chunk_key"),
+                (F.pmod(F.xxhash64("id"), F.lit(900)) + 100).alias(
+                    "n_tokens"
+                ),
+            ),
+        )
+        for label, kwargs in (
+            ("pack_synth2M_hint", {"rows_hint": 2_000_000}),
+            ("pack_synth2M_buckets80", {"n_buckets": 80}),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(
+                    pack_greedy(
+                        synth, "chunk_key", "n_tokens", 1024, **kwargs
+                    )
+                )
+                best = min(best, time.perf_counter() - t0)
+            warm[label] = round(best, 3)
     return warm
 
 

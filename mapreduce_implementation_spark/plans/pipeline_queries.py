@@ -268,20 +268,31 @@ def pipeline_sample_dedup_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFr
     stages are map-only (zero exchange — gated in tests/test_plans.py);
     the shuffles are the dedup groupBy, the survivor semi join, and the
     pack bucket groupBy."""
+    from mapreduce_implementation_spark.caching import track_cache
+
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    samp = sp.stratified_sample(
-        docs,
-        "lang",
-        MIX_FRACTIONS,
-        key_col="doc_id",
-        default_fraction=MIX_DEFAULT,
-        salt=MIX_SALT,
-        method="md5",
+    # Five scalar aggregates consume different stages of one dataflow;
+    # without caching, Catalyst re-derives each stage per consumer (the
+    # dedup shuffle 4×, the Arrow packing stage 2×). The cached frames
+    # are id/metadata projections — tiny at any scale — and the registry
+    # wrapper releases them after the query (caching.release_caches).
+    samp = track_cache(
+        sp.stratified_sample(
+            docs,
+            "lang",
+            MIX_FRACTIONS,
+            key_col="doc_id",
+            default_fraction=MIX_DEFAULT,
+            salt=MIX_SALT,
+            method="md5",
+        )
     )
-    survivors = exact_dedup(samp, "doc_id", "text").select(
-        F.col("survivor_id").alias("doc_id")
+    survivors = track_cache(
+        exact_dedup(samp, "doc_id", "text").select(
+            F.col("survivor_id").alias("doc_id")
+        )
     )
     deduped = samp.join(survivors, "doc_id", "semi")
     train = sp.split_by_hash(
@@ -296,8 +307,10 @@ def pipeline_sample_dedup_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFr
         ),
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
-    packed = pack_greedy(
-        keyed, "chunk_key", "n_tokens", PACK_BUDGET, n_buckets=PACK_BUCKETS
+    packed = track_cache(
+        pack_greedy(
+            keyed, "chunk_key", "n_tokens", PACK_BUDGET, n_buckets=PACK_BUCKETS
+        )
     )
     n_sampled = samp.agg(F.count(F.lit(1)).alias("n_sampled"))
     n_surviving = survivors.agg(F.count(F.lit(1)).alias("n_surviving"))

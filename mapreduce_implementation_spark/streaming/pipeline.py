@@ -1,0 +1,109 @@
+"""Streaming LLM-pipeline prep: chunk an unbounded document stream and
+pack each micro-batch into dense training sequences.
+
+Chunking is the SAME operator as batch (operators/chunking.
+chunk_documents — pure Column expressions, so it applies to a streaming
+DataFrame unchanged: tokenize → sequence → slice → explode are all
+stateless generators). Packing, by contrast, is a batch barrier by
+nature (an assignment over a finite row set), so its streaming shape is
+per-micro-batch packing via ``foreachBatch``:
+
+* each micro-batch is packed independently with the batch operator
+  (operators/packing.pack_greedy) — bounded state (one batch), no
+  cross-batch coordination;
+* global pack identity is the (batch_id, pack_id) pair; output is
+  parquet partitioned by ``batch_id`` with DYNAMIC partition overwrite,
+  so a replayed batch (failure/restart re-delivery) overwrites its own
+  partition idempotently instead of duplicating rows — exactly-once at
+  the sink without a transactional store;
+* cross-batch waste is bounded exactly like cross-bucket waste: at
+  most one partially-filled pack per (batch, bucket), i.e.
+  ``batches × n_buckets × budget`` tokens — the price of streaming
+  incrementality, amortized to noise by sizing micro-batches large
+  (maxFilesPerTrigger) the same way batch packing sizes buckets.
+
+The reference is strictly batch (SURVEY.md §2c); this is the streaming
+face of the LLM-pipeline extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators.chunking import chunk_documents
+from mapreduce_implementation_spark.operators.packing import pack_greedy
+
+
+def streaming_chunks(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    key_stride: int = 1 << 32,
+) -> DataFrame:
+    """Token-budget chunks of an unbounded document stream, keyed for
+    packing. Identical semantics to the batch operator (it IS the batch
+    operator — stateless Column expressions stream as-is); adds the
+    collision-free ``chunk_key = doc_id * key_stride + chunk_idx``."""
+    chunks = chunk_documents(
+        docs_stream,
+        id_col=id_col,
+        text_col=text_col,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+    )
+    return chunks.select(
+        (F.col(id_col) * F.lit(key_stride) + F.col("chunk_idx")).alias(
+            "chunk_key"
+        ),
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("chunk_text"),
+    )
+
+
+def start_pack_stream(
+    chunks_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    budget: int,
+    key_col: str = "chunk_key",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 8,
+    salt: str = "",
+):
+    """Start the per-micro-batch packing sink; returns the
+    StreamingQuery (caller awaits/stops it).
+
+    Each batch: pack with the batch operator, stamp ``batch_id``, write
+    parquet partitioned by batch_id with dynamic overwrite (idempotent
+    under foreachBatch's at-least-once replay). Trigger availableNow so
+    bounded fixtures drain and stop; remove the trigger for continuous
+    ingestion."""
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        packed = pack_greedy(
+            batch_df.select(key_col, tokens_col),
+            key_col,
+            tokens_col,
+            budget,
+            n_buckets=n_buckets,
+            salt=salt,
+        )
+        (
+            packed.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        chunks_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

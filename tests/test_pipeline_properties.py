@@ -1,0 +1,103 @@
+"""Property-based checks of the LLM-pipeline operators against literal
+Python specifications: chunking must reproduce the naive slice spec on
+arbitrary documents, and packing must satisfy its contract (exactly
+once, budget, slot contiguity, determinism) on arbitrary size
+multisets. Spark jobs per example are expensive, so examples are
+capped low; the per-operator unit tests cover the common paths."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators.chunking import chunk_documents
+from mapreduce_implementation_spark.operators.packing import pack_greedy
+
+WORDS = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "dddd", "éé"]),
+    min_size=0,
+    max_size=40,
+)
+
+
+def naive_chunks(words, chunk_tokens, overlap):
+    """The documented spec: windows of chunk_tokens starting every
+    chunk_tokens-overlap, last (possibly short) tail included, a chunk
+    contributing no new tokens not emitted; empty docs yield nothing."""
+    n = len(words)
+    if n == 0:
+        return []
+    step = chunk_tokens - overlap
+    out = []
+    i = 0
+    while True:
+        start = i * step
+        if start >= n or (i > 0 and start + overlap >= n):
+            break
+        out.append((i, words[start : start + chunk_tokens]))
+        i += 1
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(WORDS, min_size=1, max_size=5),
+    chunk_tokens=st.integers(1, 8),
+    overlap_frac=st.floats(0, 0.99),
+)
+def test_chunking_matches_naive_spec(spark, docs, chunk_tokens, overlap_frac):
+    overlap = int(overlap_frac * chunk_tokens)
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(
+            df, chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+    }
+    want = {}
+    for i, w in enumerate(docs):
+        for idx, toks in naive_chunks(w, chunk_tokens, overlap):
+            want[(i, idx)] = (len(toks), " ".join(toks))
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(1, 300), min_size=1, max_size=30),
+    budget=st.integers(1, 256),
+    n_buckets=st.integers(1, 4),
+)
+def test_packing_contract_on_arbitrary_sizes(spark, sizes, budget, n_buckets):
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "k long, t long")
+    packed = pack_greedy(df, "k", "t", budget, n_buckets=n_buckets).collect()
+
+    # exactly once, sizes preserved
+    assert sorted((r.k, r.t) for r in packed) == sorted(rows)
+    # budget respected for every multi-row pack; oversize rows isolated
+    by_pack: dict = {}
+    for r in packed:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for members in by_pack.values():
+        tot = sum(r.t for r in members)
+        if len(members) > 1:
+            assert tot <= budget
+        else:
+            assert tot <= budget or members[0].t > budget
+        assert sorted(r.pack_slot for r in members) == list(range(len(members)))
+    # deterministic under relayout
+    again = pack_greedy(
+        df.repartition(3), "k", "t", budget, n_buckets=n_buckets
+    ).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))

@@ -1,0 +1,105 @@
+"""Streaming chunk→pack: batch-parity of streamed chunking, per-batch
+packing invariants, and global (batch_id, pack_id) identity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators.chunking import chunk_documents
+from mapreduce_implementation_spark.sources.catalog import load_table
+from mapreduce_implementation_spark.streaming.pipeline import (
+    start_pack_stream,
+    streaming_chunks,
+)
+from mapreduce_implementation_spark.streaming.queries import run_available_now
+
+SF = "/root/testdata/sf0.001"
+BUDGET = 256
+CHUNK_TOKENS, OVERLAP = 100, 10
+
+
+def _stage_two_batches(spark, stream_dir):
+    """Split the real corpus into two disjoint parquet files so
+    maxFilesPerTrigger=1 yields two micro-batches with no doc overlap."""
+    docs = load_table(spark, SF, "documents")
+    for i, part in enumerate(
+        (docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1))
+    ):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{stream_dir}/b{i}"
+        )
+    # flatten: the file source lists files recursively only with a glob
+    import glob as g
+    import shutil
+
+    for i in range(2):
+        src = g.glob(f"{stream_dir}/b{i}/part-*.parquet")[0]
+        shutil.move(src, f"{stream_dir}/batch_{i}.parquet")
+        shutil.rmtree(f"{stream_dir}/b{i}")
+    return docs
+
+
+def _docs_stream(spark, stream_dir):
+    schema = spark.read.parquet(f"{stream_dir}/batch_0.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "batch_*.parquet")
+        .parquet(stream_dir)
+    )
+
+
+def test_streamed_chunks_match_batch_chunking(spark, tmp_path):
+    """chunk_documents is stateless Column work, so streaming it must
+    yield EXACTLY the batch result on the same rows."""
+    docs = _stage_two_batches(spark, str(tmp_path))
+    stream = streaming_chunks(
+        _docs_stream(spark, str(tmp_path)),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=OVERLAP,
+    )
+    q = run_available_now(stream, "chunks_stream", output_mode="append")
+    got = {
+        (r.chunk_key, r.n_tokens, r.chunk_text)
+        for r in spark.table("chunks_stream").collect()
+    }
+    q.stop()
+    want = {
+        (r.doc_id * (1 << 32) + r.chunk_idx, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(
+            docs, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_pack_stream_invariants_across_batches(spark, tmp_path):
+    """Per-micro-batch packing: every chunk packed exactly once across
+    the whole stream, no (batch, pack) over budget, pack identity is
+    the (batch_id, pack_id) pair, and both batches reached the sink."""
+    docs = _stage_two_batches(spark, str(tmp_path / "in"))
+    out_dir = str(tmp_path / "packed")
+    ckpt = str(tmp_path / "ckpt")
+    chunks = streaming_chunks(
+        _docs_stream(spark, str(tmp_path / "in")),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=OVERLAP,
+    )
+    q = start_pack_stream(
+        chunks, out_dir, ckpt, budget=BUDGET, n_buckets=4
+    )
+    q.awaitTermination()
+
+    packed = spark.read.parquet(out_dir)
+    n_chunks = chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP
+    ).count()
+    assert packed.count() == n_chunks > 0
+    assert packed.select("chunk_key").distinct().count() == n_chunks
+    assert packed.select("batch_id").distinct().count() == 2
+    over = (
+        packed.groupBy("batch_id", "pack_id")
+        .agg(F.sum("n_tokens").alias("tok"), F.count("*").alias("n"))
+        .where((F.col("tok") > BUDGET) & (F.col("n") > 1))
+    )
+    assert over.count() == 0
