@@ -134,7 +134,7 @@ def sample_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chunk_documents_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget chunking (operators/chunking.chunk_documents,
-    {CHUNK_TOKENS}-token windows, {CHUNK_OVERLAP} overlap) replayed
+    16-token windows, 4 overlap) replayed
     chunk-by-chunk in the oracle: identical (doc, idx, token-count,
     content-md5) per chunk. The md5 keeps the compared rows small while
     still pinning exact chunk CONTENT, not just counts. Map-only —
@@ -195,8 +195,8 @@ def _pack_summary(packed: DataFrame, budget: int) -> DataFrame:
     """,
 )
 def pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing (operators/packing.pack_greedy, budget
-    {PACK_BUDGET}) gated on its contract: every chunk packed exactly
+    """Sequence packing (operators/packing.pack_greedy, budget 64)
+    gated on its contract: every chunk packed exactly
     once (n_rows == n_keys == oracle's replayed chunk count), total
     tokens conserved, zero packs over budget or with broken slot
     numbering. The assignment itself is procedural (best-fit-decreasing

@@ -187,3 +187,64 @@ def test_split_rejects_negative_weight(spark):
     df = spark.range(10)
     with pytest.raises(ValueError, match="must be >= 0"):
         sp.split_by_hash(df, "id", {"a": -0.5, "b": 1.5})
+
+
+def test_hash_sample_md5_matches_duckdb_membership(spark):
+    """hash_sample(method='md5') membership replayed row-for-row in
+    DuckDB — the sample a pipeline owner draws here is reproducible in
+    any md5-capable engine (warehouse audits, cross-engine backfills)."""
+    import duckdb
+
+    from mapreduce_implementation_spark.operators.sampling import BUCKETS
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = sorted(
+        r.doc_id
+        for r in sp.hash_sample(
+            docs, "doc_id", 0.3, salt="aud", method="md5"
+        ).collect()
+    )
+    want = sorted(
+        k
+        for (k,) in duckdb.sql(
+            "SELECT doc_id FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+            f"WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'aud')), 1, 8)) AS BIGINT) % {BUCKETS}"
+            f" < {int(0.3 * BUCKETS)}"
+        ).fetchall()
+    )
+    assert got == want and 0 < len(got) < 500
+
+
+def test_upsample_md5_matches_duckdb_replay(spark):
+    """upsample_by_rate(method='md5') copy multiplicity replayed in
+    DuckDB: floor(rate) copies per key plus one iff the md5 bucket
+    falls under frac(rate), copy_idx enumerating 0..n-1."""
+    import duckdb
+
+    from mapreduce_implementation_spark.operators.sampling import BUCKETS
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = sorted(
+        (r.doc_id, r.copy_idx)
+        for r in sp.upsample_by_rate(
+            docs, "doc_id", 2.5, salt="up", method="md5"
+        )
+        .select("doc_id", "copy_idx")
+        .collect()
+    )
+    frac_threshold = int(round(0.5 * BUCKETS))
+    want = sorted(
+        (k, c)
+        for (k, c) in duckdb.sql(
+            "WITH b AS (SELECT doc_id, 2 + (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'up')), 1, 8)) AS BIGINT) "
+            f"% {BUCKETS} < {frac_threshold})::INT AS copies "
+            "FROM read_parquet('/root/testdata/sf0.001/documents.parquet')) "
+            "SELECT doc_id, i AS copy_idx FROM b, unnest(generate_series(0, copies - 1)) AS u(i)"
+        ).fetchall()
+    )
+    assert got == want
+    # expected multiplicity ~rate: every key has 2 or 3 copies
+    per_key: dict = {}
+    for k, _ in got:
+        per_key[k] = per_key.get(k, 0) + 1
+    assert set(per_key.values()) <= {2, 3} and len(per_key) == 500
