@@ -546,3 +546,120 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.filter(da, lambda x: F.array_contains(db, x)))
     union = F.size(da) + F.size(db) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(None).cast("double"))
+
+
+def hamming_bits(a: Column, b: Column, n_bits: int = 64) -> Column:
+    """Hamming distance between two equal-length '0'/'1' bit-strings
+    (the simhash encoding) — positional compare folded with
+    ``aggregate``; candidate-pair-only cost, never on the full corpus."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_bits)),
+        F.lit(0),
+        lambda acc, i: acc
+        + (a.substr(i, F.lit(1)) != b.substr(i, F.lit(1))).cast("int"),
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded Hamming-LSH — the
+    third pair-mining family next to MinHash (set overlap) and
+    embedding cosine: simhash measures weighted token-multiset drift,
+    catching template edits MinHash shingles miss.
+
+    Blocking is the classic pigeonhole split (Manku et al.'s web-dedup
+    construction, public literature): the ``n_bits`` signature splits
+    into ``bands`` contiguous substrings; any pair within Hamming
+    distance ``bands - 1`` agrees EXACTLY on at least one band, so for
+    ``max_hamming <= bands - 1`` (default 3 <= 3) the band equi-join is
+    LOSSLESS — no candidate with a qualifying distance is missed, while
+    the join touches only same-band buckets, never the cross product.
+    The exact Hamming verify runs on candidates only. ``max_bucket``
+    mirrors the MinHash boilerplate guard (a band value shared by a
+    degenerate cohort — e.g. near-empty docs — would square a bucket).
+
+    Returns DataFrame[doc_a, doc_b, hamming] with doc_a < doc_b.
+    One shuffle (the band self-join); signatures are scan-side or a
+    precomputed/materialized table via ``signatures``
+    (DataFrame[id_col, simhash])."""
+    if n_bits % bands != 0:
+        raise ValueError(f"bands must divide n_bits, got {bands}/{n_bits}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming {max_hamming} > bands-1 {bands - 1}: the band "
+            "blocking would MISS qualifying pairs; raise bands or lower "
+            "max_hamming"
+        )
+    width = n_bits // bands
+    if signatures is None:
+        sigs = track_cache(
+            spread(df.select(id_col, text_col))
+            .select(id_col, token_hashes(text_col).alias("_hs"))
+            .select(
+                id_col,
+                simhash_from_hashes(F.col("_hs"), n_bits).alias("simhash"),
+            )
+        )
+    else:
+        sigs = signatures
+    banded = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+        F.col("simhash"),
+    ).select(
+        "doc_id",
+        "band_id",
+        F.expr(f"substring(simhash, band_id * {width} + 1, {width})").alias(
+            "band_val"
+        ),
+    )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_id", "band_val")
+        banded = (
+            banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+            .where(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming_bits(F.col("sim_a"), F.col("sim_b"), n_bits).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -118,7 +118,12 @@ def sample_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    return out.select("split", "n_rows", "n_keys", "sum_key")
+    # a genuinely empty split yields a (0, 0, NULL) agg row where the
+    # oracle's GROUP BY has no group at all — report non-empty splits
+    # only, insulating the gate from testdata-regeneration size shifts
+    return out.where(F.col("n_rows") > 0).select(
+        "split", "n_rows", "n_keys", "sum_key"
+    )
 
 
 @register(
