@@ -1,0 +1,133 @@
+"""Batch LLM-training-corpus pipeline — the composed dataflow as a
+reusable API: corpus mixing → exact dedup → train/holdout split →
+token-budget chunking → sequence packing.
+
+This is pure composition of the stage operators (operators/sampling,
+operators/dedup, operators/chunking, operators/packing) — no new
+semantics; the oracle-gated registry twin
+(plans/pipeline_queries.pipeline_sample_dedup_chunk_pack) hash-checks
+the same dataflow against DuckDB, and streaming/pipeline.py is the
+unbounded-input face. Shuffle budget: dedup groupBy + survivor join +
+pack bucket groupBy; mixing, splitting and chunking stay map-only
+(plan-gated in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators import sampling as sp
+from mapreduce_implementation_spark.operators.chunking import chunk_documents
+from mapreduce_implementation_spark.operators.dedup import exact_dedup
+from mapreduce_implementation_spark.operators.packing import (
+    pack_greedy,
+    pack_stats,
+)
+
+
+@dataclass(frozen=True)
+class CorpusPipelineConfig:
+    """Knobs for one corpus build; defaults are the bench-scale shape.
+
+    ``hash_method``: "xxhash64" (fastest) or "md5" (engine-portable
+    membership — use when the split must be reproducible outside Spark,
+    e.g. warehouse audits). ``rows_hint``: estimated CHUNK count, drives
+    pack bucket sizing (operators/packing sizing rule); at 100 TB always
+    set it (or n_buckets) — the 64-bucket default is test-scale."""
+
+    mix_fractions: Mapping[str, float] = field(default_factory=dict)
+    mix_default: float = 1.0
+    mix_salt: str = "mix"
+    stratum_col: str = "lang"
+    split_weights: Mapping[str, float] = field(
+        default_factory=lambda: {"train": 0.9, "holdout": 0.1}
+    )
+    split_salt: str = "split"
+    train_split: str = "train"
+    chunk_tokens: int = 512
+    overlap: int = 0
+    pack_budget: int = 1024
+    n_buckets: int | None = None
+    rows_hint: int | None = None
+    key_stride: int = 1 << 32
+    hash_method: str = "xxhash64"
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    cfg: CorpusPipelineConfig = CorpusPipelineConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """Run the full corpus build; returns every artifact a pipeline
+    owner needs (all lazy — materialize what you use):
+
+    * ``splits``-prefixed frames (``split_<name>``): deduped documents
+      per split — provably disjoint (hash ranges), holdout untouched by
+      everything downstream.
+    * ``chunks``: train-split chunks with collision-free ``chunk_key``
+      (``id * key_stride + chunk_idx``).
+    * ``packed``: chunk→pack assignment (exactly-once, per-pack token
+      sum <= budget, deterministic under retry/relayout).
+    * ``stats``: per-pack utilization (padding waste monitor).
+    """
+    filtered = docs.where(F.col(text_col).isNotNull())
+    mixed = (
+        sp.stratified_sample(
+            filtered,
+            cfg.stratum_col,
+            cfg.mix_fractions,
+            key_col=id_col,
+            default_fraction=cfg.mix_default,
+            salt=cfg.mix_salt,
+            method=cfg.hash_method,
+        )
+        if cfg.mix_fractions or cfg.mix_default < 1.0
+        else filtered
+    )
+    survivors = exact_dedup(mixed, id_col, text_col).select(
+        F.col("survivor_id").alias(id_col)
+    )
+    deduped = mixed.join(survivors, id_col, "semi")
+    splits = sp.split_by_hash(
+        deduped,
+        id_col,
+        cfg.split_weights,
+        salt=cfg.split_salt,
+        method=cfg.hash_method,
+    )
+    train = splits[cfg.train_split]
+    chunks = chunk_documents(
+        train,
+        id_col=id_col,
+        text_col=text_col,
+        chunk_tokens=cfg.chunk_tokens,
+        overlap=cfg.overlap,
+    ).select(
+        (F.col(id_col) * F.lit(cfg.key_stride) + F.col("chunk_idx")).alias(
+            "chunk_key"
+        ),
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("chunk_text"),
+    )
+    packed = pack_greedy(
+        chunks.select("chunk_key", "n_tokens"),
+        "chunk_key",
+        "n_tokens",
+        cfg.pack_budget,
+        n_buckets=cfg.n_buckets,
+        rows_hint=cfg.rows_hint,
+    )
+    out: dict[str, DataFrame] = {
+        f"split_{name}": df for name, df in splits.items()
+    }
+    out["chunks"] = chunks
+    out["packed"] = packed
+    out["stats"] = pack_stats(packed, "n_tokens", cfg.pack_budget)
+    return out

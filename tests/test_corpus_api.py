@@ -1,0 +1,75 @@
+"""The build_training_corpus API: same guarantees as the hand-composed
+e2e pipeline — disjoint splits, holdout leakage zero, exactly-once
+packing, full-chain determinism — via one call."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators.pipeline import (
+    CorpusPipelineConfig,
+    build_training_corpus,
+)
+from mapreduce_implementation_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+CFG = CorpusPipelineConfig(
+    mix_fractions={"en": 1.0, "es": 0.5},
+    mix_default=0.25,
+    chunk_tokens=100,
+    overlap=10,
+    pack_budget=256,
+    n_buckets=4,
+    hash_method="md5",
+)
+
+
+def test_corpus_build_artifacts_and_guarantees(spark):
+    docs = load_table(spark, SF, "documents")
+    art = build_training_corpus(docs, CFG)
+
+    # splits disjoint + holdout present
+    train_ids = {r.doc_id for r in art["split_train"].select("doc_id").collect()}
+    hold_ids = {r.doc_id for r in art["split_holdout"].select("doc_id").collect()}
+    assert train_ids and hold_ids and not (train_ids & hold_ids)
+
+    # chunks derive only from train docs; packed is exactly-once
+    chunk_doc_ids = {
+        r.doc_id for r in art["chunks"].select("doc_id").distinct().collect()
+    }
+    assert chunk_doc_ids <= train_ids
+    n_chunks = art["chunks"].count()
+    assert art["packed"].count() == n_chunks > 0
+    assert (
+        art["packed"].select("chunk_key").distinct().count() == n_chunks
+    )
+
+    # budget respected, utilization sane
+    stats = art["stats"]
+    assert stats.where(F.col("n_tokens") > CFG.pack_budget).count() == 0
+    assert stats.agg(F.avg("utilization")).collect()[0][0] > 0.5
+
+    # the whole build is a pure function of (input, config)
+    again = build_training_corpus(docs, CFG)
+    assert sorted(map(tuple, art["packed"].collect())) == sorted(
+        map(tuple, again["packed"].collect())
+    )
+
+
+def test_default_config_skips_mixing(spark):
+    """Default config (no fractions, default 1.0) must not add the
+    stratified filter — every non-null-text doc reaches the dedup."""
+    docs = load_table(spark, SF, "documents")
+    art = build_training_corpus(docs)
+    total = sum(
+        art[k].count() for k in art if k.startswith("split_")
+    )
+    from mapreduce_implementation_spark.functions.textstats import content_hash
+
+    survivors = (
+        docs.where(F.col("text").isNotNull())
+        .select(content_hash("text").alias("h"))
+        .distinct()
+    )
+    assert total == survivors.count()
