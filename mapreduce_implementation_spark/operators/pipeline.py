@@ -43,6 +43,7 @@ class CorpusPipelineConfig:
     mix_default: float = 1.0
     mix_salt: str = "mix"
     stratum_col: str = "lang"
+    min_quality: float | None = None  # textstats.quality_score floor
     split_weights: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.9, "holdout": 0.1}
     )
@@ -76,6 +77,16 @@ def build_training_corpus(
     * ``stats``: per-pack utilization (padding waste monitor).
     """
     filtered = docs.where(F.col(text_col).isNotNull())
+    if cfg.min_quality is not None:
+        from mapreduce_implementation_spark.functions.textstats import (
+            quality_score,
+        )
+
+        # scan-stage Column expression — the quality gate rides the same
+        # map-only prefix as mixing/splitting, zero added shuffle
+        filtered = filtered.where(
+            quality_score(text_col) >= cfg.min_quality
+        )
     mixed = (
         sp.stratified_sample(
             filtered,

@@ -73,3 +73,37 @@ def test_default_config_skips_mixing(spark):
         .distinct()
     )
     assert total == survivors.count()
+
+
+def test_quality_floor_filters_before_dedup(spark):
+    """min_quality gates the corpus at the scan stage: every surviving
+    split doc scores >= the floor, and the filtered build is a strict
+    subset of the unfiltered one."""
+    from mapreduce_implementation_spark.functions.textstats import (
+        quality_score,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    # the corpus median keeps the floor inside the actual score
+    # distribution regardless of testdata regeneration
+    floor = (
+        docs.select(quality_score("text").alias("q"))
+        .agg(F.expr("percentile(q, 0.5)").alias("m"))
+        .collect()[0]
+        .m
+    )
+    art = build_training_corpus(
+        docs, CorpusPipelineConfig(min_quality=floor)
+    )
+    kept = None
+    for name in ("split_train", "split_holdout"):
+        part = art[name].select(
+            "doc_id", quality_score("text").alias("q")
+        )
+        assert part.where(F.col("q") < floor).count() == 0
+        kept = part.count() if kept is None else kept + part.count()
+    unfiltered = sum(
+        build_training_corpus(docs)[k].count()
+        for k in ("split_train", "split_holdout")
+    )
+    assert 0 < kept < unfiltered
