@@ -29,6 +29,20 @@ from mapreduce_implementation_spark.operators.packing import (
 )
 
 
+def require_integral_id(df: DataFrame, id_col: str) -> None:
+    """The chunk_key arithmetic (id * stride + idx) silently casts a
+    string id to NULL — refuse loudly instead."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dtype = df.schema[id_col].dataType
+    if not isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"id column {id_col!r} must be integral for the chunk_key "
+            f"encoding, got {dtype}; hash string ids to long first "
+            "(e.g. F.xxhash64)"
+        )
+
+
 @dataclass(frozen=True)
 class CorpusPipelineConfig:
     """Knobs for one corpus build; defaults are the bench-scale shape.
@@ -76,6 +90,12 @@ def build_training_corpus(
       sum <= budget, deterministic under retry/relayout).
     * ``stats``: per-pack utilization (padding waste monitor).
     """
+    if cfg.train_split not in cfg.split_weights:
+        raise ValueError(
+            f"train_split {cfg.train_split!r} is not a split_weights key "
+            f"{sorted(cfg.split_weights)}"
+        )
+    require_integral_id(docs, id_col)
     filtered = docs.where(F.col(text_col).isNotNull())
     if cfg.min_quality is not None:
         from mapreduce_implementation_spark.functions.textstats import (

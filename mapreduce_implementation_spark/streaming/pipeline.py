@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 
 from mapreduce_implementation_spark.operators.chunking import chunk_documents
 from mapreduce_implementation_spark.operators.packing import pack_greedy
+from mapreduce_implementation_spark.operators.pipeline import (
+    require_integral_id,
+)
 
 
 def streaming_chunks(
@@ -47,6 +50,7 @@ def streaming_chunks(
     packing. Identical semantics to the batch operator (it IS the batch
     operator — stateless Column expressions stream as-is); adds the
     collision-free ``chunk_key = doc_id * key_stride + chunk_idx``."""
+    require_integral_id(docs_stream, id_col)
     chunks = chunk_documents(
         docs_stream,
         id_col=id_col,

@@ -107,3 +107,29 @@ def test_quality_floor_filters_before_dedup(spark):
         for k in ("split_train", "split_holdout")
     )
     assert 0 < kept < unfiltered
+
+
+def test_string_doc_id_rejected_loudly(spark):
+    """A string id would silently become NULL under the chunk_key
+    arithmetic — both pipeline faces must refuse with a clear error."""
+    import pytest
+
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        streaming_chunks,
+    )
+
+    df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral"):
+        build_training_corpus(df)
+    with pytest.raises(TypeError, match="integral"):
+        streaming_chunks(df)
+
+
+def test_bad_train_split_rejected(spark):
+    import pytest
+
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="train_split"):
+        build_training_corpus(
+            docs, CorpusPipelineConfig(train_split="nope")
+        )
