@@ -279,3 +279,25 @@ class TestSimhashNearDup:
         """
         want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
         assert got == want
+
+
+def test_simhash_pairs_compose_with_clustering(spark):
+    """The pair-mining families share the clustering contract: simhash
+    pairs feed connected_components unchanged — identical docs plus the
+    near-edit land in ONE cluster labeled by the min doc_id."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base.replace("lazy", "sleepy", 1)),
+        (4, "completely different content about spark catalyst plans"),
+        (5, "another unrelated document mentioning tungsten codegen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dd.simhash_near_dup_pairs(df, max_hamming=3)
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert 4 not in labels or labels[4] != 1  # no cross-cluster merge
