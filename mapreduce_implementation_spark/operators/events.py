@@ -271,3 +271,91 @@ def user_value_trend(events: DataFrame) -> DataFrame:
         "user_id", epoch_s("ts").alias("ts_s"), "value"
     )
     return keyed.groupBy("user_id").applyInPandas(fit, schema)
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] | list[str],
+    within_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per user, the earliest chain step1 <= step2 <=
+    ... <= stepK with the whole chain inside ``within_s`` seconds of the
+    chain's FIRST step; returns DataFrame[step, step_idx, n_users] with
+    n_users = users reaching at least that step (monotone decreasing).
+
+    Greedy-earliest semantics (the standard funnel definition): t1 =
+    the user's first step1 event; t_i = the first step_i event at or
+    after t_{i-1} with t_i - t1 <= within_s. Equal timestamps resolve
+    in step order (a step2 event at exactly t1 counts).
+
+    Spark-first shape: filter to funnel event types (scan-stage, pushed
+    down), ONE shuffle (groupBy user), then a sorted fold as a pure
+    Column expression — ``array_sort`` + ``aggregate`` over a
+    K-slot struct accumulator, no Python, no per-step join chain (the
+    naive formulation is K shuffles). Per-user state is only this
+    user's funnel-type events inside the analysis window — the same
+    bound as sessionization; at 100 TB slice the input by day/week
+    before calling, as any funnel analysis does."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {list(steps)}")
+    if len(set(steps)) != k:
+        raise ValueError(f"steps must be distinct, got {list(steps)}")
+    if within_s <= 0:
+        raise ValueError(f"within_s must be positive, got {within_s}")
+
+    step_idx = F.when(F.col(type_col) == steps[0], F.lit(0))
+    for i, s in enumerate(steps[1:], 1):
+        step_idx = step_idx.when(F.col(type_col) == s, F.lit(i))
+    ev = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("user_id"),
+        epoch_s(ts_col).alias("t"),
+        step_idx.alias("si"),
+    )
+    # sort key (t, si): at equal timestamps the EARLIER funnel step
+    # folds first, so a same-instant later step still chains off it —
+    # matching the t_i >= t_{i-1} oracle formulation exactly
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "si"))).alias("evs")
+    )
+    null_l = F.lit(None).cast("long")
+    acc0 = F.struct(*[null_l.alias(f"s{i}") for i in range(k)])
+
+    def fold(acc, e):
+        outs = []
+        for i in range(k):
+            if i == 0:
+                take = (e["si"] == 0) & acc["s0"].isNull()
+            else:
+                take = (
+                    (e["si"] == i)
+                    & acc[f"s{i}"].isNull()
+                    & acc[f"s{i - 1}"].isNotNull()
+                    & (e["t"] >= acc[f"s{i - 1}"])
+                    & ((e["t"] - acc["s0"]) <= within_s)
+                )
+            outs.append(
+                F.when(take, e["t"]).otherwise(acc[f"s{i}"]).alias(f"s{i}")
+            )
+        return F.struct(*outs)
+
+    reached = per_user.select(F.aggregate("evs", acc0, fold).alias("r"))
+    counts = reached.agg(
+        *[F.count(F.col(f"r.s{i}")).alias(f"c{i}") for i in range(k)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(steps[i]).alias("step"),
+                F.lit(i).cast("long").alias("step_idx"),
+                F.col(f"c{i}").alias("n_users"),
+            )
+            for i in range(k)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("x")).select(
+        "x.step", "x.step_idx", "x.n_users"
+    )
