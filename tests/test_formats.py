@@ -1,0 +1,59 @@
+"""Round-trip fidelity of the interchange formats: every value and
+every dtype must survive write→read for each (table, format) pair the
+format can represent."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_implementation_spark.sources.catalog import load_table
+from mapreduce_implementation_spark.sources.formats import (
+    read_table,
+    write_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+CASES = [
+    ("orders", "csv"),    # dates, doubles, longs, strings — flat
+    ("orders", "json"),
+    ("orders", "orc"),
+    ("documents", "csv"),  # free text incl. quoting hazards
+    ("embeddings", "json"),  # array<float> — nested, json/orc only
+    ("embeddings", "orc"),
+    ("events", "orc"),     # timestamp column
+]
+
+
+@pytest.mark.parametrize("table,fmt", CASES, ids=lambda p: str(p))
+def test_round_trip_exact(spark, tmp_path, table, fmt):
+    src = load_table(spark, SF, table)
+    path = str(tmp_path / f"{table}_{fmt}")
+    write_table(src, path, fmt)
+    back = read_table(spark, path, fmt, schema=src.schema)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    # exact multiset equality both directions
+    assert src.exceptAll(back).count() == 0
+    assert back.exceptAll(src).count() == 0
+
+
+def test_csv_rejects_nested_columns(spark):
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(TypeError, match="nested"):
+        write_table(emb, "/tmp/never-written", "csv")
+
+
+def test_text_formats_require_schema(spark, tmp_path):
+    src = load_table(spark, SF, "nation")
+    for fmt in ("csv", "json"):
+        p = str(tmp_path / fmt)
+        write_table(src, p, fmt)
+        with pytest.raises(ValueError, match="schema"):
+            read_table(spark, p, fmt)
+
+
+def test_unknown_format_rejected(spark):
+    src = load_table(spark, SF, "nation")
+    with pytest.raises(ValueError, match="unknown format"):
+        write_table(src, "/tmp/never", "avro")
