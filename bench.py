@@ -184,6 +184,7 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
         # bucket shuffle + applyInPandas (see operators/packing.py).
         from mapreduce_implementation_spark.operators.chunking import (
             chunk_documents,
+            keyed_chunks,
         )
         from mapreduce_implementation_spark.operators.packing import (
             pack_greedy,
@@ -192,14 +193,10 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            chunks = chunk_documents(
-                docs, chunk_tokens=512, overlap=64
-            ).select(
-                (F.col("doc_id") * 4096 + F.col("chunk_idx")).alias(
-                    "chunk_key"
-                ),
-                F.col("n_tokens").cast("long").alias("n_tokens"),
-            )
+            chunks = keyed_chunks(
+                chunk_documents(docs, chunk_tokens=512, overlap=64),
+                keep_text=False,
+            ).select("chunk_key", "n_tokens")
             materialize(pack_greedy(chunks, "chunk_key", "n_tokens", 1024))
             best = min(best, time.perf_counter() - t0)
         warm["chunk512_pack1024_pipeline"] = round(best, 3)

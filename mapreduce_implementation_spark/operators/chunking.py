@@ -90,3 +90,56 @@ def chunk_documents(
         )
     )
     return out
+
+
+def keyed_chunks(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    key_stride: int = 1 << 32,
+    keep_text: bool = True,
+) -> DataFrame:
+    """Attach the collision-free pack key: ``chunk_key = id *
+    key_stride + chunk_idx`` — THE one shared encoding (batch pipeline,
+    streaming pipeline, bench all route through here so the key
+    identity cannot drift between faces).
+
+    The arithmetic is only collision-free when ``0 <= id <
+    2^63/key_stride`` (2^31 at the default stride) and ``chunk_idx <
+    key_stride``; outside that range it overflows — an ANSI runtime
+    error at best, silent wraparound collisions at worst. Both bounds
+    are enforced PER ROW with a codegen comparison that raises loudly
+    either way. Ids from a 64-bit hash (xxhash64) exceed the bound by
+    construction — dense surrogate ids are the supported encoding for
+    string-keyed corpora."""
+    max_id = (1 << 63) // key_stride
+    id_ok = F.col(id_col).between(0, max_id - 1) & (
+        F.col("chunk_idx") < F.lit(key_stride)
+    )
+    guarded_id = F.when(id_ok, F.col(id_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"chunk_key encoding needs 0 <= {id_col} < {max_id} "
+                    f"and chunk_idx < {key_stride}; got ({id_col}="
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(", chunk_idx="),
+                F.col("chunk_idx").cast("string"),
+                F.lit(
+                    "). Map string/hashed ids to dense longs first — a "
+                    "raw 64-bit hash overflows this encoding."
+                ),
+            )
+        )
+    )
+    cols = [
+        (guarded_id * F.lit(key_stride) + F.col("chunk_idx")).alias(
+            "chunk_key"
+        ),
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ]
+    if keep_text:
+        cols.append(F.col("chunk_text"))
+    return chunks.select(*cols)

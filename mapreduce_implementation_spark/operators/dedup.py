@@ -44,21 +44,58 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
     Thinness probe: ``df.inputFiles()`` (an analyzed-plan walk — no
     physical planning, unlike ``df.rdd.getNumPartitions()``, which
-    forces a full Catalyst→RDD conversion per call). A corpus with
-    fewer files than cores is (a) small enough that an extra
-    round-robin exchange is cheap and (b) at risk of scanning on a
-    handful of cores; one with >= target files already scans wide.
-    Non-file sources (in-memory test frames, streams) report zero
-    files and get the defensive repartition — correct for the frames
-    this is used on (raw text ahead of shingle/hash projections)."""
+    forces a full Catalyst→RDD conversion per call), refined by file
+    SIZE where the paths are local: scan parallelism is
+    ~sum(ceil(size / maxPartitionBytes)) because large files split —
+    file count alone would mislabel 500 × 2 GB files as "thin" on a
+    2000-core cluster and round-robin-shuffle the whole corpus. When
+    sizes are unresolvable (object-store URIs), >= target files still
+    proves width; otherwise be CONSERVATIVE and skip the exchange: a
+    missed repartition serializes expression work (slow, correct), a
+    spurious one reshuffles raw text at corpus scale (the worse
+    failure). Non-file sources (in-memory test frames) report zero
+    files and get the defensive repartition — correct for the tiny
+    frames this is used on."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_files = 0
-    if n_files < target:
+        files = []
+    if not files:
+        return df.repartition(target)
+    if len(files) >= target:
+        return df
+    est_splits = _estimate_scan_splits(df.sparkSession, files)
+    if est_splits is not None and est_splits < target:
         return df.repartition(target)
     return df
+
+
+def _estimate_scan_splits(spark, files: list[str]) -> int | None:
+    """Sum of per-file split counts at maxPartitionBytes, or None when
+    any size is unresolvable (non-local URI) — driver-side stat calls
+    on local paths only, no Spark job."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in conf if ch.isdigit()) or "134217728"
+    unit = conf[len(digits):].strip().lower()
+    max_pb = int(digits) * {
+        "": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+        "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+    }.get(unit, 1)
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        try:
+            size = _os.path.getsize(parsed.path or uri)
+        except OSError:
+            return None
+        total += max(1, -(-size // max_pb))
+    return total
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

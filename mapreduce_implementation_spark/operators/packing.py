@@ -98,7 +98,12 @@ def pack_greedy(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if n_buckets is None:
-        n_buckets = derive_n_buckets(rows_hint) if rows_hint else 64
+        # `is not None`, not truthiness: rows_hint=0 is a broken
+        # upstream estimate and must raise via derive_n_buckets, not
+        # silently fall back to the test-scale default
+        n_buckets = (
+            derive_n_buckets(rows_hint) if rows_hint is not None else 64
+        )
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
 

@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_implementation_spark.operators import sampling as sp
-from mapreduce_implementation_spark.operators.chunking import chunk_documents
+from mapreduce_implementation_spark.operators.chunking import (
+    chunk_documents,
+    keyed_chunks,
+)
 from mapreduce_implementation_spark.operators.dedup import exact_dedup
 from mapreduce_implementation_spark.operators.packing import (
     pack_greedy,
@@ -38,8 +41,9 @@ def require_integral_id(df: DataFrame, id_col: str) -> None:
     if not isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
         raise TypeError(
             f"id column {id_col!r} must be integral for the chunk_key "
-            f"encoding, got {dtype}; hash string ids to long first "
-            "(e.g. F.xxhash64)"
+            f"encoding, got {dtype}; map string ids to DENSE longs first "
+            "(a raw 64-bit hash like xxhash64 overflows the stride "
+            "encoding — keyed_chunks guards the bound per row)"
         )
 
 
@@ -132,20 +136,16 @@ def build_training_corpus(
         method=cfg.hash_method,
     )
     train = splits[cfg.train_split]
-    chunks = chunk_documents(
-        train,
-        id_col=id_col,
-        text_col=text_col,
-        chunk_tokens=cfg.chunk_tokens,
-        overlap=cfg.overlap,
-    ).select(
-        (F.col(id_col) * F.lit(cfg.key_stride) + F.col("chunk_idx")).alias(
-            "chunk_key"
+    chunks = keyed_chunks(
+        chunk_documents(
+            train,
+            id_col=id_col,
+            text_col=text_col,
+            chunk_tokens=cfg.chunk_tokens,
+            overlap=cfg.overlap,
         ),
-        F.col(id_col),
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("chunk_text"),
+        id_col=id_col,
+        key_stride=cfg.key_stride,
     )
     packed = pack_greedy(
         chunks.select("chunk_key", "n_tokens"),

@@ -56,8 +56,20 @@ def hash_bucket(key: Column | str, salt: str = "", method: str = "xxhash64") -> 
     if method == "xxhash64":
         return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(BUCKETS))
     if method == "md5":
+        # concat_ws, not concat: concat propagates NULL, which would
+        # give NULL buckets — rows silently vanishing from EVERY split.
+        # concat_ws skips NULL args (hashing just the salt), matching
+        # both the xxhash64 path's always-a-bucket behavior and
+        # DuckDB's NULL-skipping concat in the oracle twin. All NULL
+        # keys share one bucket — filter them first if that matters.
         hexpart = F.substring(
-            F.md5(F.concat(col.cast("string"), F.lit(salt)).cast("binary")), 1, 8
+            F.md5(
+                F.concat_ws("", col.cast("string"), F.lit(salt)).cast(
+                    "binary"
+                )
+            ),
+            1,
+            8,
         )
         return F.conv(hexpart, 16, 10).cast("long") % F.lit(BUCKETS)
     raise ValueError(f"unknown hash method {method!r}")

@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_implementation_spark.operators import sampling as sp
-from mapreduce_implementation_spark.operators.chunking import chunk_documents
+from mapreduce_implementation_spark.operators.chunking import (
+    chunk_documents,
+    keyed_chunks,
+)
 from mapreduce_implementation_spark.operators.dedup import exact_dedup
 from mapreduce_implementation_spark.operators.packing import pack_greedy
 from mapreduce_implementation_spark.plans.registry import register
@@ -210,17 +213,15 @@ def pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    chunks = chunk_documents(
-        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
-    )
-    keyed = chunks.select(
-        (F.col("doc_id") * F.lit(KEY_STRIDE) + F.col("chunk_idx")).alias(
-            "chunk_key"
+    chunks = keyed_chunks(
+        chunk_documents(
+            docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
         ),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-    )
+        key_stride=KEY_STRIDE,
+        keep_text=False,
+    ).select("chunk_key", "n_tokens")
     packed = pack_greedy(
-        keyed, "chunk_key", "n_tokens", PACK_BUDGET, n_buckets=PACK_BUCKETS
+        chunks, "chunk_key", "n_tokens", PACK_BUDGET, n_buckets=PACK_BUCKETS
     )
     return _pack_summary(packed, PACK_BUDGET)
 
@@ -303,15 +304,13 @@ def pipeline_sample_dedup_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFr
     train = sp.split_by_hash(
         deduped, "doc_id", SPLIT_WEIGHTS, salt=SPLIT_SALT, method="md5"
     )["train"]
-    chunks = chunk_documents(
-        train, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
-    )
-    keyed = chunks.select(
-        (F.col("doc_id") * F.lit(KEY_STRIDE) + F.col("chunk_idx")).alias(
-            "chunk_key"
+    keyed = keyed_chunks(
+        chunk_documents(
+            train, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
         ),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-    )
+        key_stride=KEY_STRIDE,
+        keep_text=False,
+    ).select("chunk_key", "n_tokens")
     packed = track_cache(
         pack_greedy(
             keyed, "chunk_key", "n_tokens", PACK_BUDGET, n_buckets=PACK_BUCKETS

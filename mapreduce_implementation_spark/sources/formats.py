@@ -25,8 +25,16 @@ FORMATS = ("parquet", "orc", "csv", "json")
 
 # options that make Spark's CSV round-trip-safe for free text: quote
 # everything hairy, escape quotes with doubled quotes (RFC 4180), keep
-# multi-line fields parseable on read
-_CSV_OPTS = {"header": "true", "escape": '"', "multiLine": "true"}
+# multi-line fields parseable on read, and — critically — write NULL as
+# an explicit marker so it stays distinguishable from the empty string
+# (with Spark's defaults both serialize to nothing and read back as
+# NULL, silently mutating text='' rows)
+_CSV_OPTS = {
+    "header": "true",
+    "escape": '"',
+    "multiLine": "true",
+    "nullValue": "\\N",
+}
 
 
 def _check_csv_schema(schema: StructType) -> None:

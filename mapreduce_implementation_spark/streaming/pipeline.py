@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_implementation_spark.operators.chunking import chunk_documents
+from mapreduce_implementation_spark.operators.chunking import (
+    chunk_documents,
+    keyed_chunks,
+)
 from mapreduce_implementation_spark.operators.packing import pack_greedy
 from mapreduce_implementation_spark.operators.pipeline import (
     require_integral_id,
@@ -51,21 +54,16 @@ def streaming_chunks(
     operator — stateless Column expressions stream as-is); adds the
     collision-free ``chunk_key = doc_id * key_stride + chunk_idx``."""
     require_integral_id(docs_stream, id_col)
-    chunks = chunk_documents(
-        docs_stream,
-        id_col=id_col,
-        text_col=text_col,
-        chunk_tokens=chunk_tokens,
-        overlap=overlap,
-    )
-    return chunks.select(
-        (F.col(id_col) * F.lit(key_stride) + F.col("chunk_idx")).alias(
-            "chunk_key"
+    return keyed_chunks(
+        chunk_documents(
+            docs_stream,
+            id_col=id_col,
+            text_col=text_col,
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
         ),
-        F.col(id_col),
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("chunk_text"),
+        id_col=id_col,
+        key_stride=key_stride,
     )
 
 

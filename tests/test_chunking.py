@@ -94,3 +94,29 @@ def test_invalid_params_raise(spark):
         chunk_documents(docs, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
+
+
+def test_keyed_chunks_guards_id_range(spark):
+    """A 64-bit-hash-sized id must raise loudly, not overflow the
+    chunk_key stride into silent collisions (or an opaque ANSI error)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.operators.chunking import (
+        chunk_documents,
+        keyed_chunks,
+    )
+
+    ok = spark.createDataFrame(
+        [(5, "a b c")], "doc_id long, text string"
+    )
+    keyed = keyed_chunks(chunk_documents(ok, chunk_tokens=2))
+    rows = keyed.collect()
+    assert [r.chunk_key for r in rows] == [5 * (1 << 32), 5 * (1 << 32) + 1]
+
+    bad = spark.createDataFrame(
+        [(int(-8_588_059_573_638_103_203), "a b c")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="chunk_key encoding"):
+        keyed_chunks(chunk_documents(bad, chunk_tokens=2)).collect()

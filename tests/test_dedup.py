@@ -301,3 +301,30 @@ def test_simhash_pairs_compose_with_clustering(spark):
     }
     assert labels[1] == labels[2] == labels[3] == 1
     assert 4 not in labels or labels[4] != 1  # no cross-cluster merge
+
+
+def test_estimate_scan_splits(tmp_path):
+    """Local files: sum of per-file split counts at maxPartitionBytes;
+    any non-local URI makes the estimate unknowable (None) so spread()
+    stays conservative instead of reshuffling a corpus it can't size."""
+    import os
+
+    class FakeConf:
+        def get(self, k, d=None):
+            return "1048576"  # 1 MiB
+
+    class FakeSpark:
+        conf = FakeConf()
+
+    f1 = tmp_path / "a.bin"
+    f1.write_bytes(b"x" * (2 * 1024 * 1024 + 1))  # 3 splits at 1 MiB
+    f2 = tmp_path / "b.bin"
+    f2.write_bytes(b"y" * 10)  # 1 split
+    est = dd._estimate_scan_splits(
+        FakeSpark(), [f"file://{f1}", str(f2)]
+    )
+    assert est == 4
+    assert (
+        dd._estimate_scan_splits(FakeSpark(), [f"file://{f1}", "s3://bkt/c"])
+        is None
+    )

@@ -57,3 +57,16 @@ def test_unknown_format_rejected(spark):
     src = load_table(spark, SF, "nation")
     with pytest.raises(ValueError, match="unknown format"):
         write_table(src, "/tmp/never", "avro")
+
+
+def test_csv_preserves_empty_string_vs_null(spark, tmp_path):
+    """Spark's CSV defaults collapse '' and NULL into NULL on read;
+    the nullValue/emptyValue options must keep them distinct."""
+    src = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x")], "id long, text string"
+    )
+    path = str(tmp_path / "csv_nulls")
+    write_table(src, path, "csv")
+    back = read_table(spark, path, "csv", schema=src.schema)
+    got = {r.id: r.text for r in back.collect()}
+    assert got == {1: "", 2: None, 3: "x"}

@@ -144,3 +144,10 @@ def test_rows_hint_drives_bucket_count(spark, chunked):
     )
     assert packed.count() == chunked.count()
     assert packed.select((F.col("pack_id") / (1 << 32)).cast("long")).distinct().count() == 1
+
+
+def test_rows_hint_zero_raises(spark, chunked):
+    """A broken upstream estimate (0) must raise, not silently fall
+    back to the test-scale bucket default."""
+    with pytest.raises(ValueError, match="rows_hint"):
+        pack_greedy(chunked, "chunk_key", "n_tokens", BUDGET, rows_hint=0)

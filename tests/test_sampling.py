@@ -248,3 +248,31 @@ def test_upsample_md5_matches_duckdb_replay(spark):
     for k, _ in got:
         per_key[k] = per_key.get(k, 0) + 1
     assert set(per_key.values()) <= {2, 3} and len(per_key) == 500
+
+
+def test_md5_null_keys_get_a_bucket_not_dropped(spark):
+    """concat propagating NULL would silently drop null-key rows from
+    EVERY split; instead they hash like DuckDB's NULL-skipping concat
+    (the salt alone) and stay in exactly one split."""
+    import duckdb
+
+    from mapreduce_implementation_spark.operators.sampling import (
+        BUCKETS,
+        hash_bucket,
+    )
+
+    df = spark.createDataFrame([(None,), (7,)], "k long")
+    got = {
+        r.k: r.b
+        for r in df.select(
+            "k", hash_bucket("k", salt="s", method="md5").alias("b")
+        ).collect()
+    }
+    assert got[7] is not None and got[None] is not None
+    want_null = duckdb.sql(
+        f"SELECT CAST(concat('0x', substr(md5(concat(CAST(NULL AS VARCHAR), 's')), 1, 8)) AS BIGINT) % {BUCKETS}"
+    ).fetchone()[0]
+    assert got[None] == want_null
+
+    splits = sp.split_by_hash(df, "k", {"a": 0.5, "b": 0.5}, method="md5")
+    assert splits["a"].count() + splits["b"].count() == 2
