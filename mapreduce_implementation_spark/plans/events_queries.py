@@ -326,3 +326,54 @@ def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     trend, integer-exact so it hash-matches the HUGEINT SQL oracle."""
     events = load_table(spark, sf_dir, "events")
     return ev.user_value_trend(events)
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WITHIN_S = 86400
+
+
+@register(
+    "events_funnel_view_click_purchase",
+    tables=("events",),
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, {_E} AS t,
+                   CASE event_type WHEN 'view' THEN 0
+                                   WHEN 'click' THEN 1
+                                   WHEN 'purchase' THEN 2 END AS si
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        s0 AS (SELECT user_id, MIN(t) AS t0 FROM ev WHERE si = 0 GROUP BY user_id),
+        s1 AS (SELECT e.user_id, MIN(e.t) AS t1
+               FROM ev e JOIN s0 USING (user_id)
+               WHERE e.si = 1 AND e.t >= s0.t0
+                 AND e.t - s0.t0 <= {_FUNNEL_WITHIN_S}
+               GROUP BY e.user_id),
+        s2 AS (SELECT e.user_id, MIN(e.t) AS t2
+               FROM ev e JOIN s0 USING (user_id) JOIN s1 USING (user_id)
+               WHERE e.si = 2 AND e.t >= s1.t1
+                 AND e.t - s0.t0 <= {_FUNNEL_WITHIN_S}
+               GROUP BY e.user_id)
+        SELECT step, CAST(step_idx AS BIGINT) AS step_idx,
+               CAST(n_users AS BIGINT) AS n_users
+        FROM (VALUES
+            ('view', 0, (SELECT COUNT(*) FROM s0)),
+            ('click', 1, (SELECT COUNT(*) FROM s1)),
+            ('purchase', 2, (SELECT COUNT(*) FROM s2))
+        ) t(step, step_idx, n_users)
+    """,
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase within 1 day
+    of the first view (greedy-earliest chain, operators/events.funnel):
+    users reaching each step, monotone decreasing. One shuffle (groupBy
+    user) + a sorted Column-expression fold — no K-way join chain. The
+    oracle unrolls the same greedy recurrence as chained min CTEs
+    (t_i = first step_i event at/after t_{i-1} with t_i - t_0 inside
+    the window), which is equivalent to the fold because each t_i is
+    the minimum qualifying timestamp given t_{i-1}."""
+    events = load_table(spark, sf_dir, "events")
+    return ev.funnel(
+        events, _FUNNEL_STEPS, within_s=_FUNNEL_WITHIN_S
+    )

@@ -294,16 +294,18 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "rollup_order_status_priority",
-    tables=("orders",),
-    oracle="""
+# Demoted round 7 (the extended grouping_sets_part_brand_type covers the
+# full rollup chain — its sets are a superset of ROLLUP(brand, type));
+# pytest-gated via tests/test_demoted_oracles.py. Slot went to
+# events_funnel_view_click_purchase.
+ROLLUP_ORDERS_ORACLE = """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-)
+    """
+
+
 def rollup_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (grand total + per-status +
     per-status-priority)."""
@@ -416,19 +418,23 @@ def filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p_brand, p_type, COUNT(*) AS cnt, CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
         FROM part
-        GROUP BY GROUPING SETS ((p_brand), (p_type), (p_brand, p_type))
+        GROUP BY GROUPING SETS ((p_brand), (p_type), (p_brand, p_type), ())
     """,
 )
 def grouping_sets_part_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via SQL (DataFrame API has no direct
-    grouping-sets builder; spark.sql is the idiomatic route)."""
+    grouping-sets builder; spark.sql is the idiomatic route). The sets
+    include the grand total, so ((p_brand, p_type), (p_brand), ()) — the
+    full ROLLUP(p_brand, p_type) chain — is a subset: rollup stays
+    oracle-observable here after rollup_order_status_priority moved to
+    the pytest gate (tests/test_demoted_oracles.py)."""
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part_gs")
     return spark.sql(
         """
         SELECT p_brand, p_type, COUNT(*) AS cnt,
                CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
         FROM part_gs
-        GROUP BY GROUPING SETS ((p_brand), (p_type), (p_brand, p_type))
+        GROUP BY GROUPING SETS ((p_brand), (p_type), (p_brand, p_type), ())
         """
     )
 

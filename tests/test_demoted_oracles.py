@@ -13,6 +13,7 @@ from mapreduce_implementation_spark.plans import textstats_queries as tq
 
 DEMOTED = [
     (rq.window_running_customer_spend, rq.WINDOW_RUNNING_ORACLE),
+    (rq.rollup_order_status_priority, rq.ROLLUP_ORDERS_ORACLE),
     (rq.cube_lineitem_flags, rq.CUBE_LINEITEM_ORACLE),
     (rq.set_ops_customer_cohorts, rq.SET_OPS_ORACLE),
     (tq.corpus_stats_by_lang, tq.CORPUS_STATS_ORACLE),
