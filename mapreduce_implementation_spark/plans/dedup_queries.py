@@ -171,23 +171,34 @@ _HEXPOS = "strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1"
 _BIT = f"(({_HEXPOS}) // CAST(power(2.0, 3 - (b % 4)) AS INT)) % 2"
 
 
-@register(
-    "simhash_signatures",
-    headline=True,
-    tables=("documents",),
-    oracle=f"""
+# The 64-char '0'/'1' SimHash signature of every document — shared by
+# the demoted signatures gate and the registered pairs oracle below.
+_SIMHASH_SIG_CTE = f"""
         WITH hashed AS (
             SELECT doc_id, list_transform({_TOKS}, t -> md5(t)) AS hs
             FROM documents
+        ),
+        sig AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(range(0, 64), b ->
+                       CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+                               CASE WHEN {_BIT} = 1 THEN 1 ELSE -1 END)), 0) >= 0
+                            THEN '1' ELSE '0' END), '') AS simhash
+            FROM hashed
         )
-        SELECT doc_id,
-               array_to_string(list_transform(range(0, 64), b ->
-                   CASE WHEN coalesce(list_sum(list_transform(hs, h ->
-                           CASE WHEN {_BIT} = 1 THEN 1 ELSE -1 END)), 0) >= 0
-                        THEN '1' ELSE '0' END), '') AS simhash
-        FROM hashed
-    """,
+"""
+
+# Demoted round 7 (the registered simhash_near_dup_pairs computes these
+# signatures as the first projection of its plan, so the encoding stays
+# oracle-checked there); pytest-gated via tests/test_demoted_oracles.py.
+SIMHASH_SIG_ORACLE = _SIMHASH_SIG_CTE + "SELECT doc_id, simhash FROM sig"
+
+_SIMHASH_HAMMING = (
+    "len(list_filter(range(1, 65), i -> "
+    "substring(a.simhash, i, 1) <> substring(b.simhash, i, 1)))"
 )
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (frequency-weighted token hashing).
     Near-dup = small Hamming distance; bucket by bit-bands to search at
@@ -199,6 +210,35 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.spread(docs.select("doc_id", "text"))
         .select("doc_id", dd.token_hashes("text").alias("_hs"))
         .select("doc_id", dd.simhash_from_hashes(F.col("_hs"), 64).alias("simhash"))
+    )
+
+
+@register(
+    "simhash_near_dup_pairs",
+    headline=True,
+    tables=("documents",),
+    oracle=_SIMHASH_SIG_CTE
+    + f"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST({_SIMHASH_HAMMING} AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE {_SIMHASH_HAMMING} <= 3
+    """,
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via banded Hamming-LSH:
+    the 64-bit signature splits into 4 contiguous 16-bit bands, and the
+    pigeonhole guarantee (Manku et al.) makes the band equi-join
+    LOSSLESS for max_hamming <= bands-1 — which is why the oracle can
+    be the brute-force all-pairs Hamming join over the same signature
+    CTE: at sf0.01 that is 125k pairs for DuckDB, while the Spark plan
+    only ever touches same-band buckets (one shuffle, never the cross
+    product). Signature computation is the first projection of this
+    plan, so the bit encoding stays oracle-checked after
+    simhash_signatures moved to the pytest gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_near_dup_pairs(
+        docs, "doc_id", "text", n_bits=64, bands=4, max_hamming=3
     )
 
 

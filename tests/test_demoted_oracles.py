@@ -8,12 +8,14 @@ from __future__ import annotations
 import pytest
 
 from mapreduce_implementation_spark.oracle import compare, run_oracle
+from mapreduce_implementation_spark.plans import dedup_queries as dq
 from mapreduce_implementation_spark.plans import relational_queries as rq
 from mapreduce_implementation_spark.plans import textstats_queries as tq
 
 DEMOTED = [
     (rq.window_running_customer_spend, rq.WINDOW_RUNNING_ORACLE),
     (rq.rollup_order_status_priority, rq.ROLLUP_ORDERS_ORACLE),
+    (dq.simhash_signatures, dq.SIMHASH_SIG_ORACLE),
     (rq.cube_lineitem_flags, rq.CUBE_LINEITEM_ORACLE),
     (rq.set_ops_customer_cohorts, rq.SET_OPS_ORACLE),
     (tq.corpus_stats_by_lang, tq.CORPUS_STATS_ORACLE),
