@@ -1,0 +1,75 @@
+"""Benchmark decontamination — per-document n-gram overlap against an
+eval/benchmark corpus, the check a training-data pipeline runs before a
+corpus ships (eval questions leaking into training data silently
+inflate downstream scores).
+
+The standard construction (n-gram collision decontamination, as
+published for the big public LM corpora): every document is flagged
+with how many of its distinct word n-grams also appear in the
+benchmark set; a threshold on the overlap fraction drives drop/keep.
+
+Spark-first shape, sized for the real asymmetry of the problem — the
+corpus is 100 TB but benchmarks are megabytes:
+
+* the benchmark's distinct n-gram set is aggregated once and
+  BROADCAST (eval sets are 1e3–1e6 grams; never a shuffle side);
+* the corpus side is a scan-stage explode of distinct per-doc shingles
+  followed by a broadcast left join — the only shuffle is the final
+  per-doc groupBy, whose key is the doc id (uniform, skew-free);
+* counting hits via LEFT join + ``count(flag)`` (not inner join) keeps
+  zero-overlap documents in the result — the common case, and the one
+  a drop-list must NOT lose.
+
+The reference engine has no contamination surface (its only analysis
+is word counting, /root/reference/Worker.cc:148-264); this module is
+part of the LLM-pipeline extension set alongside dedup/sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators.dedup import shingles
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document benchmark overlap: DataFrame[id_col, n_ngrams,
+    n_contaminated, contamination_frac].
+
+    ``n_ngrams`` counts the document's DISTINCT word n-grams (distinct,
+    not raw: a doc repeating one leaked gram 100 times is no more
+    contaminated than one containing it once); ``n_contaminated`` is
+    how many of those appear anywhere in ``benchmark``. Documents with
+    fewer than ``n`` tokens have no n-grams and yield no row — they
+    cannot be n-gram-contaminated by construction.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bench_grams = (
+        benchmark.select(F.explode(shingles(bench_text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.col("n_contaminated") / F.col("n_ngrams"),
+        )
+    )

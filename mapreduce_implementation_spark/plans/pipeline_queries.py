@@ -30,6 +30,9 @@ from mapreduce_implementation_spark.operators.chunking import (
 )
 from mapreduce_implementation_spark.operators.dedup import exact_dedup
 from mapreduce_implementation_spark.operators.packing import pack_greedy
+from mapreduce_implementation_spark.plans.dedup_queries import (
+    _SHINGLES as _SHINGLES3,
+)
 from mapreduce_implementation_spark.plans.registry import register
 from mapreduce_implementation_spark.sources.catalog import load_table
 
@@ -328,3 +331,56 @@ def pipeline_sample_dedup_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFr
     return (
         n_sampled.crossJoin(n_surviving).crossJoin(n_train).crossJoin(summary)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (operators/contamination.py)
+
+CONTAM_SALT = "contam"
+CONTAM_BENCH_BUCKETS = 100_000  # benchmark = the ~10% md5-bucket slice
+
+
+@register(
+    "benchmark_contamination",
+    tables=("documents",),
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, {_SHINGLES3} AS sh,
+                   {_bucket_sql("doc_id", CONTAM_SALT)} AS bkt
+            FROM documents
+        ),
+        bench AS (
+            SELECT DISTINCT UNNEST(sh) AS g FROM b
+            WHERE bkt < {CONTAM_BENCH_BUCKETS}
+        ),
+        d AS (
+            SELECT doc_id, UNNEST(sh) AS g FROM b
+            WHERE bkt >= {CONTAM_BENCH_BUCKETS}
+        )
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+               CAST(COUNT(bench.g) AS BIGINT) AS n_contaminated,
+               CAST(COUNT(bench.g) AS DOUBLE) / COUNT(*) AS contamination_frac
+        FROM d LEFT JOIN bench ON d.g = bench.g
+        GROUP BY d.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram collision decontamination (operators/contamination.py):
+    a deterministic md5-bucket slice of `documents` stands in for the
+    eval benchmark (same engine-portable bucketing as the split query,
+    different salt, so membership itself is oracle-checked); every
+    remaining document reports how many of its distinct trigrams appear
+    in that benchmark. Plan shape: the benchmark gram set aggregates
+    once and BROADCASTS (eval sets are megabytes against a 100 TB
+    corpus), the corpus side is a scan-stage shingle explode + broadcast
+    left join, and the only shuffle is the skew-free per-doc groupBy."""
+    from mapreduce_implementation_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bkt = sp.hash_bucket("doc_id", CONTAM_SALT, method="md5")
+    bench = docs.where(bkt < CONTAM_BENCH_BUCKETS)
+    corpus = docs.where(bkt >= CONTAM_BENCH_BUCKETS)
+    return ngram_contamination(corpus, bench, n=3)

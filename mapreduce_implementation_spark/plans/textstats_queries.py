@@ -152,10 +152,11 @@ def langid_vs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_fingerprints",
-    tables=("documents",),
-    oracle=f"""
+# Demoted round 7 (the winnowing fingerprint stays oracle-observable as
+# ngram_jaccard_pairs' blocking key in BOTH engines' plans; the exact
+# content hash is dedup_exact's key); pytest-gated via
+# tests/test_demoted_oracles.py. Slot went to benchmark_contamination.
+DOC_FINGERPRINTS_ORACLE = f"""
         SELECT doc_id,
                md5(array_to_string({_TOKS}, ' ')) AS content_hash,
                coalesce(
@@ -166,8 +167,9 @@ def langid_vs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                    md5(array_to_string({_TOKS}, ' '))
                ) AS fingerprint
         FROM documents
-    """,
-)
+    """
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized content hash (exact-dedup key) + winnowing-style min
     shingle-hash fingerprint (near-dup prefilter), per document."""

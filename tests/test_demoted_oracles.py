@@ -16,6 +16,7 @@ DEMOTED = [
     (rq.window_running_customer_spend, rq.WINDOW_RUNNING_ORACLE),
     (rq.rollup_order_status_priority, rq.ROLLUP_ORDERS_ORACLE),
     (dq.simhash_signatures, dq.SIMHASH_SIG_ORACLE),
+    (tq.doc_fingerprints, tq.DOC_FINGERPRINTS_ORACLE),
     (rq.cube_lineitem_flags, rq.CUBE_LINEITEM_ORACLE),
     (rq.set_ops_customer_cohorts, rq.SET_OPS_ORACLE),
     (tq.corpus_stats_by_lang, tq.CORPUS_STATS_ORACLE),
