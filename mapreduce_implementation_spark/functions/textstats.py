@@ -60,6 +60,35 @@ def stopword_hits(text: Column | str, lang: str = "en") -> Column:
     ).cast("long")
 
 
+def top_token_count(toks: Column) -> Column:
+    """Occurrence count of the single most frequent token — the core
+    repetition signal (Gopher-style repetition rules threshold on its
+    fraction). Computed as the longest run of a SORTED copy via one
+    ``aggregate`` fold: O(n log n) per document, where the obvious
+    distinct×filter formulation is O(n·d) — quadratic on the repetitive
+    documents this signal exists to catch. The DuckDB twin deliberately
+    uses that quadratic distinct-count form: an independent formulation
+    of the same number is a stronger oracle than a replay."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        # NULL prev (first element) compares NULL -> otherwise -> run=1
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(toks), acc0, step, lambda a: a["best"])
+
+
 def quality_features(
     text: Column | str, toks: Column | None = None
 ) -> dict[str, Column]:
@@ -88,6 +117,18 @@ def quality_features(
         "stopword_ratio": (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))),
         "mean_token_len": (
             F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.greatest(n_tokens, F.lit(1))
+        ),
+        # Repetition signals (Gopher-style). Reported, not folded into
+        # quality_score: the score's weights are pinned by downstream
+        # oracles (pipeline quality floor); repetition thresholds are
+        # the caller's drop policy.
+        "distinct_token_ratio": (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(n_tokens, F.lit(1))
+        ),
+        "top_token_frac": (
+            top_token_count(toks).cast("double")
             / F.greatest(n_tokens, F.lit(1))
         ),
     }

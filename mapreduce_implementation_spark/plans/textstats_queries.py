@@ -78,7 +78,10 @@ _QUALITY_SQL = f"""
                CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
                CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
                CAST(len(list_filter({_TOKS}, x -> x IN ({_sql_list(ts.STOPWORDS["en"])}))) AS BIGINT) AS n_stop,
-               CAST(coalesce(list_sum(list_transform({_TOKS}, x -> length(x))), 0) AS DOUBLE) AS tok_chars
+               CAST(coalesce(list_sum(list_transform({_TOKS}, x -> length(x))), 0) AS DOUBLE) AS tok_chars,
+               CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
+               CAST(coalesce(list_max(list_transform(list_distinct({_TOKS}),
+                       d -> len(list_filter({_TOKS}, x -> x = d)))), 0) AS BIGINT) AS top_cnt
         FROM documents
     )
     SELECT doc_id, n_chars, n_tokens,
@@ -86,6 +89,8 @@ _QUALITY_SQL = f"""
            CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
            CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
            tok_chars / greatest(n_tokens, 1) AS mean_token_len,
+           CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) AS distinct_token_ratio,
+           CAST(top_cnt AS DOUBLE) / greatest(n_tokens, 1) AS top_token_frac,
            (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
            + (CASE WHEN tok_chars / greatest(n_tokens, 1) >= 2.0
                     AND tok_chars / greatest(n_tokens, 1) <= 12.0 THEN 0.25 ELSE 0.0 END)
@@ -115,6 +120,8 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         f["punct_ratio"].alias("punct_ratio"),
         f["stopword_ratio"].alias("stopword_ratio"),
         f["mean_token_len"].alias("mean_token_len"),
+        f["distinct_token_ratio"].alias("distinct_token_ratio"),
+        f["top_token_frac"].alias("top_token_frac"),
         ts.quality_score("text", toks=F.col("_toks")).alias("quality_score"),
     )
 

@@ -1,0 +1,37 @@
+"""Behavioral tests for the repetition signals
+(functions/textstats.top_token_count and the quality_features ratios)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.functions import textstats as ts
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("v")).collect()[0].v
+
+
+def test_top_token_count_longest_run(spark):
+    toks = ts._lower_tokens("text")
+    assert _one(spark, "a b a c a", ts.top_token_count(toks)) == 3
+    assert _one(spark, "x y z", ts.top_token_count(toks)) == 1
+    assert _one(spark, "", ts.top_token_count(toks)) == 0
+
+
+def test_repetition_ratios(spark):
+    f = ts.quality_features("text")
+    got = _one(spark, "a a a a b", F.struct(
+        f["distinct_token_ratio"].alias("d"), f["top_token_frac"].alias("t")
+    ))
+    assert got.d == 2 / 5
+    assert got.t == 4 / 5
+
+
+def test_empty_doc_ratios_are_zero(spark):
+    f = ts.quality_features("text")
+    got = _one(spark, "", F.struct(
+        f["distinct_token_ratio"].alias("d"), f["top_token_frac"].alias("t")
+    ))
+    assert got.d == 0.0 and got.t == 0.0
