@@ -178,13 +178,17 @@ def train_centroids(
         (i, list(r.ev)) for i, r in enumerate(init_rows)
     ]
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            centroids, "centroid_id int, centroid_emb array<long>"
-        )
         # keep_cols carries the vector through the assignment projection
-        # — no per-iteration shuffle self-join back to vq
-        assigned = assign_inverted_lists(
-            vq, cent_df, 1, "vec_id", "ev", keep_cols=("ev",)
+        # — no per-iteration shuffle self-join back to vq; centroids go
+        # straight from the driver list (no createDataFrame → collect
+        # round trip per iteration)
+        assigned = _assign_from_list(
+            vq,
+            [(cid, vals) for cid, vals in centroids],
+            1,
+            "vec_id",
+            "ev",
+            keep_cols=("ev",),
         )
         sums = (
             assigned.select("centroid_id", F.posexplode("ev").alias("pos", "val"))
@@ -240,26 +244,51 @@ def assign_inverted_lists(
     probed list). The struct sort orders by score then -centroid_id, so
     reading from the top gives score DESC, centroid_id ASC — identical
     to the oracle's ROW_NUMBER ordering."""
-    import math
-
-    from mapreduce_implementation_spark.functions.vectors import dot, norm
-
     cent_rows = sorted(
         centroids.select("centroid_id", "centroid_emb").collect(),
         key=lambda r: r.centroid_id,
     )
+    cents = [(int(r.centroid_id), [float(x) for x in r.centroid_emb]) for r in cent_rows]
+    return _assign_from_list(df, cents, nprobe, id_col, emb_col, keep_cols)
+
+
+def _assign_from_list(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str,
+    emb_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assignment core over driver-held centroids (id, values). Split
+    out so the Lloyd training loop can skip the per-iteration
+    createDataFrame → collect round trip.
+
+    The k×d centroid matrix ships as ONE 2-D array literal and the
+    score array is a single ``transform`` over ``sequence(0, k-1)`` —
+    a constant-size expression tree. The previous shape (k separate
+    struct expressions, each embedding its own d-element literal dot)
+    cost ~2s of driver-side build/analysis per call at k=8, d=64 —
+    paid on EVERY Lloyd iteration; this form builds in ~10 py4j calls
+    and analyzes in milliseconds, with bit-identical scores (same
+    values, same left-to-right fold, same quantization cast)."""
+    import math
+
+    from mapreduce_implementation_spark.functions.vectors import norm
+
     # centroid norms on the driver: Python's left-to-right double sum is
     # the same IEEE fold as the SQL twin's list_sum, so the quantized
     # score stays bit-identical while the per-row cost drops from
     # k×(dot+2 norms) to k×dot + 1 norm.
-    cents = [
-        (
-            int(r.centroid_id),
-            [float(x) for x in r.centroid_emb],
-            math.sqrt(sum(float(x) * float(x) for x in r.centroid_emb)),
-        )
-        for r in cent_rows
-    ]
+    # float-coerce so int (micro-quantized) centroids build the same
+    # array<array<double>> literal the float path does
+    cent_mat = F.lit(
+        [[float(x) for x in c_emb] for _, c_emb in cents]
+    )  # one py4j call, k×d
+    cent_norms = F.lit(
+        [math.sqrt(sum(float(x) * float(x) for x in c_emb)) for _, c_emb in cents]
+    )
+    cent_negids = F.lit([-cid for cid, _ in cents])
     pre = df.select(
         F.col(id_col),
         F.col(emb_col),
@@ -267,18 +296,25 @@ def assign_inverted_lists(
         norm(F.col(emb_col)).alias("_vn"),
     )
 
-    def score(c_emb: list, c_norm: float) -> Column:
-        denom = F.lit(c_norm) * F.col("_vn")
-        # F.lit(list) builds the whole array literal in ONE py4j call;
-        # per-element F.lit cost ~1s of driver time per probe at d=64×k=8
-        d = dot(F.lit(c_emb), F.col(emb_col))
-        return F.when(denom != 0, d / denom).cast(COS_Q)
+    def score_struct(i: Column) -> Column:
+        c_emb = cent_mat[i]
+        denom = cent_norms[i] * F.col("_vn")
+        d = F.aggregate(
+            F.zip_with(
+                c_emb,
+                F.col(emb_col).cast("array<double>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        s = F.when(denom != 0, d / denom).cast(COS_Q)
+        return F.struct(s.alias("s"), cent_negids[i].alias("negid"))
 
-    structs = [
-        F.struct(score(c_emb, c_norm).alias("s"), F.lit(-cid).alias("negid"))
-        for cid, c_emb, c_norm in cents
-    ]
-    top = F.slice(F.reverse(F.array_sort(F.array(*structs))), 1, nprobe)
+    structs = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)), score_struct
+    )
+    top = F.slice(F.reverse(F.array_sort(structs)), 1, nprobe)
     kept = [F.col(c) for c in keep_cols]
     return (
         pre.select(F.col(id_col), *kept, F.explode(top).alias("_t"))
