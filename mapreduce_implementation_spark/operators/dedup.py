@@ -585,18 +585,6 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(None).cast("double"))
 
 
-def hamming_bits(a: Column, b: Column, n_bits: int = 64) -> Column:
-    """Hamming distance between two equal-length '0'/'1' bit-strings
-    (the simhash encoding) — positional compare folded with
-    ``aggregate``; candidate-pair-only cost, never on the full corpus."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(n_bits)),
-        F.lit(0),
-        lambda acc, i: acc
-        + (a.substr(i, F.lit(1)) != b.substr(i, F.lit(1))).cast("int"),
-    )
-
-
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -648,16 +636,31 @@ def simhash_near_dup_pairs(
         )
     else:
         sigs = signatures
+    # Parse the bit-string ONCE PER DOC into 32-bit words so the
+    # per-candidate verify is word_count × (xor + bit_count) instead of
+    # an n_bits-iteration substring fold — ~10× cheaper exactly where
+    # LSH skew piles up candidates (measured 9.8s → see BASELINE.md,
+    # sf0.1, ~190k candidates from low-entropy 16-bit bands). Words, not
+    # one 64-bit parse: conv(..., 2, 10) parses unsigned, so a leading-1
+    # 64-char string would overflow a signed long.
+    words = [
+        F.conv(F.expr(f"substring(simhash, {w * 32 + 1}, 32)"), 2, 10)
+        .cast("long")
+        .alias(f"w{w}")
+        for w in range((n_bits + 31) // 32)
+    ]
     banded = sigs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
         F.col("simhash"),
+        *words,
     ).select(
         "doc_id",
         "band_id",
         F.expr(f"substring(simhash, band_id * {width} + 1, {width})").alias(
             "band_val"
         ),
+        *[F.col(f"w{w}") for w in range((n_bits + 31) // 32)],
     )
     if max_bucket is not None:
         from pyspark.sql.window import Window
@@ -670,7 +673,21 @@ def simhash_near_dup_pairs(
         )
     left = banded.alias("a")
     right = banded.alias("b")
-    cand = (
+    hamming = sum(
+        (
+            F.bit_count(
+                F.col(f"a.w{w}").bitwiseXOR(F.col(f"b.w{w}"))
+            )
+            for w in range((n_bits + 31) // 32)
+        ),
+        F.lit(0),
+    ).cast("int")
+    # verify INSIDE the band join (the signature words ride the band
+    # rows — no re-join back to sigs), then distinct only the few
+    # qualifying pairs: a pair sharing several bands is verified up to
+    # `bands` times at ~4 instructions each, far cheaper than a
+    # pre-verify distinct shuffle of the full candidate multiset
+    return (
         left.join(
             right,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -678,25 +695,10 @@ def simhash_near_dup_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    sa = sigs.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a")
-    )
-    sb = sigs.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b")
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            hamming_bits(F.col("sim_a"), F.col("sim_b"), n_bits).alias(
-                "hamming"
-            ),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
