@@ -560,3 +560,46 @@ def pivot_median_orders_priority_by_status(
         F.col("O_med").alias("median_o"),
         F.col("P_med").alias("median_p"),
     )
+
+
+# Pytest-gated (no registry slot — every slot is taken by a
+# non-overlapping operator): FULL OUTER join, the one join shape not
+# exercised by the registered queries (broadcast/shuffle-inner via
+# revenue_by_nation + q3, semi/anti via semi_anti_join_customers,
+# broadcast LEFT OUTER via benchmark_contamination, range/as-of via the
+# events family). Customer account-balance buckets vs order-price
+# buckets share only part of the bucket domain, so the join exercises
+# all three row sources (both / left-only / right-only). Parity via
+# tests/test_demoted_oracles.py.
+FULL_OUTER_ORACLE = """
+    WITH c AS (
+        SELECT CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bucket,
+               COUNT(*) AS n_customers
+        FROM customer GROUP BY 1
+    ),
+    o AS (
+        SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT coalesce(c.bucket, o.bucket) AS bucket,
+           c.n_customers, o.n_orders
+    FROM c FULL OUTER JOIN o ON c.bucket = o.bucket
+    """
+
+
+def full_outer_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two bucketed aggregates; unmatched sides
+    surface as NULL counts (the reconciliation-report shape)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c = customer.groupBy(
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+    o = orders.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        c.join(o, "bucket", "full_outer")
+        .select("bucket", "n_customers", "n_orders")
+    )

@@ -1,7 +1,9 @@
-"""Queries demoted from the 50-slot driver registry in round 7 (to make
-room for the LLM-pipeline layer) keep their DuckDB parity gate HERE —
-same compare as the driver, just pytest-run. The operators stay fully
-exercised; only the driver-sweep slot moved."""
+"""DuckDB parity gates OUTSIDE the 50-slot driver registry — the same
+compare as the driver, just pytest-run. Two kinds live here: queries
+demoted from the registry in round 7 (to make room for the LLM-pipeline
+layer — the operators stay fully exercised, only the driver-sweep slot
+moved), and coverage queries that never had a slot (FULL OUTER join:
+every slot is taken by a non-overlapping operator)."""
 
 from __future__ import annotations
 
@@ -17,6 +19,7 @@ DEMOTED = [
     (rq.rollup_order_status_priority, rq.ROLLUP_ORDERS_ORACLE),
     (dq.simhash_signatures, dq.SIMHASH_SIG_ORACLE),
     (tq.doc_fingerprints, tq.DOC_FINGERPRINTS_ORACLE),
+    (rq.full_outer_bucket_counts, rq.FULL_OUTER_ORACLE),
     (rq.cube_lineitem_flags, rq.CUBE_LINEITEM_ORACLE),
     (rq.set_ops_customer_cohorts, rq.SET_OPS_ORACLE),
     (tq.corpus_stats_by_lang, tq.CORPUS_STATS_ORACLE),
