@@ -62,6 +62,9 @@ class CorpusPipelineConfig:
     mix_salt: str = "mix"
     stratum_col: str = "lang"
     min_quality: float | None = None  # textstats.quality_score floor
+    # Gopher-style repetition cap: drop docs whose single most frequent
+    # token exceeds this fraction of all tokens (None = no cap)
+    max_top_token_frac: float | None = None
     split_weights: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.9, "holdout": 0.1}
     )
@@ -110,6 +113,25 @@ def build_training_corpus(
         # map-only prefix as mixing/splitting, zero added shuffle
         filtered = filtered.where(
             quality_score(text_col) >= cfg.min_quality
+        )
+    if cfg.max_top_token_frac is not None:
+        from mapreduce_implementation_spark.functions.textstats import (
+            _lower_tokens,
+            top_token_count,
+        )
+
+        if not 0.0 < cfg.max_top_token_frac <= 1.0:
+            raise ValueError(
+                "max_top_token_frac must be in (0, 1], got "
+                f"{cfg.max_top_token_frac}"
+            )
+        toks = _lower_tokens(text_col)
+        # same map-only prefix as the quality floor; empty docs have
+        # frac 0 and pass (length policy belongs to min_quality)
+        filtered = filtered.where(
+            top_token_count(toks).cast("double")
+            / F.greatest(F.size(toks).cast("long"), F.lit(1))
+            <= cfg.max_top_token_frac
         )
     mixed = (
         sp.stratified_sample(

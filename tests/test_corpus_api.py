@@ -133,3 +133,43 @@ def test_bad_train_split_rejected(spark):
         build_training_corpus(
             docs, CorpusPipelineConfig(train_split="nope")
         )
+
+
+def test_repetition_cap_drops_repetitive_docs(spark):
+    """max_top_token_frac gates repetitive documents at the scan stage,
+    and invalid caps are rejected loudly."""
+    import pytest
+
+    from mapreduce_implementation_spark.functions.textstats import (
+        _lower_tokens,
+        top_token_count,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    cap = 0.15  # sf fixture top_token_frac spans ~0.05-0.30
+    art = build_training_corpus(
+        docs, CorpusPipelineConfig(max_top_token_frac=cap)
+    )
+    toks = _lower_tokens("text")
+    frac = top_token_count(toks).cast("double") / F.greatest(
+        F.size(toks).cast("long"), F.lit(1)
+    )
+    for name in ("split_train", "split_holdout"):
+        assert (
+            art[name].select(frac.alias("f")).where(F.col("f") > cap).count()
+            == 0
+        )
+    # the cap actually bites on this fixture
+    total = sum(
+        art[k].count() for k in ("split_train", "split_holdout")
+    )
+    unfiltered = sum(
+        build_training_corpus(docs)[k].count()
+        for k in ("split_train", "split_holdout")
+    )
+    assert total < unfiltered
+
+    with pytest.raises(ValueError):
+        build_training_corpus(
+            docs, CorpusPipelineConfig(max_top_token_frac=0.0)
+        )
