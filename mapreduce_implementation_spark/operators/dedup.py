@@ -639,8 +639,8 @@ def simhash_near_dup_pairs(
     # Parse the bit-string ONCE PER DOC into 32-bit words so the
     # per-candidate verify is word_count × (xor + bit_count) instead of
     # an n_bits-iteration substring fold — ~10× cheaper exactly where
-    # LSH skew piles up candidates (measured 9.8s → see BASELINE.md,
-    # sf0.1, ~190k candidates from low-entropy 16-bit bands). Words, not
+    # LSH skew piles up candidates (7.8 s → 1.35 s at sf0.1, ~190k
+    # candidates from low-entropy 16-bit bands; BASELINE.md). Words, not
     # one 64-bit parse: conv(..., 2, 10) parses unsigned, so a leading-1
     # 64-char string would overflow a signed long.
     words = [

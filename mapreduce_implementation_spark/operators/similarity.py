@@ -183,12 +183,7 @@ def train_centroids(
         # straight from the driver list (no createDataFrame → collect
         # round trip per iteration)
         assigned = _assign_from_list(
-            vq,
-            [(cid, vals) for cid, vals in centroids],
-            1,
-            "vec_id",
-            "ev",
-            keep_cols=("ev",),
+            vq, centroids, 1, "vec_id", "ev", keep_cols=("ev",)
         )
         sums = (
             assigned.select("centroid_id", F.posexplode("ev").alias("pos", "val"))
@@ -274,7 +269,12 @@ def _assign_from_list(
     values, same left-to-right fold, same quantization cast)."""
     import math
 
-    from mapreduce_implementation_spark.functions.vectors import norm
+    from mapreduce_implementation_spark.functions.vectors import dot, norm
+
+    if not cents:
+        # sequence(0, -1) yields [0, -1], not [] — an empty centroid
+        # set would emit NULL-centroid rows instead of an empty result
+        raise ValueError("centroid set is empty; train or supply >= 1 centroid")
 
     # centroid norms on the driver: Python's left-to-right double sum is
     # the same IEEE fold as the SQL twin's list_sum, so the quantized
@@ -297,17 +297,8 @@ def _assign_from_list(
     )
 
     def score_struct(i: Column) -> Column:
-        c_emb = cent_mat[i]
         denom = cent_norms[i] * F.col("_vn")
-        d = F.aggregate(
-            F.zip_with(
-                c_emb,
-                F.col(emb_col).cast("array<double>"),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        d = dot(cent_mat[i], F.col(emb_col))
         s = F.when(denom != 0, d / denom).cast(COS_Q)
         return F.struct(s.alias("s"), cent_negids[i].alias("negid"))
 

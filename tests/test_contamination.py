@@ -22,7 +22,9 @@ def test_overlap_counts_distinct_grams(spark):
         spark,
         [
             (1, "a b c d"),          # grams: "a b c", "b c d" -> 1 hit
-            (2, "a b c a b c a b"),  # repeats the leaked gram -> still 1 distinct hit of 4
+            # trigrams: (a b c) x2, (b c a) x2, (c a b) x2 -> 3 distinct,
+            # 1 of them leaked
+            (2, "a b c a b c a b"),
             (3, "x y z w"),          # no overlap
         ],
     )
@@ -32,8 +34,8 @@ def test_overlap_counts_distinct_grams(spark):
     }
     assert got[1] == (2, 1, 0.5)
     assert got[3][1] == 0 and got[3][2] == 0.0  # zero-overlap doc is KEPT
-    n2, c2, _ = got[2]
-    assert c2 == 1  # distinct semantics: repetition doesn't inflate
+    # distinct semantics: repetition inflates neither side of the ratio
+    assert got[2] == (3, 1, 1 / 3)
 
 
 def test_short_docs_yield_no_row(spark):
