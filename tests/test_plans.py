@@ -258,3 +258,45 @@ def test_split_by_hash_is_scan_stage_filter(spark, oracle_sf_dir):
     # the filter runs inside a codegen stage (formatted explain tags
     # codegen'd operators with "[codegen id : N]")
     assert "codegen id" in plan
+
+
+def test_funnel_has_no_join_chain(spark, oracle_sf_dir):
+    """The funnel must be the sorted-fold shape: zero Join operators
+    (the naive K-step formulation is a K-way self-join chain — K
+    shuffles of the full event set), exactly one exchange keyed on the
+    user before the tiny final count."""
+    df = all_queries()["events_funnel_view_click_purchase"].fn(
+        spark, oracle_sf_dir
+    )
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    # one user-keyed exchange + the single-partition final agg exchange
+    # (formatted explain lists each node once in the tree and once as a
+    # "(n) Exchange" detail header — count the headers)
+    assert plan.count(") Exchange") <= 2, plan
+    # the event-type filter reaches the scan (only funnel steps read)
+    assert "PushedFilters: [In(event_type" in plan, plan
+
+
+def test_simhash_pairs_verify_is_fused_into_band_join(spark, oracle_sf_dir):
+    """One equi self-join on (band_id, band_val) and NO second join:
+    the Hamming verify rides the band join via the per-doc signature
+    words (a re-join back to the signature table doubles the shuffle
+    surface and was measured 5.7x slower at sf0.1)."""
+    df = all_queries()["simhash_near_dup_pairs"].fn(spark, oracle_sf_dir)
+    plan = explain_str(df)
+    joins = sum(
+        plan.count(f") {j}")
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert joins == 1, plan
+    assert "bit_count" in plan, plan
+
+
+def test_contamination_benchmark_is_broadcast(spark, oracle_sf_dir):
+    """The eval-gram side must broadcast (megabytes vs a 100 TB corpus);
+    the only shuffle is the per-doc aggregation."""
+    df = all_queries()["benchmark_contamination"].fn(spark, oracle_sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
