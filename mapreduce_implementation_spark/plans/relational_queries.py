@@ -603,3 +603,45 @@ def full_outer_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, "bucket", "full_outer")
         .select("bucket", "n_customers", "n_orders")
     )
+
+
+# Pytest-gated (no registry slot): TPC-H Q17 shape — correlated scalar
+# subquery (per-part average threshold). The oracle keeps the literal
+# correlated form; the Spark side is the decorrelated join the optimizer
+# would produce — per-part thresholds aggregated once, broadcast-joined
+# back. Threshold arithmetic is the same exact-decimal-sum / count double
+# division on both sides so the boundary comparison cannot flip. Parity
+# via tests/test_demoted_oracles.py.
+SMALL_QTY_REVENUE_ORACLE = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+      AND l.l_quantity <
+          (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4)))
+                              AS DOUBLE) / COUNT(*))
+           FROM lineitem l2
+           WHERE l2.l_partkey = p.p_partkey)
+    """
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue that would be lost by dropping small orders
+    (quantity below 20% of the part's average)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#4"
+    ).select("p_partkey")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
