@@ -79,6 +79,41 @@ class CorpusPipelineConfig:
     hash_method: str = "xxhash64"
 
 
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float | None = None,
+    max_top_token_frac: float | None = None,
+) -> DataFrame:
+    """Scan-stage quality gating: drop NULL texts, apply the
+    quality_score floor and the Gopher-style repetition cap. Pure
+    stateless Column expressions (zero shuffle), so the SAME function
+    gates the batch pipeline and the streaming face
+    (streaming/pipeline.streaming_quality_gate) — one definition, no
+    drift."""
+    from mapreduce_implementation_spark.functions.textstats import (
+        _lower_tokens,
+        quality_score,
+        top_token_count,
+    )
+
+    out = df.where(F.col(text_col).isNotNull())
+    if min_quality is not None:
+        out = out.where(quality_score(text_col) >= min_quality)
+    if max_top_token_frac is not None:
+        if not 0.0 < max_top_token_frac <= 1.0:
+            raise ValueError(
+                f"max_top_token_frac must be in (0, 1], got {max_top_token_frac}"
+            )
+        toks = _lower_tokens(text_col)
+        out = out.where(
+            top_token_count(toks).cast("double")
+            / F.greatest(F.size(toks).cast("long"), F.lit(1))
+            <= max_top_token_frac
+        )
+    return out
+
+
 def build_training_corpus(
     docs: DataFrame,
     cfg: CorpusPipelineConfig = CorpusPipelineConfig(),
@@ -103,36 +138,15 @@ def build_training_corpus(
             f"{sorted(cfg.split_weights)}"
         )
     require_integral_id(docs, id_col)
-    filtered = docs.where(F.col(text_col).isNotNull())
-    if cfg.min_quality is not None:
-        from mapreduce_implementation_spark.functions.textstats import (
-            quality_score,
-        )
-
-        # scan-stage Column expression — the quality gate rides the same
-        # map-only prefix as mixing/splitting, zero added shuffle
-        filtered = filtered.where(
-            quality_score(text_col) >= cfg.min_quality
-        )
-    if cfg.max_top_token_frac is not None:
-        from mapreduce_implementation_spark.functions.textstats import (
-            _lower_tokens,
-            top_token_count,
-        )
-
-        if not 0.0 < cfg.max_top_token_frac <= 1.0:
-            raise ValueError(
-                "max_top_token_frac must be in (0, 1], got "
-                f"{cfg.max_top_token_frac}"
-            )
-        toks = _lower_tokens(text_col)
-        # same map-only prefix as the quality floor; empty docs have
-        # frac 0 and pass (length policy belongs to min_quality)
-        filtered = filtered.where(
-            top_token_count(toks).cast("double")
-            / F.greatest(F.size(toks).cast("long"), F.lit(1))
-            <= cfg.max_top_token_frac
-        )
+    # scan-stage Column expressions — the gates ride the same map-only
+    # prefix as mixing/splitting, zero added shuffle; empty docs have
+    # repetition frac 0 and pass (length policy belongs to min_quality)
+    filtered = quality_gate(
+        docs,
+        text_col,
+        min_quality=cfg.min_quality,
+        max_top_token_frac=cfg.max_top_token_frac,
+    )
     mixed = (
         sp.stratified_sample(
             filtered,

@@ -103,3 +103,31 @@ def test_pack_stream_invariants_across_batches(spark, tmp_path):
         .where((F.col("tok") > BUDGET) & (F.col("n") > 1))
     )
     assert over.count() == 0
+
+
+def test_streaming_quality_gate_matches_batch_gate(spark, tmp_path):
+    """The streamed quality gate must keep EXACTLY the docs the batch
+    gate keeps (it is the same function), and the gate must actually
+    drop something on this fixture."""
+    from mapreduce_implementation_spark.operators.pipeline import quality_gate
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        streaming_quality_gate,
+    )
+
+    docs = _stage_two_batches(spark, str(tmp_path))
+    gated = streaming_quality_gate(
+        _docs_stream(spark, str(tmp_path)),
+        min_quality=0.5,
+        max_top_token_frac=0.15,
+    ).select("doc_id")
+    q = run_available_now(gated, "gated_docs", output_mode="append")
+    got = {r.doc_id for r in spark.table("gated_docs").collect()}
+    q.stop()
+    want = {
+        r.doc_id
+        for r in quality_gate(
+            docs, min_quality=0.5, max_top_token_frac=0.15
+        ).select("doc_id").collect()
+    }
+    assert got == want
+    assert 0 < len(got) < docs.count()
