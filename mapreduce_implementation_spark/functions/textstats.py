@@ -193,3 +193,44 @@ def doc_fingerprint(
     grams = word_ngrams(toks, shingle)
     min_md5 = F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary"))))
     return F.coalesce(min_md5, F.md5(F.concat_ws(" ", toks).cast("binary")))
+
+
+def quality_gate(
+    df,
+    text_col: str = "text",
+    min_quality: float | None = None,
+    max_top_token_frac: float | None = None,
+):
+    """Scan-stage quality gating of a document DataFrame: drop NULL
+    texts, apply the quality_score floor and the Gopher-style
+    repetition cap. Lives HERE, next to its expression primitives, so
+    both pipeline faces (operators/pipeline.build_training_corpus and
+    streaming/pipeline.streaming_quality_gate) import the one
+    definition without the batch face dragging in the full pipeline
+    module. Pure stateless Column work — zero shuffle, streams as-is.
+
+    The token array is projected ONCE and fed to every feature via the
+    ``toks`` parameter (Catalyst does not CSE the inlined tokenizer —
+    see quality_features; without the staging the regex split reruns
+    ~8x per row, on the scan stage of a 100 TB corpus)."""
+    if max_top_token_frac is not None and not 0.0 < max_top_token_frac <= 1.0:
+        raise ValueError(
+            f"max_top_token_frac must be in (0, 1], got {max_top_token_frac}"
+        )
+    out = df.where(F.col(text_col).isNotNull())
+    if min_quality is None and max_top_token_frac is None:
+        return out
+    staged = out.withColumn("_qg_toks", _lower_tokens(text_col))
+    toks = F.col("_qg_toks")
+    keep = F.lit(True)
+    if min_quality is not None:
+        keep = keep & (quality_score(text_col, toks=toks) >= min_quality)
+    if max_top_token_frac is not None:
+        # empty docs have repetition frac 0 and pass (length policy
+        # belongs to min_quality)
+        keep = keep & (
+            top_token_count(toks).cast("double")
+            / F.greatest(F.size(toks).cast("long"), F.lit(1))
+            <= max_top_token_frac
+        )
+    return staged.where(keep).drop("_qg_toks")

@@ -20,6 +20,7 @@ from typing import Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_implementation_spark.functions.textstats import quality_gate
 from mapreduce_implementation_spark.operators import sampling as sp
 from mapreduce_implementation_spark.operators.chunking import (
     chunk_documents,
@@ -77,41 +78,6 @@ class CorpusPipelineConfig:
     rows_hint: int | None = None
     key_stride: int = 1 << 32
     hash_method: str = "xxhash64"
-
-
-def quality_gate(
-    df: DataFrame,
-    text_col: str = "text",
-    min_quality: float | None = None,
-    max_top_token_frac: float | None = None,
-) -> DataFrame:
-    """Scan-stage quality gating: drop NULL texts, apply the
-    quality_score floor and the Gopher-style repetition cap. Pure
-    stateless Column expressions (zero shuffle), so the SAME function
-    gates the batch pipeline and the streaming face
-    (streaming/pipeline.streaming_quality_gate) — one definition, no
-    drift."""
-    from mapreduce_implementation_spark.functions.textstats import (
-        _lower_tokens,
-        quality_score,
-        top_token_count,
-    )
-
-    out = df.where(F.col(text_col).isNotNull())
-    if min_quality is not None:
-        out = out.where(quality_score(text_col) >= min_quality)
-    if max_top_token_frac is not None:
-        if not 0.0 < max_top_token_frac <= 1.0:
-            raise ValueError(
-                f"max_top_token_frac must be in (0, 1], got {max_top_token_frac}"
-            )
-        toks = _lower_tokens(text_col)
-        out = out.where(
-            top_token_count(toks).cast("double")
-            / F.greatest(F.size(toks).cast("long"), F.lit(1))
-            <= max_top_token_frac
-        )
-    return out
 
 
 def build_training_corpus(

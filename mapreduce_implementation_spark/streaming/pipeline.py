@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_implementation_spark.functions.textstats import quality_gate
 from mapreduce_implementation_spark.operators.chunking import (
     chunk_documents,
     keyed_chunks,
@@ -111,24 +112,11 @@ def start_pack_stream(
     )
 
 
-def streaming_quality_gate(
-    docs_stream: DataFrame,
-    text_col: str = "text",
-    min_quality: float | None = None,
-    max_top_token_frac: float | None = None,
-) -> DataFrame:
-    """Quality-gate an unbounded document stream — literally the batch
-    pipeline's gate function (operators/pipeline.quality_gate: NULL
-    drop, quality_score floor, Gopher-style repetition cap), which is
-    stateless scan-stage Column work (no watermark, no state store, no
-    shuffle) and therefore applies to a streaming DataFrame unchanged.
-    One definition, no batch/stream drift. Place BEFORE
-    streaming_chunks so rejected documents never fan out into chunks."""
-    from mapreduce_implementation_spark.operators.pipeline import quality_gate
-
-    return quality_gate(
-        docs_stream,
-        text_col,
-        min_quality=min_quality,
-        max_top_token_frac=max_top_token_frac,
-    )
+# Quality-gate an unbounded document stream: literally the batch gate
+# (functions/textstats.quality_gate — NULL drop, quality_score floor,
+# Gopher-style repetition cap), which is stateless scan-stage Column
+# work (no watermark, no state store, no shuffle) and therefore applies
+# to a streaming DataFrame unchanged. An ALIAS, not a wrapper, so a new
+# gate knob can never silently fail to forward. Place BEFORE
+# streaming_chunks so rejected documents never fan out into chunks.
+streaming_quality_gate = quality_gate

@@ -109,16 +109,38 @@ def test_streaming_quality_gate_matches_batch_gate(spark, tmp_path):
     """The streamed quality gate must keep EXACTLY the docs the batch
     gate keeps (it is the same function), and the gate must actually
     drop something on this fixture."""
-    from mapreduce_implementation_spark.operators.pipeline import quality_gate
+    from mapreduce_implementation_spark.functions.textstats import (
+        _lower_tokens,
+        quality_gate,
+        quality_score,
+        top_token_count,
+    )
     from mapreduce_implementation_spark.streaming.pipeline import (
         streaming_quality_gate,
     )
 
     docs = _stage_two_batches(spark, str(tmp_path))
+    # derive thresholds from the corpus distribution (medians) so the
+    # "gate bites" assertion survives testdata regeneration — same
+    # policy as test_corpus_api's quality-floor test
+    toks = _lower_tokens("text")
+    frac = top_token_count(toks).cast("double") / F.greatest(
+        F.size(toks).cast("long"), F.lit(1)
+    )
+    floor, cap = (
+        docs.select(
+            quality_score("text").alias("q"), frac.alias("f")
+        )
+        .agg(
+            F.expr("percentile(q, 0.5)").alias("mq"),
+            F.expr("percentile(f, 0.5)").alias("mf"),
+        )
+        .collect()[0]
+    )
     gated = streaming_quality_gate(
         _docs_stream(spark, str(tmp_path)),
-        min_quality=0.5,
-        max_top_token_frac=0.15,
+        min_quality=floor,
+        max_top_token_frac=cap,
     ).select("doc_id")
     q = run_available_now(gated, "gated_docs", output_mode="append")
     got = {r.doc_id for r in spark.table("gated_docs").collect()}
@@ -126,7 +148,7 @@ def test_streaming_quality_gate_matches_batch_gate(spark, tmp_path):
     want = {
         r.doc_id
         for r in quality_gate(
-            docs, min_quality=0.5, max_top_token_frac=0.15
+            docs, min_quality=floor, max_top_token_frac=cap
         ).select("doc_id").collect()
     }
     assert got == want
