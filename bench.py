@@ -232,6 +232,23 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
                 )
                 best = min(best, time.perf_counter() - t0)
             warm[label] = round(best, 3)
+
+        # Round-7 operators (registered but not headline — the 13-query
+        # headline set stays composition-stable across rounds): ordered
+        # funnel and benchmark decontamination, min of 2.
+        from mapreduce_implementation_spark.plans import all_queries
+
+        ALL = all_queries()
+        for name in (
+            "events_funnel_view_click_purchase",
+            "benchmark_contamination",
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(ALL[name].fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            warm[name] = round(best, 3)
     return warm
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_implementation_spark.operators.dedup import shingles
+from mapreduce_implementation_spark.operators.dedup import shingles, spread
 
 
 def ngram_contamination(
@@ -53,12 +53,16 @@ def ngram_contamination(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # spread(): the shingle projection is HOF work outside whole-stage
+    # codegen — a thin scan serializes it onto one core (measured 3x at
+    # sf0.1); conditional no-op on wide scans, so free at corpus scale
     bench_grams = (
-        benchmark.select(F.explode(shingles(bench_text_col, n)).alias("gram"))
+        spread(benchmark)
+        .select(F.explode(shingles(bench_text_col, n)).alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    doc_grams = docs.select(
+    doc_grams = spread(docs).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
     )
     return (

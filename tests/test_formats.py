@@ -70,3 +70,29 @@ def test_csv_preserves_empty_string_vs_null(spark, tmp_path):
     back = read_table(spark, path, "csv", schema=src.schema)
     got = {r.id: r.text for r in back.collect()}
     assert got == {1: "", 2: None, 3: "x"}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A real lake accretes columns over time: files written before a
+    column existed must read back with NULL backfill under mergeSchema,
+    and the merged schema must be the union in a deterministic shape."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(3, "c", "en")], "doc_id long, text string, lang string"
+    )
+    path = str(tmp_path / "evolving")
+    v1.write.parquet(path + "/batch=1")
+    v2.write.parquet(path + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert {f.name for f in merged.schema} == {"doc_id", "text", "lang", "batch"}
+    rows = {
+        (r.doc_id, r.text, r.lang)
+        for r in merged.select("doc_id", "text", "lang").collect()
+    }
+    assert rows == {(1, "a", None), (2, "b", None), (3, "c", "en")}
+    # pre-evolution files contribute NULLs that filters treat correctly
+    assert merged.where(F.col("lang").isNull()).count() == 2
