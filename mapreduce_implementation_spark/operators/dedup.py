@@ -702,3 +702,77 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def minhash_cross_near_dup(
+    new_sigs: DataFrame,
+    ref_sigs: DataFrame,
+    *,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two signature sets — the incremental-
+    ingest shape: which NEW documents near-duplicate the EXISTING
+    corpus (both sides DataFrame[doc_id, sig], e.g. from
+    minhash_signatures / the materialized signature table).
+
+    Same LSH machinery as the in-set operator (band explode → bucket
+    equi-join → signature-agreement verify), but the join is
+    new × reference instead of a self-join: candidate volume scales
+    with |new batch| × bucket occupancy, not the corpus square, and the
+    reference side is read from its committed table with only the
+    banded projection shuffled. Returns DataFrame[new_id, ref_id,
+    est_jaccard]; a new doc with NO qualifying row is genuinely novel.
+
+    ``max_bucket`` caps REFERENCE bucket size (a degenerate reference
+    cohort — boilerplate docs — would multiply every matching new doc
+    by the whole cohort)."""
+    assert bands * rows == k, "signature length must equal bands*rows"
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        return (
+            sigs.where(F.col("sig").isNotNull())
+            .select(
+                F.col("doc_id").alias(out_id),
+                F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b"),
+            )
+            .select(
+                out_id,
+                F.col("b.band_id").alias("band_id"),
+                F.col("b.band_hash").alias("band_hash"),
+            )
+        )
+
+    bn = banded(new_sigs, "new_id")
+    br = banded(ref_sigs, "ref_id")
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_id", "band_hash")
+        br = (
+            br.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+            .where(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
+    cand = (
+        bn.join(br, ["band_id", "band_hash"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    sa = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_a"))
+    sb = ref_sigs.select(F.col("doc_id").alias("ref_id"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "ref_id")
+        .select(
+            "new_id",
+            "ref_id",
+            estimated_jaccard(F.col("sig_a"), F.col("sig_b"), k).alias(
+                "est_jaccard"
+            ),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )

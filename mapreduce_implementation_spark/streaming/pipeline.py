@@ -120,3 +120,69 @@ def start_pack_stream(
 # gate knob can never silently fail to forward. Place BEFORE
 # streaming_chunks so rejected documents never fan out into chunks.
 streaming_quality_gate = quality_gate
+
+
+def start_ingest_dedup_stream(
+    docs_stream: DataFrame,
+    ref_sigs_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+):
+    """Dedup-at-ingest: flag each incoming document that near-duplicates
+    the EXISTING corpus; returns the StreamingQuery.
+
+    Per micro-batch (foreachBatch — the same per-batch batch-operator
+    pattern as start_pack_stream): compute the batch's MinHash
+    signatures with the batch operator, cross-join their LSH bands
+    against the committed reference signature table at ``ref_sigs_path``
+    (sources/materialize layout — built once per corpus, probed by every
+    batch), and write DataFrame[new_id, ref_id, est_jaccard, batch_id]
+    partitioned by batch_id with dynamic overwrite — idempotent under
+    at-least-once replay. Docs absent from the output are novel vs the
+    reference. The reference is FIXED for the stream's lifetime
+    (no read-write races); rebuild it and restart the stream to absorb
+    ingested docs into the reference — the standard bulk-ingest cadence.
+    """
+    from mapreduce_implementation_spark.operators.dedup import (
+        minhash_cross_near_dup,
+        minhash_signatures,
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ref_sigs = spark.read.parquet(ref_sigs_path)
+        new_sigs = minhash_signatures(
+            batch_df, id_col, text_col, shingle_n=shingle_n, k=k
+        )
+        flags = minhash_cross_near_dup(
+            new_sigs,
+            ref_sigs,
+            k=k,
+            bands=bands,
+            rows=rows,
+            threshold=threshold,
+            max_bucket=max_bucket,
+        )
+        (
+            flags.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -328,3 +328,64 @@ def test_estimate_scan_splits(tmp_path):
         dd._estimate_scan_splits(FakeSpark(), [f"file://{f1}", "s3://bkt/c"])
         is None
     )
+
+
+class TestCrossNearDup:
+    """minhash_cross_near_dup — the incremental-ingest shape."""
+
+    def _sigs(self, spark, rows):
+        from mapreduce_implementation_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return minhash_signatures(df, "doc_id", "text", shingle_n=3, k=16)
+
+    def test_flags_cross_set_dups_only(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        ref = self._sigs(spark, [(1, base), (2, "completely different words here entirely unrelated")])
+        new = self._sigs(
+            spark,
+            [
+                (100, base),                       # exact dup of ref 1
+                (101, base + " extra token"),      # near dup of ref 1
+                (102, "novel content nothing shared with reference corpus"),
+            ],
+        )
+        got = {
+            (r.new_id, r.ref_id)
+            for r in dd.minhash_cross_near_dup(
+                new, ref, k=16, bands=4, rows=4, threshold=0.5
+            ).collect()
+        }
+        assert (100, 1) in got
+        assert (101, 1) in got
+        assert all(n != 102 for n, _ in got)  # novel doc stays unflagged
+        assert all(r != 2 for _, r in got)
+
+    def test_agrees_with_in_set_operator(self, spark):
+        """Splitting a corpus into (ref, new) and cross-flagging must
+        find exactly the in-set pairs that straddle the split."""
+        docs = load_table(spark, SF, "documents")
+        sigs = dd.minhash_signatures(docs, "doc_id", "text", shingle_n=3, k=16)
+        in_set = {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+            for r in dd.minhash_near_dup_pairs(
+                docs, "doc_id", "text", shingle_n=3, k=16,
+                bands=4, rows=4, threshold=0.5,
+            ).collect()
+        }
+        from pyspark.sql import functions as F
+
+        ref = sigs.where(F.col("doc_id") % 2 == 0)
+        new = sigs.where(F.col("doc_id") % 2 == 1)
+        cross = {
+            (min(r.new_id, r.ref_id), max(r.new_id, r.ref_id))
+            for r in dd.minhash_cross_near_dup(
+                new, ref, k=16, bands=4, rows=4, threshold=0.5
+            ).collect()
+        }
+        straddling = {
+            (a, b) for a, b in in_set if (a % 2) != (b % 2)
+        }
+        assert cross == straddling

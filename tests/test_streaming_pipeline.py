@@ -153,3 +153,64 @@ def test_streaming_quality_gate_matches_batch_gate(spark, tmp_path):
     }
     assert got == want
     assert 0 < len(got) < docs.count()
+
+
+def test_ingest_dedup_stream_flags_against_reference(spark, tmp_path):
+    """Dedup-at-ingest: stream the odd-doc half against a committed
+    reference signature table of the even half; the flags must equal
+    the batch cross operator's answer on the same rows, across both
+    micro-batches, with batch identity preserved."""
+    from mapreduce_implementation_spark.operators import dedup as dd
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        start_ingest_dedup_stream,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    ref_docs = docs.where(F.col("doc_id") % 2 == 0)
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+
+    ref_path = str(tmp_path / "ref_sigs")
+    dd.minhash_signatures(ref_docs, "doc_id", "text", shingle_n=3, k=16).write.parquet(ref_path)
+
+    stream_dir = str(tmp_path / "in")
+    import os
+
+    os.makedirs(stream_dir)
+    for i, part in enumerate(
+        (new_docs.where(F.col("doc_id") % 4 == 1), new_docs.where(F.col("doc_id") % 4 == 3))
+    ):
+        part.coalesce(1).write.parquet(f"{stream_dir}/b{i}")
+    import glob as g
+    import shutil
+
+    for i in range(2):
+        src = g.glob(f"{stream_dir}/b{i}/part-*.parquet")[0]
+        shutil.move(src, f"{stream_dir}/batch_{i}.parquet")
+        shutil.rmtree(f"{stream_dir}/b{i}")
+
+    schema = spark.read.parquet(f"{stream_dir}/batch_0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "batch_*.parquet")
+        .parquet(stream_dir)
+    )
+    out_dir = str(tmp_path / "flags")
+    q = start_ingest_dedup_stream(
+        stream, ref_path, out_dir, str(tmp_path / "ckpt"),
+        shingle_n=3, k=16, bands=4, rows=4, threshold=0.5,
+    )
+    q.awaitTermination()
+
+    flags = spark.read.parquet(out_dir)
+    got = {(r.new_id, r.ref_id) for r in flags.collect()}
+    want = {
+        (r.new_id, r.ref_id)
+        for r in dd.minhash_cross_near_dup(
+            dd.minhash_signatures(new_docs, "doc_id", "text", shingle_n=3, k=16),
+            spark.read.parquet(ref_path),
+            k=16, bands=4, rows=4, threshold=0.5,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    assert flags.select("batch_id").distinct().count() == 2
