@@ -367,3 +367,39 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_sim") >= 0.35)
         .withColumn("cos_sim", F.col("cos_sim").cast("double"))
     )
+
+
+# Pytest-gated (no registry slot): the cross-set / incremental-ingest
+# variant of the MinHash pair miner — new (odd doc_id) vs reference
+# (even doc_id) halves of the corpus. The oracle reuses the registered
+# banded CTE with the self-join swapped for the parity-straddling
+# cross join; parity via tests/test_demoted_oracles.py.
+MINHASH_CROSS_ORACLE = (
+    _MINHASH_CTE
+    + f""",
+    cross_cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+        FROM bands n
+        JOIN bands r ON n.j = r.j AND n.band_hash = r.band_hash
+        WHERE n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+    )
+    SELECT c.new_id, c.ref_id,
+           len(list_filter(range(1, {K} + 1), i -> sa.sig[i] = sb.sig[i])) / {K} AS est_jaccard
+    FROM cross_cand c
+    JOIN sigs sa ON sa.doc_id = c.new_id
+    JOIN sigs sb ON sb.doc_id = c.ref_id
+    WHERE len(list_filter(range(1, {K} + 1), i -> sa.sig[i] = sb.sig[i])) / {K} >= 0.5
+    """
+)
+
+
+def minhash_cross_near_dup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set near-dup pairs: odd-id docs (the 'new batch') against
+    even-id docs (the 'reference corpus')."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", shingle_n=3, k=K)
+    new_sigs = sigs.where(F.col("doc_id") % 2 == 1)
+    ref_sigs = sigs.where(F.col("doc_id") % 2 == 0)
+    return dd.minhash_cross_near_dup(
+        new_sigs, ref_sigs, k=K, bands=BANDS, rows=ROWS, threshold=0.5
+    )
