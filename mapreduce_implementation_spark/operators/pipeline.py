@@ -164,3 +164,49 @@ def build_training_corpus(
     out["packed"] = packed
     out["stats"] = pack_stats(packed, "n_tokens", cfg.pack_budget)
     return out
+
+
+def write_training_shards(
+    chunks: DataFrame,
+    packed: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_col: str = "chunk_key",
+) -> None:
+    """Materialize the training-ready artifact: chunk text joined to its
+    pack assignment, sharded and ORDERED so a trainer can stream each
+    shard sequentially and see every pack contiguous in slot order.
+
+    Layout contract: ``out_dir/shard=<s>/`` holds one parquet file whose
+    row order is (pack_id, pack_slot) ascending — a pack's rows are
+    contiguous and in insertion order, so sequence assembly is a linear
+    read, no sort at training time. Shard assignment is
+    ``pmod(xxhash64(pack_id), n_shards)``: packs never straddle shards,
+    and the hash keeps shards balanced regardless of the pack-id
+    structure (ids are ``bucket * 2^32 + local_idx`` — a plain modulo
+    collapses onto ``local_idx % n`` whenever n divides 2^32, which is
+    every power of two).
+
+    Shuffle budget: the chunk_key equi-join (chunks × assignments) and
+    the shard repartition — both keyed and skew-free. One task per
+    shard writes one ordered file; size ``n_shards`` so a shard is a
+    task-sized write (the same rows-per-task rule as pack bucketing),
+    NOT small enough to serialize the corpus through a handful of
+    writers."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    rows = chunks.join(packed.select(key_col, "pack_id", "pack_slot"), key_col)
+    (
+        rows.withColumn(
+            "shard", F.pmod(F.xxhash64("pack_id"), F.lit(n_shards))
+        )
+        .repartition(n_shards, "shard")
+        # shard FIRST: the parquet writer requires task rows ordered by
+        # the partition columns and inserts its own (non-stable) sort
+        # when they aren't the prefix — which would scramble the
+        # (pack_id, pack_slot) contract
+        .sortWithinPartitions("shard", "pack_id", "pack_slot")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

@@ -80,3 +80,45 @@ def test_pipeline_end_to_end(spark):
     assert sorted(map(tuple, packed.collect())) == sorted(
         map(tuple, packed2.collect())
     )
+
+
+def test_write_training_shards_layout_contract(spark, tmp_path):
+    """The materialized artifact: every chunk exactly once, packs never
+    straddle shards, and each shard file is physically ordered by
+    (pack_id, pack_slot) so sequence assembly is a linear read."""
+    import glob
+
+    from mapreduce_implementation_spark.operators.pipeline import (
+        build_training_corpus,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    art = build_training_corpus(docs)
+    out = str(tmp_path / "shards")
+    n_shards = 4
+    write_training_shards(art["chunks"], art["packed"], out, n_shards)
+
+    shard_dirs = sorted(glob.glob(out + "/shard=*"))
+    # hashed assignment: ~100 packs over 4 shards leaves an empty shard
+    # with probability ~4*(3/4)^100 — all shards must materialize
+    assert len(shard_dirs) == n_shards
+    total = 0
+    pack_shard: dict[int, int] = {}
+    for d in shard_dirs:
+        files = glob.glob(d + "/*.parquet")
+        assert len(files) == 1, d  # one ordered file per shard
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(files[0], columns=["pack_id", "pack_slot"])
+        order = list(zip(t["pack_id"].to_pylist(), t["pack_slot"].to_pylist()))
+        assert order == sorted(order), d  # physical row order contract
+        shard_val = int(d.rsplit("=", 1)[1])
+        for p, _ in order:
+            # a pack never straddles shards
+            assert pack_shard.setdefault(p, shard_val) == shard_val
+        total += len(order)
+    n_chunks = art["chunks"].count()
+    assert total == n_chunks > 0
+    back = spark.read.parquet(out)
+    assert back.select("chunk_key").distinct().count() == n_chunks
