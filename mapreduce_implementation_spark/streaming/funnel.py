@@ -1,0 +1,149 @@
+"""Custom stateful streaming operator: ordered-funnel conversion
+detection via ``applyInPandasWithState`` (the batch twin is
+operators/events.funnel).
+
+Semantics: the same greedy-earliest recurrence as batch — t_0 = the
+user's first step-0 event, t_i = the first step-i event at/after
+t_{i-1} with t_i - t_0 <= within_s — applied to the stream with the
+per-user slot vector as state. When the LAST slot fills, one
+conversion row (user_id, t0, t_final) is emitted and the state is
+dropped; users mid-funnel keep their slots across micro-batches.
+
+Equals the batch funnel's converted-user set whenever event time is
+non-decreasing ACROSS micro-batches (in-order ingestion — the file/
+kafka-append case). Within a batch, events are sorted (t, step) before
+folding, so intra-batch disorder is handled exactly like batch. A
+cross-batch LATE event (earlier event time than an already-folded one)
+can diverge from batch semantics — the fold is order-sensitive by
+definition; bound the disorder with the source's watermark or
+reprocess in batch, as every incremental funnel does.
+
+State per user is O(K) longs, so the state store is bounded by
+|users currently mid-funnel| — expired chains (window elapsed, funnel
+incomplete) are garbage-collected by processing-time timeout. One
+shuffle: the groupBy(user_id), identical to batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+from mapreduce_implementation_spark.operators.events import epoch_s
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t0", LongType()),
+        StructField("t_final", LongType()),
+    ]
+)
+
+_UNSET = -1  # slot sentinel (GroupState round-trips plain longs)
+
+
+def _state_schema(k: int) -> StructType:
+    return StructType([StructField(f"s{i}", LongType()) for i in range(k)])
+
+
+def _funnel_fn(k: int, within_s: int, timeout_ms: int, use_timeout: bool = True):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # expired chain: the conversion window has long elapsed with
+            # the funnel incomplete — drop the slots (in-order streams
+            # can never complete it; a conversion would have arrived
+            # within the window + slack)
+            state.remove()
+            yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
+            return
+        slots = list(state.get) if state.exists else [_UNSET] * k
+        evs: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            evs.extend(zip((int(t) for t in pdf["t"]), (int(s) for s in pdf["si"])))
+        evs.sort()
+        done: tuple[int, int] | None = None
+        for t, si in evs:
+            if si == 0:
+                if slots[0] == _UNSET:
+                    slots[0] = t
+            elif (
+                slots[si] == _UNSET
+                and slots[si - 1] != _UNSET
+                and t >= slots[si - 1]
+                and t - slots[0] <= within_s
+            ):
+                slots[si] = t
+                if si == k - 1:
+                    done = (slots[0], t)
+                    break
+        if done is not None:
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "t0": [done[0]], "t_final": [done[1]]}
+            )
+        else:
+            state.update(tuple(slots))
+            if use_timeout:
+                state.setTimeoutDuration(timeout_ms)
+            yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
+
+    return fn
+
+
+def streaming_funnel(
+    events_stream: DataFrame,
+    steps: tuple[str, ...] | list[str],
+    within_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    state_ttl_factor: int = 10,
+    use_timeout: bool = True,
+) -> DataFrame:
+    """Append-mode stream of completed conversions. Filter to funnel
+    event types rides the scan (pushed down); per-user state GC after
+    ``state_ttl_factor * within_s`` of processing-time inactivity.
+
+    ``use_timeout=False`` for bounded drains (Trigger.AvailableNow
+    tests/oracle runs): a ProcessingTimeTimeout query schedules
+    state-cleanup micro-batches indefinitely and never terminates —
+    the same caveat as streaming/sessionize.py, same switch. Identical
+    conversion output either way (a bounded run never reaches the
+    timeout; the timeout only garbage-collects failed chains)."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {list(steps)}")
+    if len(set(steps)) != k:
+        raise ValueError(f"steps must be distinct, got {list(steps)}")
+    if within_s <= 0:
+        raise ValueError(f"within_s must be positive, got {within_s}")
+    step_idx = F.when(F.col(type_col) == steps[0], F.lit(0))
+    for i, s in enumerate(steps[1:], 1):
+        step_idx = step_idx.when(F.col(type_col) == s, F.lit(i))
+    ev = events_stream.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("user_id"),
+        epoch_s(ts_col).alias("t"),
+        step_idx.alias("si"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn(k, within_s, state_ttl_factor * within_s * 1000, use_timeout),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=_state_schema(k),
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

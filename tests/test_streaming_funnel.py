@@ -1,0 +1,88 @@
+"""Stateful streaming funnel (streaming/funnel.py): cross-batch slot
+state, emit-on-completion, and agreement with the batch operator on
+in-order streams."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators.events import funnel
+from mapreduce_implementation_spark.streaming.funnel import streaming_funnel
+from mapreduce_implementation_spark.streaming.queries import run_available_now
+
+STEPS = ("view", "click", "purchase")
+WITHIN = 100
+
+# (user_id, t, event_type) — batch 0 holds t < 10, batch 1 holds t >= 10
+EVENTS = [
+    (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),  # converts ACROSS batches
+    (2, 0, "view"), (2, 5, "click"),                        # stalls at click
+    (3, 0, "view"), (3, 1, "click"), (3, 2, "purchase"),    # converts in batch 0
+    (4, 0, "view"), (4, 15, "purchase"),                    # skips click -> no
+    (5, 0, "click"), (5, 1, "purchase"),                    # no view -> no
+    (6, 0, "error"),                                        # non-funnel noise
+]
+
+
+def _stage(spark, stream_dir):
+    df = spark.createDataFrame(EVENTS, "user_id long, t long, event_type string")
+    for i, part in enumerate((df.where("t < 10"), df.where("t >= 10"))):
+        part.coalesce(1).write.parquet(f"{stream_dir}/b{i}")
+    import glob as g
+    import shutil
+
+    for i in range(2):
+        src = g.glob(f"{stream_dir}/b{i}/part-*.parquet")[0]
+        shutil.move(src, f"{stream_dir}/batch_{i}.parquet")
+        shutil.rmtree(f"{stream_dir}/b{i}")
+    return df
+
+
+def test_streaming_funnel_cross_batch_state(spark, tmp_path):
+    df = _stage(spark, str(tmp_path))
+    schema = spark.read.parquet(f"{tmp_path}/batch_0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "batch_*.parquet")
+        .parquet(str(tmp_path))
+        .select("user_id", F.timestamp_seconds("t").alias("ts"), "event_type")
+    )
+    out = streaming_funnel(stream, STEPS, within_s=WITHIN, use_timeout=False)
+    q = run_available_now(out, "conversions", output_mode="append")
+    got = {
+        r.user_id: (r.t0, r.t_final)
+        for r in spark.table("conversions").collect()
+    }
+    q.stop()
+    # user 1's view lives in batch 0, click/purchase in batch 1 — the
+    # slot state must survive the batch boundary
+    assert got == {1: (0, 20), 3: (0, 2)}
+
+    # in-order stream ==> converted-user count equals the batch funnel's
+    # final-step n_users on the union of both batches
+    batch = df.select(
+        "user_id", F.timestamp_seconds("t").alias("ts"), "event_type"
+    )
+    n_last = {
+        r.step_idx: r.n_users
+        for r in funnel(batch, STEPS, within_s=WITHIN).collect()
+    }[len(STEPS) - 1]
+    assert len(got) == n_last == 2
+
+
+def test_streaming_funnel_validates_params(spark, tmp_path):
+    df = _stage(spark, str(tmp_path))
+    schema = spark.read.parquet(f"{tmp_path}/batch_0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(tmp_path))
+        .select("user_id", F.timestamp_seconds("t").alias("ts"), "event_type")
+    )
+    with pytest.raises(ValueError):
+        streaming_funnel(stream, ("view",), within_s=10)
+    with pytest.raises(ValueError):
+        streaming_funnel(stream, ("view", "view"), within_s=10)
+    with pytest.raises(ValueError):
+        streaming_funnel(stream, STEPS, within_s=0)
