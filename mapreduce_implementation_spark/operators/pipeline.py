@@ -66,6 +66,8 @@ class CorpusPipelineConfig:
     # Gopher-style repetition cap: drop docs whose single most frequent
     # token exceeds this fraction of all tokens (None = no cap)
     max_top_token_frac: float | None = None
+    # redact PII-shaped spans (functions/scrub.py) before chunking
+    scrub: bool = False
     split_weights: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.9, "holdout": 0.1}
     )
@@ -113,6 +115,13 @@ def build_training_corpus(
         min_quality=cfg.min_quality,
         max_top_token_frac=cfg.max_top_token_frac,
     )
+    if cfg.scrub:
+        from mapreduce_implementation_spark.functions.scrub import scrub_pii
+
+        # after the gates (scores rate the text as found), before dedup/
+        # chunking (scrubbed text is what dedups and ships) — still the
+        # same map-only scan prefix
+        filtered = filtered.withColumn(text_col, scrub_pii(text_col))
     mixed = (
         sp.stratified_sample(
             filtered,

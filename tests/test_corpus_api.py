@@ -173,3 +173,23 @@ def test_repetition_cap_drops_repetitive_docs(spark):
         build_training_corpus(
             docs, CorpusPipelineConfig(max_top_token_frac=0.0)
         )
+
+
+def test_scrub_redacts_before_chunking(spark):
+    """cfg.scrub=True: PII-shaped spans never reach the chunk text."""
+    docs = spark.createDataFrame(
+        [
+            (1, "write to alice@example.com for the 555 123 4567 hotline"),
+            (2, "clean text with no pii at all in it"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en"))
+    art = build_training_corpus(
+        docs,
+        CorpusPipelineConfig(
+            scrub=True, chunk_tokens=8, split_weights={"train": 1.0}
+        ),
+    )
+    texts = " ".join(r.chunk_text for r in art["chunks"].collect())
+    assert "<EMAIL>" in texts and "<NUMBER>" in texts
+    assert "alice@example.com" not in texts and "4567" not in texts
