@@ -53,16 +53,27 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     proves width; otherwise be CONSERVATIVE and skip the exchange: a
     missed repartition serializes expression work (slow, correct), a
     spurious one reshuffles raw text at corpus scale (the worse
-    failure). Non-file sources (in-memory test frames) report zero
-    files and get the defensive repartition — correct for the tiny
-    frames this is used on."""
+    failure). No-file sources split the same way: a driver-local
+    relation (createDataFrame test frame) is provably tiny and gets the
+    defensive repartition; any other no-file source (DSv2 table, JDBC,
+    a foreachBatch micro-batch) may be corpus-sized and is left
+    alone."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         files = []
     if not files:
-        return df.repartition(target)
+        # no file-source scan in the plan. Repartition ONLY when the
+        # source is a driver-local relation (createDataFrame test
+        # frames — provably tiny); an unknown no-file source (DSv2
+        # table, JDBC, foreachBatch frame) may be the whole corpus, and
+        # a spurious round-robin exchange of raw text is the worse
+        # failure — skip, per the conservative rule above.
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if "LocalRelation" in plan:
+            return df.repartition(target)
+        return df
     if len(files) >= target:
         return df
     est_splits = _estimate_scan_splits(df.sparkSession, files)
@@ -172,6 +183,25 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def cap_buckets(
+    df: DataFrame, part_cols: tuple[str, ...], max_bucket: int | None
+) -> DataFrame:
+    """Drop rows in LSH buckets larger than ``max_bucket`` — the
+    boilerplate-cohort guard shared by every banded pair miner (a band
+    value shared by a degenerate cohort would square that bucket).
+    No-op when ``max_bucket`` is None."""
+    if max_bucket is None:
+        return df
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*part_cols)
+    return (
+        df.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+
+
 def estimated_jaccard(sig_a: Column, sig_b: Column, k: int) -> Column:
     """Fraction of equal signature components (double in [0,1])."""
     return F.size(
@@ -272,13 +302,7 @@ def minhash_near_dup_pairs(
     banded = sigs.where(F.col("sig").isNotNull()).select(
         "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
     ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
-    if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band_id", "band_hash")
-        banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(w)).where(
-            F.col("bucket_n") <= max_bucket
-        ).drop("bucket_n")
+    banded = cap_buckets(banded, ("band_id", "band_hash"), max_bucket)
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -662,15 +686,7 @@ def simhash_near_dup_pairs(
         ),
         *[F.col(f"w{w}") for w in range((n_bits + 31) // 32)],
     )
-    if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band_id", "band_val")
-        banded = (
-            banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-            .where(F.col("bucket_n") <= max_bucket)
-            .drop("bucket_n")
-        )
+    banded = cap_buckets(banded, ("band_id", "band_val"), max_bucket)
     left = banded.alias("a")
     right = banded.alias("b")
     hamming = sum(
@@ -748,15 +764,7 @@ def minhash_cross_near_dup(
 
     bn = banded(new_sigs, "new_id")
     br = banded(ref_sigs, "ref_id")
-    if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band_id", "band_hash")
-        br = (
-            br.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-            .where(F.col("bucket_n") <= max_bucket)
-            .drop("bucket_n")
-        )
+    br = cap_buckets(br, ("band_id", "band_hash"), max_bucket)
     cand = (
         bn.join(br, ["band_id", "band_hash"])
         .select("new_id", "ref_id")

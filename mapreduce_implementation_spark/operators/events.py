@@ -273,6 +273,41 @@ def user_value_trend(events: DataFrame) -> DataFrame:
     return keyed.groupBy("user_id").applyInPandas(fit, schema)
 
 
+def funnel_events(
+    events: DataFrame,
+    steps: tuple[str, ...] | list[str],
+    within_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The funnel's shared input contract — validation + the
+    (user_id, t, si) projection — factored out so the batch fold and
+    the streaming state operator (streaming/funnel.py) cannot drift.
+    NULL-timestamp events are dropped here: the batch fold ignores them
+    anyway (NULL comparisons never take a slot) and the streaming fold
+    would crash converting NaN to int."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {list(steps)}")
+    if len(set(steps)) != k:
+        raise ValueError(f"steps must be distinct, got {list(steps)}")
+    if within_s <= 0:
+        raise ValueError(f"within_s must be positive, got {within_s}")
+    step_idx = F.when(F.col(type_col) == steps[0], F.lit(0))
+    for i, s in enumerate(steps[1:], 1):
+        step_idx = step_idx.when(F.col(type_col) == s, F.lit(i))
+    return (
+        events.where(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("user_id"),
+            epoch_s(ts_col).alias("t"),
+            step_idx.alias("si"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+
+
 def funnel(
     events: DataFrame,
     steps: tuple[str, ...] | list[str],
@@ -300,21 +335,7 @@ def funnel(
     bound as sessionization; at 100 TB slice the input by day/week
     before calling, as any funnel analysis does."""
     k = len(steps)
-    if k < 2:
-        raise ValueError(f"funnel needs >= 2 steps, got {list(steps)}")
-    if len(set(steps)) != k:
-        raise ValueError(f"steps must be distinct, got {list(steps)}")
-    if within_s <= 0:
-        raise ValueError(f"within_s must be positive, got {within_s}")
-
-    step_idx = F.when(F.col(type_col) == steps[0], F.lit(0))
-    for i, s in enumerate(steps[1:], 1):
-        step_idx = step_idx.when(F.col(type_col) == s, F.lit(i))
-    ev = events.where(F.col(type_col).isin(list(steps))).select(
-        F.col(user_col).alias("user_id"),
-        epoch_s(ts_col).alias("t"),
-        step_idx.alias("si"),
-    )
+    ev = funnel_events(events, steps, within_s, user_col, ts_col, type_col)
     # sort key (t, si): at equal timestamps the EARLIER funnel step
     # folds first, so a same-instant later step still chains off it —
     # matching the t_i >= t_{i-1} oracle formulation exactly

@@ -6,8 +6,11 @@ Semantics: the same greedy-earliest recurrence as batch — t_0 = the
 user's first step-0 event, t_i = the first step-i event at/after
 t_{i-1} with t_i - t_0 <= within_s — applied to the stream with the
 per-user slot vector as state. When the LAST slot fills, one
-conversion row (user_id, t0, t_final) is emitted and the state is
-dropped; users mid-funnel keep their slots across micro-batches.
+conversion row (user_id, t0, t_final) is emitted and the filled vector
+stays as a terminal done-marker (conversion is once-per-user, like the
+batch n_users count, and independent of micro-batch boundaries); users
+mid-funnel keep their slots across micro-batches, and users with no
+step-0 event yet store no state at all.
 
 Equals the batch funnel's converted-user set whenever event time is
 non-decreasing ACROSS micro-batches (in-order ingestion — the file/
@@ -31,11 +34,10 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
-from mapreduce_implementation_spark.operators.events import epoch_s
+from mapreduce_implementation_spark.operators.events import funnel_events
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -68,6 +70,17 @@ def _funnel_fn(k: int, within_s: int, timeout_ms: int, use_timeout: bool = True)
             yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
             return
         slots = list(state.get) if state.exists else [_UNSET] * k
+        if slots[k - 1] != _UNSET:
+            # already converted: conversion is TERMINAL (one row per
+            # user ever, matching the batch funnel's n_users count);
+            # the done-marker state stays so later events can't re-arm
+            # — without it, output would depend on micro-batch
+            # boundaries (a second chain in the SAME batch is ignored
+            # by the fold, one in a LATER batch would re-fire)
+            if use_timeout:
+                state.setTimeoutDuration(timeout_ms)
+            yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
+            return
         evs: list[tuple[int, int]] = []
         for pdf in pdfs:
             evs.extend(zip((int(t) for t in pdf["t"]), (int(s) for s in pdf["si"])))
@@ -88,10 +101,17 @@ def _funnel_fn(k: int, within_s: int, timeout_ms: int, use_timeout: bool = True)
                     done = (slots[0], t)
                     break
         if done is not None:
-            state.remove()
+            state.update(tuple(slots))  # done marker (see above)
+            if use_timeout:
+                state.setTimeoutDuration(timeout_ms)
             yield pd.DataFrame(
                 {"user_id": [user_id], "t0": [done[0]], "t_final": [done[1]]}
             )
+        elif slots[0] == _UNSET:
+            # no step-0 event yet: no later slot can ever fill, so
+            # storing all-UNSET slots would just grow the state store
+            # with every user who emitted any funnel-type event
+            yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
         else:
             state.update(tuple(slots))
             if use_timeout:
@@ -122,19 +142,10 @@ def streaming_funnel(
     conversion output either way (a bounded run never reaches the
     timeout; the timeout only garbage-collects failed chains)."""
     k = len(steps)
-    if k < 2:
-        raise ValueError(f"funnel needs >= 2 steps, got {list(steps)}")
-    if len(set(steps)) != k:
-        raise ValueError(f"steps must be distinct, got {list(steps)}")
-    if within_s <= 0:
-        raise ValueError(f"within_s must be positive, got {within_s}")
-    step_idx = F.when(F.col(type_col) == steps[0], F.lit(0))
-    for i, s in enumerate(steps[1:], 1):
-        step_idx = step_idx.when(F.col(type_col) == s, F.lit(i))
-    ev = events_stream.where(F.col(type_col).isin(list(steps))).select(
-        F.col(user_col).alias("user_id"),
-        epoch_s(ts_col).alias("t"),
-        step_idx.alias("si"),
+    # shared input contract with the batch fold — validation, the
+    # (user_id, t, si) projection, NULL-ts drop — one definition
+    ev = funnel_events(
+        events_stream, steps, within_s, user_col, ts_col, type_col
     )
     return ev.groupBy("user_id").applyInPandasWithState(
         _funnel_fn(k, within_s, state_ttl_factor * within_s * 1000, use_timeout),

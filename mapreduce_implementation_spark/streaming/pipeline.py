@@ -77,15 +77,17 @@ def start_pack_stream(
     tokens_col: str = "n_tokens",
     n_buckets: int = 8,
     salt: str = "",
+    trigger: dict | None = None,
 ):
     """Start the per-micro-batch packing sink; returns the
     StreamingQuery (caller awaits/stops it).
 
     Each batch: pack with the batch operator, stamp ``batch_id``, write
     parquet partitioned by batch_id with dynamic overwrite (idempotent
-    under foreachBatch's at-least-once replay). Trigger availableNow so
-    bounded fixtures drain and stop; remove the trigger for continuous
-    ingestion."""
+    under foreachBatch's at-least-once replay). ``trigger`` is passed
+    to ``writeStream.trigger(**trigger)``; the default
+    ``{"availableNow": True}`` drains bounded fixtures and stops — pass
+    e.g. ``{"processingTime": "1 minute"}`` for continuous ingestion."""
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         packed = pack_greedy(
@@ -107,7 +109,7 @@ def start_pack_stream(
     return (
         chunks_stream.writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 
@@ -136,9 +138,12 @@ def start_ingest_dedup_stream(
     rows: int = 4,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    trigger: dict | None = None,
 ):
     """Dedup-at-ingest: flag each incoming document that near-duplicates
-    the EXISTING corpus; returns the StreamingQuery.
+    the EXISTING corpus; returns the StreamingQuery. ``trigger``
+    defaults to ``{"availableNow": True}`` (bounded drain) — pass e.g.
+    ``{"processingTime": "1 minute"}`` for continuous ingestion.
 
     Per micro-batch (foreachBatch — the same per-batch batch-operator
     pattern as start_pack_stream): compute the batch's MinHash
@@ -183,6 +188,6 @@ def start_ingest_dedup_stream(
     return (
         docs_stream.writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

@@ -275,7 +275,8 @@ def test_funnel_has_no_join_chain(spark, oracle_sf_dir):
     # "(n) Exchange" detail header — count the headers)
     assert plan.count(") Exchange") <= 2, plan
     # the event-type filter reaches the scan (only funnel steps read)
-    assert "PushedFilters: [In(event_type" in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "In(event_type" in pushed[0], plan
 
 
 def test_simhash_pairs_verify_is_fused_into_band_join(spark, oracle_sf_dir):

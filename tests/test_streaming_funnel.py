@@ -22,6 +22,10 @@ EVENTS = [
     (4, 0, "view"), (4, 15, "purchase"),                    # skips click -> no
     (5, 0, "click"), (5, 1, "purchase"),                    # no view -> no
     (6, 0, "error"),                                        # non-funnel noise
+    # full chain in batch 0 AND a second full chain in batch 1: the
+    # done-marker state must suppress the re-fire (terminal semantics)
+    (7, 0, "view"), (7, 1, "click"), (7, 2, "purchase"),
+    (7, 11, "view"), (7, 12, "click"), (7, 13, "purchase"),
 ]
 
 
@@ -51,14 +55,14 @@ def test_streaming_funnel_cross_batch_state(spark, tmp_path):
     )
     out = streaming_funnel(stream, STEPS, within_s=WITHIN, use_timeout=False)
     q = run_available_now(out, "conversions", output_mode="append")
-    got = {
-        r.user_id: (r.t0, r.t_final)
-        for r in spark.table("conversions").collect()
-    }
+    rows = spark.table("conversions").collect()
+    got = {r.user_id: (r.t0, r.t_final) for r in rows}
     q.stop()
+    assert len(rows) == len(got)  # exactly one row per converted user
     # user 1's view lives in batch 0, click/purchase in batch 1 — the
-    # slot state must survive the batch boundary
-    assert got == {1: (0, 20), 3: (0, 2)}
+    # slot state must survive the batch boundary; user 7 converts in
+    # batch 0 and must NOT re-fire on the second chain in batch 1
+    assert got == {1: (0, 20), 3: (0, 2), 7: (0, 2)}
 
     # in-order stream ==> converted-user count equals the batch funnel's
     # final-step n_users on the union of both batches
@@ -69,7 +73,7 @@ def test_streaming_funnel_cross_batch_state(spark, tmp_path):
         r.step_idx: r.n_users
         for r in funnel(batch, STEPS, within_s=WITHIN).collect()
     }[len(STEPS) - 1]
-    assert len(got) == n_last == 2
+    assert len(got) == n_last == 3
 
 
 def test_streaming_funnel_validates_params(spark, tmp_path):
