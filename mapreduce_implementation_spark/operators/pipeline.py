@@ -219,3 +219,112 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+def build_drop_list(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float | None = None,
+    max_top_token_frac: float | None = None,
+    near_dup_pairs: DataFrame | None = None,
+    benchmark: DataFrame | None = None,
+    contamination_threshold: float = 0.8,
+    contamination_n: int = 3,
+) -> DataFrame:
+    """The auditable drop decision: DataFrame[id_col, reason] with one
+    row per (document, applicable reason) — the artifact a corpus
+    pipeline publishes so every exclusion is explainable. Reasons:
+
+    * ``exact_dup`` — another doc has identical normalized content and
+      a smaller id (the survivor stays);
+    * ``near_dup`` — the doc is the larger id of a supplied near-dup
+      pair (``near_dup_pairs``: DataFrame[doc_a, doc_b, ...] from any
+      of the pair miners — MinHash, SimHash, n-gram, embedding);
+    * ``low_quality`` / ``repetitive`` — the quality floor / repetition
+      cap, same expressions as quality_gate;
+    * ``contaminated`` — distinct-n-gram overlap with ``benchmark``
+      at/above ``contamination_threshold``.
+
+    A document can carry several reasons (all are reported — dedup
+    alone would hide that a kept-if-deduped doc was also contaminated).
+    Compute is a union of the stage operators' own plans: nothing here
+    re-derives semantics, so the drop list can never disagree with the
+    pipeline that enforces it. Filter the corpus with an anti-join
+    against the distinct ids."""
+    from mapreduce_implementation_spark.functions.textstats import (
+        _lower_tokens,
+        quality_score,
+        top_token_count,
+    )
+    from mapreduce_implementation_spark.operators.contamination import (
+        ngram_contamination,
+    )
+    from mapreduce_implementation_spark.operators.dedup import exact_dedup
+
+    def tagged(df: DataFrame, reason: str) -> DataFrame:
+        return df.select(F.col(id_col), F.lit(reason).alias("reason"))
+
+    parts: list[DataFrame] = []
+    # exact dups: everyone who is not a survivor — anti-join against
+    # the survivor id set (one shuffle; ids are unique so the anti-join
+    # is exact)
+    dups = exact_dedup(docs, id_col, text_col)
+    survivors = dups.select(F.col("survivor_id").alias(id_col))
+    parts.append(
+        tagged(docs.select(id_col).join(survivors, id_col, "anti"), "exact_dup")
+    )
+    if near_dup_pairs is not None:
+        parts.append(
+            tagged(
+                near_dup_pairs.select(
+                    F.greatest(F.col("doc_a"), F.col("doc_b")).alias(id_col)
+                ).distinct(),
+                "near_dup",
+            )
+        )
+    if min_quality is not None or max_top_token_frac is not None:
+        staged = docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            _lower_tokens(text_col).alias("_toks"),
+        )
+        if min_quality is not None:
+            parts.append(
+                tagged(
+                    staged.where(
+                        quality_score(text_col, toks=F.col("_toks"))
+                        < min_quality
+                    ),
+                    "low_quality",
+                )
+            )
+        if max_top_token_frac is not None:
+            toks = F.col("_toks")
+            parts.append(
+                tagged(
+                    staged.where(
+                        top_token_count(toks).cast("double")
+                        / F.greatest(F.size(toks).cast("long"), F.lit(1))
+                        > max_top_token_frac
+                    ),
+                    "repetitive",
+                )
+            )
+    if benchmark is not None:
+        contam = ngram_contamination(
+            docs, benchmark, id_col, text_col, n=contamination_n
+        )
+        parts.append(
+            tagged(
+                contam.where(
+                    F.col("contamination_frac") >= contamination_threshold
+                ),
+                "contaminated",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

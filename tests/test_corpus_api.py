@@ -193,3 +193,50 @@ def test_scrub_redacts_before_chunking(spark):
     texts = " ".join(r.chunk_text for r in art["chunks"].collect())
     assert "<EMAIL>" in texts and "<NUMBER>" in texts
     assert "alice@example.com" not in texts and "4567" not in texts
+
+
+def test_build_drop_list_reasons(spark):
+    """Every drop reason fires on a crafted corpus, multi-reason docs
+    report all applicable reasons, and clean docs are absent."""
+    from mapreduce_implementation_spark.operators.pipeline import (
+        build_drop_list,
+    )
+
+    rep = "spam " * 30
+    good = "the quick brown fox jumps over a lazy dog with some more words"
+    docs = spark.createDataFrame(
+        [
+            (1, good),                      # survivor of the 1/2 pair
+            (2, good),                      # exact dup of 1
+            (3, rep),                       # repetitive (and low quality)
+            (4, "tiny"),                    # low quality (too short)
+            (5, good + " unique tail here"),  # clean
+            (6, "the quick brown fox jumps over a lazy dog exactly"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 6)], "doc_a long, doc_b long"
+    )  # pretend a miner flagged 1~6
+    out = build_drop_list(
+        docs,
+        min_quality=0.6,
+        max_top_token_frac=0.5,
+        near_dup_pairs=pairs,
+        benchmark=bench,
+        contamination_threshold=0.3,
+    )
+    reasons = {}
+    for r in out.collect():
+        reasons.setdefault(r.doc_id, set()).add(r.reason)
+    assert reasons[2] == {"exact_dup"} or "contaminated" in reasons[2]
+    assert "exact_dup" in reasons[2]
+    assert "repetitive" in reasons[3]
+    assert "low_quality" in reasons[4]  # score 0.5 < 0.6 floor
+    assert "near_dup" in reasons[6]
+    assert 5 not in reasons  # clean doc survives
+    # contamination: docs containing the benchmark's trigrams
+    assert "contaminated" in reasons.get(6, set()) or "contaminated" in reasons.get(2, set())
