@@ -72,3 +72,34 @@ def test_span_count_does_not_double_count(spark):
     [(s, n)] = _spark_scrub(spark, ["reach 12345678@example.com ok"])
     assert s == "reach <EMAIL> ok"
     assert n == 1
+
+
+def test_scrub_parity_on_seeded_fuzz_corpus(spark):
+    """500 seeded pseudo-random strings (dense digit/dot/@ adversarial
+    mix included): the Java-regex and RE2 scrubs must stay
+    byte-identical — the strongest form of the portability claim."""
+    import random
+    import string
+
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + " .@+-()%_"
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(300)
+    ] + [
+        "".join(
+            rng.choice("0123456789.@ -+()ab")
+            for _ in range(rng.randrange(1, 40))
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    spark_out = [r.s for r in df.select(scrub_pii("text").alias("s")).collect()]
+    con = duckdb.connect()
+    for c, got in zip(cases, spark_out):
+        s = c
+        for _, pattern, tag in PII_PATTERNS:
+            s = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [s, pattern, tag]
+            ).fetchone()[0]
+        assert s == got, repr(c)
