@@ -69,9 +69,19 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         # frames — provably tiny); an unknown no-file source (DSv2
         # table, JDBC, foreachBatch frame) may be the whole corpus, and
         # a spurious round-robin exchange of raw text is the worse
-        # failure — skip, per the conservative rule above.
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if "LocalRelation" in plan:
+        # failure — skip, per the conservative rule above. The probe
+        # inspects the OPTIMIZED plan ROOT (ConvertToLocalRelation
+        # collapses projections over a LocalRelation into it), so a
+        # big plan that merely JOINS a LocalRelation branch never
+        # matches; the private _jdf accessor is guarded — under Spark
+        # Connect (no _jdf) fall back to the conservative no-exchange
+        # path.
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:
+            return df
+        root = plan.lstrip().split("\n", 1)[0]
+        if root.startswith(("LocalRelation", "OneRowRelation")):
             return df.repartition(target)
         return df
     if len(files) >= target:
@@ -289,7 +299,11 @@ def minhash_near_dup_pairs(
     the chain is computed here and session-cached as a small-scale
     stand-in (released by the next registry query via
     caching.release_caches)."""
-    assert bands * rows == k, "signature length must equal bands*rows"
+    if bands * rows != k:
+        raise ValueError(
+            f"signature length must equal bands*rows ({bands}*{rows} != {k}): "
+            "a mismatch would silently slice wrong band boundaries"
+        )
     if signatures is None:
         sigs = track_cache(
             minhash_signatures(df, id_col, text_col, shingle_n=shingle_n, k=k)
@@ -438,7 +452,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 25,
-    local_threshold: int = 5_000_000,
+    local_threshold: int = 1_000_000,
     distributed_algorithm: str = "star",
 ) -> DataFrame:
     """Connected components of the near-dup pair graph → duplicate
@@ -450,7 +464,10 @@ def connected_components(
     Hybrid: when the edge list is small (≤ ``local_threshold`` pairs —
     it is a candidate-pair DERIVATIVE of the corpus, usually tiny
     relative to it), collect it and run driver-side union-find: one job
-    instead of many bounded shuffles. Above the threshold,
+    instead of many bounded shuffles. The default threshold is 1M pairs
+    (~200 MB of driver Python tuples + union-find map — comfortably
+    inside a modest cluster driver; 5M was measured at ≳1 GB of object
+    overhead, hostile to shared drivers). Above the threshold,
     ``distributed_algorithm`` picks the cluster path:
 
     * ``"star"`` (default): alternating large-star/small-star
@@ -532,6 +549,69 @@ def connected_components(
             "max_iterations or switch to large-star/small-star"
         )
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    fingerprint=None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing a winnowing
+    fingerprint (cheap bucket join, never all-pairs).
+
+    ``max_bucket`` routes the fingerprint-blocked self-join through
+    ``cap_buckets`` — the same boilerplate-cohort guard as the MinHash/
+    SimHash miners. A single winnowing fingerprint is exactly the kind
+    of key a boilerplate cohort (headers, templates) collapses onto,
+    and the self-join SQUARES the bucket; the cap drops buckets larger
+    than ``max_bucket`` docs before the join (recall loss only inside
+    degenerate cohorts — the standard web-dedup trade). None keeps all
+    buckets (oracle parity at test scale); at 100 TB always set it.
+
+    ``fingerprint``: callable ``(toks_col) -> Column`` producing the
+    blocking fingerprint from the token-array column; defaults to
+    functions/textstats.doc_fingerprint (min-md5 winnowing).
+
+    Returns DataFrame[doc_a, doc_b, jaccard_sim] with doc_a < doc_b.
+    One shuffle (the fp bucket self-join); the shingle arrays ride the
+    banded rows so the verify is join-local."""
+    from mapreduce_implementation_spark.functions.textstats import doc_fingerprint
+
+    fp_fn = fingerprint or (
+        lambda toks_col: doc_fingerprint(text_col, shingle=shingle_n, toks=toks_col)
+    )
+    f = (
+        spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select(
+            "doc_id", tokens(F.lower(F.col(text_col)), mode="simple").alias("_toks")
+        )
+        .select(
+            "doc_id",
+            fp_fn(F.col("_toks")).alias("fp"),
+            F.array_distinct(word_ngrams(F.col("_toks"), shingle_n)).alias("sh"),
+        )
+    )
+    f = cap_buckets(f, ("fp",), max_bucket)
+    a, b = f.alias("a"), f.alias("b")
+    jac = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
 
 
 def token_hashes(text: Column | str) -> Column:
@@ -746,7 +826,11 @@ def minhash_cross_near_dup(
     ``max_bucket`` caps REFERENCE bucket size (a degenerate reference
     cohort — boilerplate docs — would multiply every matching new doc
     by the whole cohort)."""
-    assert bands * rows == k, "signature length must equal bands*rows"
+    if bands * rows != k:
+        raise ValueError(
+            f"signature length must equal bands*rows ({bands}*{rows} != {k}): "
+            "a mismatch would silently slice wrong band boundaries"
+        )
 
     def banded(sigs: DataFrame, out_id: str) -> DataFrame:
         return (

@@ -237,6 +237,11 @@ def build_drop_list(
     row per (document, applicable reason) — the artifact a corpus
     pipeline publishes so every exclusion is explainable. Reasons:
 
+    * ``null_text`` — the text column is NULL (quality_gate and
+      build_training_corpus drop these unconditionally, so the drop
+      list must too — and they must NOT enter the exact-dup grouping,
+      where a shared NULL content hash would crown one NULL-text doc a
+      "survivor" and mislabel the rest ``exact_dup``);
     * ``exact_dup`` — another doc has identical normalized content and
       a smaller id (the survivor stays);
     * ``near_dup`` — the doc is the larger id of a supplied near-dup
@@ -267,13 +272,20 @@ def build_drop_list(
         return df.select(F.col(id_col), F.lit(reason).alias("reason"))
 
     parts: list[DataFrame] = []
+    # NULL-text docs first: flagged with their own reason and EXCLUDED
+    # from the exact-dup grouping (see docstring) — this keeps the drop
+    # list in lockstep with quality_gate's unconditional NULL drop
+    parts.append(
+        tagged(docs.where(F.col(text_col).isNull()).select(id_col), "null_text")
+    )
+    non_null = docs.where(F.col(text_col).isNotNull())
     # exact dups: everyone who is not a survivor — anti-join against
     # the survivor id set (one shuffle; ids are unique so the anti-join
     # is exact)
-    dups = exact_dedup(docs, id_col, text_col)
+    dups = exact_dedup(non_null, id_col, text_col)
     survivors = dups.select(F.col("survivor_id").alias(id_col))
     parts.append(
-        tagged(docs.select(id_col).join(survivors, id_col, "anti"), "exact_dup")
+        tagged(non_null.select(id_col).join(survivors, id_col, "anti"), "exact_dup")
     )
     if near_dup_pairs is not None:
         parts.append(

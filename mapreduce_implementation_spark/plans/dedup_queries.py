@@ -10,7 +10,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_implementation_spark.functions.textstats import doc_fingerprint
 from mapreduce_implementation_spark.operators import dedup as dd
 from mapreduce_implementation_spark.plans.registry import register
 from mapreduce_implementation_spark.sources.catalog import load_table
@@ -268,27 +267,13 @@ _FP = (
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a winnowing
-    fingerprint (cheap bucket join, never all-pairs)."""
+    fingerprint (cheap bucket join, never all-pairs). Registry runs
+    ``max_bucket=None`` so the oracle sees every bucket; the operator's
+    cap (cap_buckets on fp — the boilerplate-cohort guard shared with
+    MinHash/SimHash) is pinned by tests/test_dedup.py's subset test."""
     docs = load_table(spark, sf_dir, "documents")
-    from mapreduce_implementation_spark.functions.text import tokens, word_ngrams
-
-    f = dd.spread(docs.select("doc_id", "text")).select(
-        "doc_id", tokens(F.lower(F.col("text")), mode="simple").alias("_toks")
-    ).select(
-        "doc_id",
-        doc_fingerprint("_toks", shingle=3, toks=F.col("_toks")).alias("fp"),
-        F.array_distinct(word_ngrams(F.col("_toks"), 3)).alias("sh"),
-    )
-    a, b = f.alias("a"), f.alias("b")
-    jac = dd.jaccard(F.col("a.sh"), F.col("b.sh"))
-    return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard_sim"),
-        )
-        .where(F.col("jaccard_sim") >= 0.5)
+    return dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_bucket=None
     )
 
 

@@ -22,9 +22,12 @@ definition; bound the disorder with the source's watermark or
 reprocess in batch, as every incremental funnel does.
 
 State per user is O(K) longs, so the state store is bounded by
-|users currently mid-funnel| — expired chains (window elapsed, funnel
-incomplete) are garbage-collected by processing-time timeout. One
-shuffle: the groupBy(user_id), identical to batch.
+|users currently mid-funnel| + |converted users| — expired INCOMPLETE
+chains (window elapsed, funnel unfinished) are garbage-collected by
+processing-time timeout, while converted users' done-markers are kept
+forever (the price of the once-per-user terminal contract; dropping
+them on timeout would let a later second chain re-emit). One shuffle:
+the groupBy(user_id), identical to batch.
 """
 
 from __future__ import annotations
@@ -62,10 +65,21 @@ def _funnel_fn(k: int, within_s: int, timeout_ms: int, use_timeout: bool = True)
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.hasTimedOut:
-            # expired chain: the conversion window has long elapsed with
-            # the funnel incomplete — drop the slots (in-order streams
-            # can never complete it; a conversion would have arrived
-            # within the window + slack)
+            slots = list(state.get) if state.exists else [_UNSET] * k
+            if slots[k - 1] != _UNSET:
+                # converted done-marker: NEVER GC it — "one conversion
+                # row per user ever" is the terminal contract, and
+                # removing the marker here would let a second chain
+                # after state_ttl_factor*within_s of idleness re-emit.
+                # No timeout re-arm: the marker simply stops timing out
+                # and stays (state grows O(converted users) — the
+                # minimum any exactly-once-per-user semantics can hold).
+                yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
+                return
+            # expired INCOMPLETE chain: the conversion window has long
+            # elapsed — drop the slots (in-order streams can never
+            # complete it; a conversion would have arrived within the
+            # window + slack)
             state.remove()
             yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
             return

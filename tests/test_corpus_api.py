@@ -240,3 +240,25 @@ def test_build_drop_list_reasons(spark):
     assert 5 not in reasons  # clean doc survives
     # contamination: docs containing the benchmark's trigrams
     assert "contaminated" in reasons.get(6, set()) or "contaminated" in reasons.get(2, set())
+
+
+def test_build_drop_list_null_text(spark):
+    """NULL-text docs get an explicit null_text reason and never enter
+    the exact-dup grouping (advisor finding r7: a shared NULL content
+    hash crowned one NULL-text doc a 'survivor' and mislabeled the rest
+    exact_dup — disagreeing with quality_gate, which drops them all)."""
+    from mapreduce_implementation_spark.operators.pipeline import (
+        build_drop_list,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "real content here"), (2, None), (3, None), (4, "real content here")],
+        "doc_id long, text string",
+    )
+    out = build_drop_list(docs)
+    reasons = {}
+    for r in out.collect():
+        reasons.setdefault(r.doc_id, set()).add(r.reason)
+    assert reasons[2] == {"null_text"} and reasons[3] == {"null_text"}
+    assert reasons[4] == {"exact_dup"}  # dup of survivor 1
+    assert 1 not in reasons  # the real survivor is kept

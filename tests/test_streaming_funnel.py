@@ -90,3 +90,77 @@ def test_streaming_funnel_validates_params(spark, tmp_path):
         streaming_funnel(stream, ("view", "view"), within_s=10)
     with pytest.raises(ValueError):
         streaming_funnel(stream, STEPS, within_s=0)
+
+
+class _FakeState:
+    """Minimal GroupState double for unit-driving _funnel_fn's branches
+    (the real state store can't be steered into a timeout callback
+    deterministically from a test)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _drain(gen):
+    import pandas as pd
+
+    return pd.concat(list(gen), ignore_index=True)
+
+
+def test_timeout_keeps_done_marker_and_gcs_incomplete():
+    """The timeout callback must GC only INCOMPLETE chains; a converted
+    user's done-marker survives the timeout so a second chain after the
+    TTL can never re-emit (advisor finding r7: 'one row per user ever'
+    must not depend on the state TTL)."""
+    import pandas as pd
+
+    from mapreduce_implementation_spark.streaming.funnel import (
+        _UNSET,
+        _funnel_fn,
+    )
+
+    fn = _funnel_fn(k=3, within_s=100, timeout_ms=1000)
+
+    # 1) user converts — state becomes the done marker
+    st = _FakeState()
+    batch = pd.DataFrame({"t": [0, 1, 2], "si": [0, 1, 2]})
+    out = _drain(fn((7,), iter([batch]), st))
+    assert list(out.user_id) == [7]
+    assert st.get is not None and st.get[2] != _UNSET
+
+    # 2) timeout fires on the done marker — it must SURVIVE
+    st.hasTimedOut = True
+    out = _drain(fn((7,), iter([]), st))
+    assert out.empty and not st.removed and st.exists
+
+    # 3) a second full chain after the timeout — still no re-fire
+    st.hasTimedOut = False
+    batch2 = pd.DataFrame({"t": [50, 51, 52], "si": [0, 1, 2]})
+    out = _drain(fn((7,), iter([batch2]), st))
+    assert out.empty
+
+    # 4) an INCOMPLETE chain's timeout still garbage-collects
+    st2 = _FakeState(value=(0, _UNSET, _UNSET), timed_out=True)
+    out = _drain(fn((8,), iter([]), st2))
+    assert out.empty and st2.removed and not st2.exists
