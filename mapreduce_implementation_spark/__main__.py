@@ -19,7 +19,12 @@ This module reproduces that workflow end-to-end on Spark:
   reference's first-char partitioner and NUM_REDUCER reducers.
 * Output is one sorted ``<OUTPUT_DIR>/<JOB_NAME>-<r>.out`` per reducer
   (1-based, empty files kept) plus the reference-format event log
-  ``<JOB_NAME>-log.out`` (listener.py).
+  ``<JOB_NAME>-log.out`` (listener.py — the AppStatusStore variant:
+  the job runs exactly ONCE, task times/ranks/pair counts come from
+  Spark's own listener-bus instrumentation; Start_Shuffle is the
+  post-combine shuffle record count, the documented divergence from
+  the combiner-less reference. ``run_logged_wordcount`` remains the
+  raw-count fidelity shim).
 * DELAY is the reference's simulated remote-read sleep — recorded in
   the Start_Job log line, not actually slept (Spark's scheduler owns
   task placement; SURVEY.md §4).
@@ -51,12 +56,13 @@ def main(argv: list[str]) -> int:
         return 2
 
     from mapreduce_implementation_spark import get_spark
-    from mapreduce_implementation_spark.listener import run_logged_wordcount
+    from mapreduce_implementation_spark.listener import (
+        run_listener_logged_wordcount,
+    )
     from mapreduce_implementation_spark.sources.locality import (
         parse_locality_config,
         restrict_to_chunks,
     )
-    from mapreduce_implementation_spark.sources.sinks import write_reducer_files
     from mapreduce_implementation_spark.sources.text_source import (
         read_text_keyed,
         with_chunk_id,
@@ -70,7 +76,7 @@ def main(argv: list[str]) -> int:
         workers = max(spark.sparkContext.defaultParallelism, 1)
         config = parse_locality_config(spark, locality_config, worker_num=workers)
         keyed = restrict_to_chunks(keyed, config)
-    reduced = run_logged_wordcount(
+    files = run_listener_logged_wordcount(
         spark,
         keyed,
         job_name=job_name,
@@ -80,9 +86,6 @@ def main(argv: list[str]) -> int:
         delay=delay,
         chunk_size=chunk_size,
         locality_label=locality_config,
-    )
-    files = write_reducer_files(
-        reduced, output_dir, job_name, num_reducers=num_reducer
     )
     for f in files:
         print(f)

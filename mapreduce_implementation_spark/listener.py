@@ -24,6 +24,25 @@ Approximation, documented: the reference separates shuffle (file
 write + barrier) from reduce; Spark overlaps shuffle-read with the
 reduce stage, so Finish_Shuffle is logged at the earliest reduce-task
 start (= all map-side shuffle writes done).
+
+Two implementations:
+
+* ``run_logged_wordcount`` — the FIDELITY SHIM: caches the exploded
+  (word, 1) frame and drives two ``mapPartitionsWithIndex`` collect
+  passes, so Start_Shuffle carries the reference's exact raw
+  intermediate-pair count (Worker.cc:94-99 — combiner-less token
+  occurrences). Correct at reference scale; never reuse for real
+  metrics.
+* ``run_listener_logged_wordcount`` — the PRODUCTION-SHAPED variant:
+  runs the real job ONCE (the actual file-writing action) inside a job
+  group and reads per-task launch times, durations, executor ids, and
+  shuffle record counts from the driver's ``AppStatusStore`` — the
+  store a genuine ``SparkListener`` (AppStatusListener on the
+  listener bus) populates for every job anyway. Zero extra jobs, zero
+  caching, REAL executor attribution. Start_Shuffle here carries the
+  map stage's shuffle-write record count, which is POST-COMBINE
+  (Spark's partial aggregation — the documented upgrade over the
+  combiner-less reference), so it is ≤ the shim's raw token count.
 """
 
 from __future__ import annotations
@@ -135,3 +154,158 @@ def run_logged_wordcount(
         for ts, body in sorted(lines, key=lambda x: x[0]):
             fh.write(f"{ts},{body}\n")
     return reduced
+
+
+def _scala_seq(seq) -> list:
+    """Materialize a py4j-wrapped scala Seq into a Python list."""
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _task_rows(store, stage_id: int, attempt: int) -> list[dict]:
+    """Per-task facts from the AppStatusStore: (index, launch_ms,
+    end_ms, executor_id, shuffle_write_records). Tasks missing metrics
+    (still running / lost) are skipped — callers run AFTER the action
+    returned, so completed jobs have complete metrics."""
+    rows = []
+    for td in _scala_seq(store.taskList(stage_id, attempt, 2_147_483_647)):
+        if not td.duration().isDefined():
+            continue
+        launch = td.launchTime().getTime()
+        dur = int(td.duration().get())
+        swr = 0
+        if td.taskMetrics().isDefined():
+            swr = int(td.taskMetrics().get().shuffleWriteMetrics().recordsWritten())
+        rows.append(
+            {
+                "index": int(td.index()),
+                "launch_ms": int(launch),
+                "end_ms": int(launch) + dur,
+                "executor_id": str(td.executorId()),
+                "shuffle_write_records": swr,
+            }
+        )
+    return rows
+
+
+def run_listener_logged_wordcount(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    job_name: str,
+    num_reducers: int,
+    output_dir: str,
+    text_col: str = "text",
+    input_label: str = "<dataframe>",
+    delay: int = 0,
+    chunk_size: int = 0,
+    locality_label: str = "-",
+) -> list[str]:
+    """Reference-format event log from Spark's own task instrumentation
+    (module docstring: the AppStatusStore variant). Runs the COMPLETE
+    job — map_reduce + write_reducer_files — exactly once inside a job
+    group, then reconstructs the log from the store:
+
+    * map tasks  = the earliest stage of the group (the scan +
+      tokenize + partial-agg stage); their shuffle-write record sum is
+      the Start_Shuffle pair count (post-combine, see module note);
+    * reduce tasks = the final stage (one task per reducer — the
+      repartition(num_reducers) contract; validated, not assumed);
+    * rank = the task's REAL executor id, densely renumbered 1-based in
+      first-seen order (the reference's ranks are 1..workers; Spark's
+      executor ids are strings — "driver" in local mode);
+    * Start_Shuffle at the last map-task end, Finish_Shuffle at the
+      first reduce-task launch (all map-side shuffle writes done —
+      the same documented approximation as the shim).
+
+    Returns the written output file list (reducer order). The log goes
+    to ``<output_dir>/<job_name>-log.out`` — same path and grammar as
+    the shim, so the two are drop-in interchangeable."""
+    import os
+    import uuid
+
+    from mapreduce_implementation_spark.sources.sinks import write_reducer_files
+
+    sc = spark.sparkContext
+    workers = max(sc.defaultParallelism, 1)
+    group = f"mris-log-{job_name}-{uuid.uuid4().hex[:8]}"
+    t_job = time.monotonic()
+    start_ms = _now_ms()
+
+    reduced = map_reduce(
+        df, mapper=wordcount_mapper(text_col), num_reducers=num_reducers
+    )
+    sc.setJobGroup(group, f"{job_name}: logged wordcount")
+    try:
+        files = write_reducer_files(
+            reduced, output_dir, job_name, num_reducers=num_reducers
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+    tracker = sc.statusTracker()
+    stage_ids: list[int] = []
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is not None:
+            stage_ids.extend(info.stageIds)
+    store = sc._jsc.sc().statusStore()
+    stages: dict[int, list[dict]] = {}
+    for sid in sorted(set(stage_ids)):
+        sinfo = tracker.getStageInfo(sid)
+        if sinfo is None or sinfo.numCompletedTasks == 0:
+            continue  # skipped / reused stages hold no tasks
+        stages[sid] = _task_rows(store, sid, sinfo.currentAttemptId)
+    if len(stages) < 2:
+        raise RuntimeError(
+            f"expected >= 2 executed stages (map + reduce) in job group "
+            f"{group}, found {sorted(stages)} — did the action run?"
+        )
+    ordered = sorted(stages)
+    map_tasks = stages[ordered[0]]
+    reduce_tasks = stages[ordered[-1]]
+    if len(reduce_tasks) != num_reducers:
+        raise RuntimeError(
+            f"final stage has {len(reduce_tasks)} tasks, expected "
+            f"{num_reducers} (one per reducer) — the repartition contract "
+            "upstream changed"
+        )
+
+    ranks: dict[str, int] = {}
+
+    def rank_of(executor_id: str) -> int:
+        return ranks.setdefault(executor_id, len(ranks) + 1)
+
+    lines: list[tuple[int, str]] = []
+    lines.append(
+        (
+            start_ms,
+            f"Start_Job,{job_name},{workers + 1},{workers},{num_reducers},"
+            f"{delay},{input_label},{chunk_size},{locality_label},{output_dir}",
+        )
+    )
+    total_pairs = 0
+    for t in sorted(map_tasks, key=lambda t: t["launch_ms"]):
+        total_pairs += t["shuffle_write_records"]
+        rank = rank_of(t["executor_id"])
+        exe_s = max((t["end_ms"] - t["launch_ms"]) // 1000, 0)
+        lines.append((t["launch_ms"], f"Dispatch_MapTask,{t['index'] + 1},{rank}"))
+        lines.append((t["end_ms"], f"Complete_MapTask,{t['index'] + 1},{exe_s}"))
+    t_shuffle = max(t["end_ms"] for t in map_tasks)
+    lines.append((t_shuffle, f"Start_Shuffle,{total_pairs}"))
+    first_reduce = min(t["launch_ms"] for t in reduce_tasks)
+    lines.append(
+        (first_reduce, f"Finish_Shuffle,{max((first_reduce - t_shuffle) // 1000, 0)}")
+    )
+    for t in sorted(reduce_tasks, key=lambda t: t["launch_ms"]):
+        rank = rank_of(t["executor_id"])
+        exe_s = max((t["end_ms"] - t["launch_ms"]) // 1000, 0)
+        lines.append((t["launch_ms"], f"Dispatch_ReduceTask,{t['index'] + 1},{rank}"))
+        lines.append((t["end_ms"], f"Complete_ReduceTask,{t['index'] + 1},{exe_s}"))
+    lines.append((_now_ms(), f"FinishJob,{int(time.monotonic() - t_job)}"))
+
+    os.makedirs(output_dir, exist_ok=True)
+    log_path = os.path.join(output_dir, f"{job_name}-log.out")
+    with open(log_path, "w") as fh:
+        for ts, body in sorted(lines, key=lambda x: x[0]):
+            fh.write(f"{ts},{body}\n")
+    return files
