@@ -170,7 +170,19 @@ def _pack_summary(packed: DataFrame, budget: int) -> DataFrame:
     (oversize single-row packs exempt by construction — a chunk wider
     than the budget gets a dedicated pack), slots not 0..n-1. The
     oracle pins it to 0; n_rows/n_keys/total_tokens are independently
-    replayed, so exactly-once packing is hash-checked end to end."""
+    replayed, so exactly-once packing is hash-checked end to end.
+
+    ``util_breaches`` is the UTILIZATION FLOOR (padding-waste gate):
+    best-fit can leave at most ONE pack per hash bucket under half
+    budget — if two packs in a bucket both ended < budget/2, the later
+    one's opening item (≤ its final load < budget/2) would have fit in
+    the earlier (any-fit bin-packing theorem). So
+    sum over buckets of max(0, |packs with 2·tok < budget| − 1) is
+    provably 0 for a correct best-fit-decreasing layout, and the oracle
+    pins it — a packing regression that starts strewing near-empty
+    packs (the padding-waste failure mode) now trips the HASH gate,
+    not just a pytest. Bucket is recovered from the pack-id encoding
+    (bucket · 2^32 + local_idx, operators/packing._PACK_STRIDE)."""
     per_pack = packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_tokens").alias("tok"),
@@ -182,6 +194,18 @@ def _pack_summary(packed: DataFrame, budget: int) -> DataFrame:
         | (F.col("lo") != 0)
         | (F.col("hi") != F.col("n") - 1)
     )
+    half_empty_per_bucket = (
+        per_pack.where(F.col("tok") * 2 < budget)
+        .groupBy(F.shiftright("pack_id", 32).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_half_empty"))
+    )
+    util_breaches = half_empty_per_bucket.agg(
+        F.coalesce(
+            F.sum(F.greatest(F.col("n_half_empty") - 1, F.lit(0))), F.lit(0)
+        )
+        .cast("long")
+        .alias("util_breaches")
+    )
     violations = per_pack.agg(
         F.count(F.when(bad, 1)).alias("violations")
     )
@@ -190,7 +214,7 @@ def _pack_summary(packed: DataFrame, budget: int) -> DataFrame:
         F.countDistinct("chunk_key").alias("n_keys"),
         F.sum("n_tokens").alias("total_tokens"),
     )
-    return totals.crossJoin(violations)
+    return totals.crossJoin(violations).crossJoin(util_breaches)
 
 
 @register(
@@ -201,7 +225,8 @@ def _pack_summary(packed: DataFrame, budget: int) -> DataFrame:
         SELECT COUNT(*) AS n_rows,
                COUNT(DISTINCT doc_id * {KEY_STRIDE} + chunk_idx) AS n_keys,
                CAST(SUM(len(ctoks)) AS BIGINT) AS total_tokens,
-               CAST(0 AS BIGINT) AS violations
+               CAST(0 AS BIGINT) AS violations,
+               CAST(0 AS BIGINT) AS util_breaches
         FROM chunks
     """,
 )
@@ -260,7 +285,8 @@ def pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_packed_rows,
                COUNT(DISTINCT doc_id * {KEY_STRIDE} + chunk_idx) AS n_packed_keys,
                CAST(SUM(len(ctoks)) AS BIGINT) AS total_tokens,
-               CAST(0 AS BIGINT) AS violations
+               CAST(0 AS BIGINT) AS violations,
+               CAST(0 AS BIGINT) AS util_breaches
         FROM chunks
     """,
 )
@@ -327,6 +353,7 @@ def pipeline_sample_dedup_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("n_keys").alias("n_packed_keys"),
         "total_tokens",
         "violations",
+        "util_breaches",
     )
     return (
         n_sampled.crossJoin(n_surviving).crossJoin(n_train).crossJoin(summary)
