@@ -57,7 +57,34 @@ def _state_schema(k: int) -> StructType:
     return StructType([StructField(f"s{i}", LongType()) for i in range(k)])
 
 
-def _funnel_fn(k: int, within_s: int, timeout_ms: int, use_timeout: bool = True):
+def _funnel_fn(
+    k: int, within_s: int, timeout_ms: int, timeout_mode: str = "processing"
+):
+    """State-fold factory. ``timeout_mode``:
+
+    * ``"processing"`` — wall-clock GC after ``timeout_ms`` of
+      inactivity (heuristic: the TTL factor guesses when a chain is
+      dead);
+    * ``"event"`` — EVENT-TIME GC: an incomplete chain is expired when
+      the watermark passes ``slots[0] + within_s`` — at that point no
+      event that could complete the chain can still arrive (the
+      watermark drops older rows), so the GC is PROVABLY safe, not a
+      TTL guess;
+    * ``"none"`` — no timeouts armed (bounded available-now drains).
+
+    Done-markers are never armed in event mode and survive every
+    timeout in all modes (once-per-user terminal contract)."""
+
+    def _arm(state: GroupState, slots: list[int]) -> None:
+        if timeout_mode == "processing":
+            state.setTimeoutDuration(timeout_ms)
+        elif timeout_mode == "event":
+            # fire once the watermark proves the window closed; the
+            # timestamp must exceed the current watermark, so clamp
+            target = (slots[0] + within_s) * 1000 + 1
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(target, wm + 1))
+
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -91,7 +118,7 @@ def _funnel_fn(k: int, within_s: int, timeout_ms: int, use_timeout: bool = True)
             # — without it, output would depend on micro-batch
             # boundaries (a second chain in the SAME batch is ignored
             # by the fold, one in a LATER batch would re-fire)
-            if use_timeout:
+            if timeout_mode == "processing":
                 state.setTimeoutDuration(timeout_ms)
             yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
             return
@@ -116,7 +143,7 @@ def _funnel_fn(k: int, within_s: int, timeout_ms: int, use_timeout: bool = True)
                     break
         if done is not None:
             state.update(tuple(slots))  # done marker (see above)
-            if use_timeout:
+            if timeout_mode == "processing":
                 state.setTimeoutDuration(timeout_ms)
             yield pd.DataFrame(
                 {"user_id": [user_id], "t0": [done[0]], "t_final": [done[1]]}
@@ -128,8 +155,7 @@ def _funnel_fn(k: int, within_s: int, timeout_ms: int, use_timeout: bool = True)
             yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
         else:
             state.update(tuple(slots))
-            if use_timeout:
-                state.setTimeoutDuration(timeout_ms)
+            _arm(state, slots)
             yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
 
     return fn
@@ -144,31 +170,69 @@ def streaming_funnel(
     type_col: str = "event_type",
     state_ttl_factor: int = 10,
     use_timeout: bool = True,
+    timeout_mode: str | None = None,
+    watermark_delay_s: int | None = None,
 ) -> DataFrame:
     """Append-mode stream of completed conversions. Filter to funnel
-    event types rides the scan (pushed down); per-user state GC after
-    ``state_ttl_factor * within_s`` of processing-time inactivity.
+    event types rides the scan (pushed down).
 
-    ``use_timeout=False`` for bounded drains (Trigger.AvailableNow
-    tests/oracle runs): a ProcessingTimeTimeout query schedules
-    state-cleanup micro-batches indefinitely and never terminates —
-    the same caveat as streaming/sessionize.py, same switch. Identical
-    conversion output either way (a bounded run never reaches the
-    timeout; the timeout only garbage-collects failed chains)."""
+    GC policy — ``timeout_mode`` (``use_timeout`` is the legacy bool:
+    True → "processing", False → "none"; an explicit ``timeout_mode``
+    wins):
+
+    * ``"processing"`` — per-user state GC after
+      ``state_ttl_factor * within_s`` of WALL-CLOCK inactivity. A
+      heuristic: replaying an old corpus fast expires nothing; a
+      stalled source expires live chains.
+    * ``"event"`` — GC keyed to the STREAM'S OWN CLOCK: the input gets
+      ``withWatermark(ts, watermark_delay_s)`` (default ``within_s``)
+      and an incomplete chain expires when the watermark passes
+      ``t0 + within_s`` — the moment the window is provably closed
+      (no event that could complete it can still arrive; later ones
+      are beyond the window, older ones are beyond the watermark).
+      Exact, replay-speed-independent; the 100 TB-shape choice.
+    * ``"none"`` — for bounded drains (Trigger.AvailableNow tests /
+      oracle runs): a ProcessingTimeTimeout query schedules
+      state-cleanup micro-batches indefinitely and never terminates —
+      the same caveat as streaming/sessionize.py, same switch.
+
+    Identical conversion output in every mode for in-order streams
+    (timeouts only garbage-collect failed chains; done-markers always
+    survive). Event mode additionally DROPS late rows beyond the
+    watermark — the standard bounded-disorder contract; the batch-vs-
+    stream divergence under disorder is pinned in
+    tests/test_streaming_funnel.py."""
     k = len(steps)
+    if timeout_mode is None:
+        timeout_mode = "processing" if use_timeout else "none"
+    if timeout_mode not in ("processing", "event", "none"):
+        raise ValueError(
+            f"timeout_mode must be processing|event|none, got {timeout_mode!r}"
+        )
     # shared input contract with the batch fold — validation, the
     # (user_id, t, si) projection, NULL-ts drop — one definition
     ev = funnel_events(
         events_stream, steps, within_s, user_col, ts_col, type_col
     )
+    if timeout_mode == "event":
+        from pyspark.sql import functions as F
+
+        delay = within_s if watermark_delay_s is None else watermark_delay_s
+        # the watermark column must be event-time TIMESTAMP on the
+        # frame entering the stateful operator
+        ev = ev.withColumn("ts_event", F.timestamp_seconds(F.col("t")))
+        ev = ev.withWatermark("ts_event", f"{delay} seconds")
+        conf = GroupStateTimeout.EventTimeTimeout
+    elif timeout_mode == "processing":
+        conf = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        conf = GroupStateTimeout.NoTimeout
     return ev.groupBy("user_id").applyInPandasWithState(
-        _funnel_fn(k, within_s, state_ttl_factor * within_s * 1000, use_timeout),
+        _funnel_fn(
+            k, within_s, state_ttl_factor * within_s * 1000, timeout_mode
+        ),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=_state_schema(k),
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if use_timeout
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=conf,
     )

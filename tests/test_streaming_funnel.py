@@ -164,3 +164,135 @@ def test_timeout_keeps_done_marker_and_gcs_incomplete():
     st2 = _FakeState(value=(0, _UNSET, _UNSET), timed_out=True)
     out = _drain(fn((8,), iter([]), st2))
     assert out.empty and st2.removed and not st2.exists
+
+
+def test_event_time_arm_sets_window_close_timestamp():
+    """Event mode arms the timer at (t0 + within)s + 1ms — the moment
+    the watermark can prove the chain dead — clamped above the current
+    watermark (Spark rejects timestamps at/behind it)."""
+    from mapreduce_implementation_spark.streaming.funnel import (
+        _UNSET,
+        _funnel_fn,
+    )
+    import pandas as pd
+
+    fn = _funnel_fn(k=3, within_s=100, timeout_ms=999_999, timeout_mode="event")
+
+    class _EvState(_FakeState):
+        def __init__(self, wm_ms=0, **kw):
+            super().__init__(**kw)
+            self._wm = wm_ms
+            self.timeout_ts = None
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ts = ms
+
+    # chain starts at t=40 → window closes at 140s → timer at 140001ms
+    st = _EvState(wm_ms=0)
+    _drain(fn((1,), iter([pd.DataFrame({"t": [40], "si": [0]})]), st))
+    assert st.timeout_ts == 140_001 and st.get[0] == 40
+
+    # watermark already past the window → clamp to wm+1 (fires next batch)
+    st2 = _EvState(wm_ms=500_000, value=(40, _UNSET, _UNSET))
+    _drain(fn((1,), iter([pd.DataFrame({"t": [60], "si": [1]})]), st2))
+    assert st2.timeout_ts == 500_001
+
+    # done marker: never armed in event mode, survives its timeout
+    st3 = _EvState(wm_ms=0)
+    _drain(fn((1,), iter([pd.DataFrame({"t": [0, 1, 2], "si": [0, 1, 2]})]), st3))
+    assert st3.timeout_ts is None and st3.get[2] == 2
+    st3.hasTimedOut = True
+    _drain(fn((1,), iter([]), st3))
+    assert st3.exists and not st3.removed
+
+
+def _stage_two_files(spark, stream_dir, batch0, batch1):
+    import glob as g
+    import shutil
+
+    for i, rows in enumerate((batch0, batch1)):
+        df = spark.createDataFrame(rows, "user_id long, t long, event_type string")
+        df.coalesce(1).write.parquet(f"{stream_dir}/b{i}")
+        src = g.glob(f"{stream_dir}/b{i}/part-*.parquet")[0]
+        shutil.move(src, f"{stream_dir}/batch_{i}.parquet")
+        shutil.rmtree(f"{stream_dir}/b{i}")
+
+
+def _event_mode_stream(spark, stream_dir, delay_s):
+    schema = spark.read.parquet(f"{stream_dir}/batch_0.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "batch_*.parquet")
+        .parquet(stream_dir)
+        .select("user_id", F.timestamp_seconds("t").alias("ts"), "event_type")
+    )
+
+
+def test_event_time_timeout_gcs_dead_chain_e2e(spark, tmp_path):
+    """Event-mode GC keyed to the stream's own clock: user 2's stalled
+    chain (window closes at t=100) is removed once the watermark
+    (advanced by user 9's t=300 events) passes it; user 9's conversion
+    done-marker survives. Final state = exactly the done-marker row."""
+    _stage_two_files(
+        spark,
+        str(tmp_path),
+        [(2, 0, "view"), (2, 5, "click"), (9, 300, "view")],
+        [(9, 305, "click"), (9, 310, "purchase")],
+    )
+    stream = _event_mode_stream(spark, str(tmp_path), 100)
+    out = streaming_funnel(
+        stream, STEPS, within_s=WITHIN, timeout_mode="event",
+        watermark_delay_s=100,
+    )
+    q = run_available_now(out, "conv_event_gc", output_mode="append")
+    rows = spark.table("conv_event_gc").collect()
+    assert {r.user_id for r in rows} == {9}
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    q.stop()
+    # last reported state size: only user 9's done-marker remains —
+    # user 2's dead chain was event-time-GC'd, not TTL-guessed
+    assert state_rows[-1] == 1, state_rows
+
+
+def test_event_mode_divergence_window_vs_batch(spark, tmp_path):
+    """The documented fold divergence under cross-batch disorder: a
+    late-arriving MIDDLE step (click t=5 arriving after purchase t=8
+    was already folded away) converts in batch but NOT in the stream —
+    the fold is order-sensitive across micro-batches by design.
+    Intra-batch disorder (user 12) is sorted away and agrees."""
+    _stage_two_files(
+        spark,
+        str(tmp_path),
+        [(11, 0, "view"), (11, 8, "purchase")],
+        # u11's click arrives late; u12's whole chain lands out of
+        # order INSIDE one batch
+        [(11, 5, "click"), (12, 20, "view"), (12, 28, "purchase"), (12, 25, "click")],
+    )
+    stream = _event_mode_stream(spark, str(tmp_path), 1000)
+    out = streaming_funnel(
+        stream, STEPS, within_s=WITHIN, timeout_mode="event",
+        watermark_delay_s=1000,
+    )
+    q = run_available_now(out, "conv_event_div", output_mode="append")
+    got = {r.user_id for r in spark.table("conv_event_div").collect()}
+    q.stop()
+    assert got == {12}  # stream: intra-batch disorder OK, cross-batch lost
+
+    batch = spark.createDataFrame(
+        [(11, 0, "view"), (11, 8, "purchase"), (11, 5, "click"),
+         (12, 20, "view"), (12, 28, "purchase"), (12, 25, "click")],
+        "user_id long, t long, event_type string",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "event_type")
+    n_last = {
+        r.step_idx: r.n_users
+        for r in funnel(batch, STEPS, within_s=WITHIN).collect()
+    }[len(STEPS) - 1]
+    assert n_last == 2  # batch sees the full ordered history: both convert
