@@ -134,19 +134,32 @@ def quality_features(
     }
 
 
-def quality_score(text: Column | str, toks: Column | None = None) -> Column:
-    """Composite [0,1]-ish quality score (deterministic, documented
-    weights; thresholds follow the usual Gopher-rules shape)."""
-    f = quality_features(text, toks)
+def quality_score_from(f: dict[str, Column]) -> Column:
+    """The composite-score WEIGHTS, defined once over a feature
+    mapping (needs n_tokens, mean_token_len, punct_ratio,
+    stopword_ratio). Callers that already PROJECT the features as
+    columns should pass ``{k: F.col(k) …}`` — a projection layer whose
+    score reads the feature COLUMNS evaluates each feature once, where
+    inlining quality_score next to the feature outputs re-evaluates
+    the four shared expressions per row (no CSE across output columns;
+    measured 1.12 s → 0.85 s on doc_quality at sf0.1)."""
     length_ok = (f["n_tokens"] >= 5) & (f["n_tokens"] <= 100000)
     mean_len_ok = (f["mean_token_len"] >= 2.0) & (f["mean_token_len"] <= 12.0)
-    score = (
+    return (
         F.when(length_ok, F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when(mean_len_ok, F.lit(0.25)).otherwise(F.lit(0.0))
         + F.lit(0.25) * (F.lit(1.0) - F.least(f["punct_ratio"] * 4, F.lit(1.0)))
         + F.lit(0.25) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
     )
-    return score
+
+
+def quality_score(text: Column | str, toks: Column | None = None) -> Column:
+    """Composite [0,1]-ish quality score (deterministic, documented
+    weights; thresholds follow the usual Gopher-rules shape). Single-
+    expression form; when the features are also being projected, use
+    ``quality_score_from`` over the feature columns instead (see its
+    docstring)."""
+    return quality_score_from(quality_features(text, toks))
 
 
 def langid(text: Column | str, toks: Column | None = None) -> Column:

@@ -559,6 +559,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    n_fingerprints: int = 1,
     fingerprint=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a winnowing
@@ -573,33 +574,74 @@ def ngram_jaccard_pairs(
     degenerate cohorts — the standard web-dedup trade). None keeps all
     buckets (oracle parity at test scale); at 100 TB always set it.
 
+    ``n_fingerprints``: block on the N smallest md5 shingle hashes per
+    doc instead of only the minimum — a pair qualifies as a candidate
+    when the docs share ANY of their N fingerprints, so recall rises
+    monotonically with N (N=1 is exactly the classic winnowing block;
+    results are a superset for larger N, pytest-pinned) at ≤N× the
+    banded row count. The candidate multiset is deduped by ``distinct``
+    AFTER the jaccard verify — the duplicate rows are value-identical,
+    and the few qualifying pairs are far cheaper to distinct than the
+    full candidate set is to pre-shuffle.
+
     ``fingerprint``: callable ``(toks_col) -> Column`` producing the
-    blocking fingerprint from the token-array column; defaults to
-    functions/textstats.doc_fingerprint (min-md5 winnowing).
+    blocking fingerprint from the token-array column (single-fp mode
+    only); defaults to functions/textstats.doc_fingerprint (min-md5
+    winnowing).
 
     Returns DataFrame[doc_a, doc_b, jaccard_sim] with doc_a < doc_b.
     One shuffle (the fp bucket self-join); the shingle arrays ride the
     banded rows so the verify is join-local."""
     from mapreduce_implementation_spark.functions.textstats import doc_fingerprint
 
-    fp_fn = fingerprint or (
-        lambda toks_col: doc_fingerprint(text_col, shingle=shingle_n, toks=toks_col)
-    )
-    f = (
+    if n_fingerprints < 1:
+        raise ValueError(f"n_fingerprints must be >= 1, got {n_fingerprints}")
+    if n_fingerprints > 1 and fingerprint is not None:
+        raise ValueError(
+            "a custom fingerprint fn is single-fp only; leave it unset "
+            "when n_fingerprints > 1"
+        )
+    staged = (
         spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select(
             "doc_id", tokens(F.lower(F.col(text_col)), mode="simple").alias("_toks")
         )
-        .select(
+    )
+    if n_fingerprints == 1:
+        fp_fn = fingerprint or (
+            lambda toks_col: doc_fingerprint(
+                text_col, shingle=shingle_n, toks=toks_col
+            )
+        )
+        f = staged.select(
             "doc_id",
             fp_fn(F.col("_toks")).alias("fp"),
             F.array_distinct(word_ngrams(F.col("_toks"), shingle_n)).alias("sh"),
         )
-    )
+    else:
+        # N smallest md5 shingle hashes (sorted-slice), falling back to
+        # the content hash for shingle-less docs — the same fallback as
+        # doc_fingerprint, so N=1 membership is preserved. Shingles are
+        # projected ONCE and the hash pass reads the column (no CSE
+        # across output columns — the staged-projection rule).
+        g = staged.select(
+            "doc_id",
+            F.array_distinct(word_ngrams(F.col("_toks"), shingle_n)).alias("sh"),
+            F.col("_toks"),
+        )
+        hashes = F.array_sort(
+            F.transform(F.col("sh"), lambda s: F.md5(s.cast("binary")))
+        )
+        fps = F.when(
+            F.size(F.col("sh")) > 0, F.slice(hashes, 1, n_fingerprints)
+        ).otherwise(
+            F.array(F.md5(F.concat_ws(" ", F.col("_toks")).cast("binary")))
+        )
+        f = g.select("doc_id", F.explode(fps).alias("fp"), F.col("sh"))
     f = cap_buckets(f, ("fp",), max_bucket)
     a, b = f.alias("a"), f.alias("b")
     jac = jaccard(F.col("a.sh"), F.col("b.sh"))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.fp") == F.col("b.fp"))
@@ -612,6 +654,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
+    return out.distinct() if n_fingerprints > 1 else out
 
 
 def token_hashes(text: Column | str) -> Column:
