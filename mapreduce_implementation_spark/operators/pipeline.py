@@ -9,7 +9,9 @@ semantics; the oracle-gated registry twin
 the same dataflow against DuckDB, and streaming/pipeline.py is the
 unbounded-input face. Shuffle budget: dedup groupBy + survivor join +
 pack bucket groupBy; mixing, splitting and chunking stay map-only
-(plan-gated in tests/test_plans.py).
+(plan-gated in tests/test_plans.py). Opting into ``near_dup`` adds the
+MinHash band join + cluster labeling + one anti-join — the standard
+fuzzy-dedup spend.
 """
 
 from __future__ import annotations
@@ -68,6 +70,19 @@ class CorpusPipelineConfig:
     max_top_token_frac: float | None = None
     # redact PII-shaped spans (functions/scrub.py) before chunking
     scrub: bool = False
+    # MinHash near-dup CLUSTER dedup after exact dedup (keep the min-id
+    # doc per connected component of the near-dup pair graph — the
+    # fuzzy-dedup stage every web-scale corpus build runs). Cluster
+    # semantics, not pair semantics: a doc whose only near-dup edges
+    # point at larger ids still drops when it isn't its cluster's min.
+    near_dup: bool = False
+    near_dup_threshold: float = 0.5
+    near_dup_bands: int = 4
+    near_dup_rows: int = 4
+    near_dup_shingle_n: int = 3
+    # boilerplate-cohort cap for the LSH buckets (operators/dedup
+    # cap_buckets); None keeps all buckets — at 100 TB always set it
+    near_dup_max_bucket: int | None = None
     split_weights: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.9, "holdout": 0.1}
     )
@@ -139,6 +154,33 @@ def build_training_corpus(
         F.col("survivor_id").alias(id_col)
     )
     deduped = mixed.join(survivors, id_col, "semi")
+    if cfg.near_dup:
+        from mapreduce_implementation_spark.operators.dedup import (
+            connected_components,
+            minhash_near_dup_pairs,
+        )
+
+        # pair mining + component labeling over the EXACT-deduped set
+        # (identical docs are already collapsed, so the LSH buckets
+        # aren't wasted re-pairing byte-identical copies); keep the
+        # min-id doc per cluster, drop the rest via anti-join. Runs
+        # BEFORE the split so no split can hold a near-dup of another.
+        pairs = minhash_near_dup_pairs(
+            deduped,
+            id_col,
+            text_col,
+            shingle_n=cfg.near_dup_shingle_n,
+            k=cfg.near_dup_bands * cfg.near_dup_rows,
+            bands=cfg.near_dup_bands,
+            rows=cfg.near_dup_rows,
+            threshold=cfg.near_dup_threshold,
+            max_bucket=cfg.near_dup_max_bucket,
+        )
+        clusters = connected_components(pairs, "doc_a", "doc_b")
+        near_drops = clusters.where(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(F.col("doc_id").alias(id_col))
+        deduped = deduped.join(near_drops, id_col, "anti")
     splits = sp.split_by_hash(
         deduped,
         id_col,

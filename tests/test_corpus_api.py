@@ -262,3 +262,40 @@ def test_build_drop_list_null_text(spark):
     assert reasons[2] == {"null_text"} and reasons[3] == {"null_text"}
     assert reasons[4] == {"exact_dup"}  # dup of survivor 1
     assert 1 not in reasons  # the real survivor is kept
+
+
+def test_build_training_corpus_near_dup_stage(spark):
+    """cfg.near_dup wires MinHash pair mining + connected components
+    into the corpus build: only the min-id doc of each near-dup CLUSTER
+    survives into any split (cluster semantics — a doc drops even when
+    its only edges point at larger ids), and the stage is off by
+    default."""
+    from mapreduce_implementation_spark.operators.pipeline import (
+        CorpusPipelineConfig,
+        build_training_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing in trees"
+    )
+    near = base.replace("lazy dog", "sleepy dog")
+    far = "completely different content about catalyst plans and arrow batches with nothing shared"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)],
+        "doc_id long, text string",
+    )
+    cfg = CorpusPipelineConfig(
+        split_weights={"train": 1.0}, chunk_tokens=8, near_dup=True
+    )
+    art = build_training_corpus(docs, cfg)
+    kept = {r.doc_id for r in art["split_train"].select("doc_id").collect()}
+    # 4 is an exact dup of 1; 2 is a near dup clustered with 1 → only
+    # the cluster min (1) and the unrelated doc (3) survive
+    assert kept == {1, 3}
+
+    off = build_training_corpus(
+        docs, CorpusPipelineConfig(split_weights={"train": 1.0}, chunk_tokens=8)
+    )
+    kept_off = {r.doc_id for r in off["split_train"].select("doc_id").collect()}
+    assert kept_off == {1, 2, 3}  # exact dedup only
