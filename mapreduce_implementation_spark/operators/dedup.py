@@ -911,3 +911,92 @@ def minhash_cross_near_dup(
         )
         .where(F.col("est_jaccard") >= threshold)
     )
+
+
+def simhash_cross_near_dup(
+    new_sigs: DataFrame,
+    ref_sigs: DataFrame,
+    *,
+    n_bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """SimHash near-dup pairs BETWEEN two signature sets — the
+    incremental-ingest face of the Hamming miner, completing the
+    cross-set family next to minhash_cross_near_dup: which NEW
+    documents sit within ``max_hamming`` of the EXISTING corpus (both
+    sides DataFrame[id_col, sig_col] of n_bits-char '0'/'1' strings,
+    e.g. from the staged token_hashes → simhash_from_hashes chain or a
+    materialized signature table).
+
+    Same lossless pigeonhole blocking as the in-set operator (any pair
+    within Hamming ``bands - 1`` agrees exactly on >= 1 band), but the
+    band equi-join is new × reference: candidate volume scales with
+    |new batch| × bucket occupancy, never the corpus square, and only
+    the banded projection of the committed reference table shuffles.
+    The word-parsed xor+bit_count verify rides the band rows (no
+    re-join). ``max_bucket`` caps REFERENCE buckets (a boilerplate
+    reference cohort would multiply every matching new doc).
+
+    Returns DataFrame[new_id, ref_id, hamming]; a new doc with no
+    qualifying row is genuinely novel."""
+    if n_bits % bands != 0:
+        raise ValueError(f"bands must divide n_bits, got {bands}/{n_bits}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming {max_hamming} > bands-1 {bands - 1}: the band "
+            "blocking would MISS qualifying pairs; raise bands or lower "
+            "max_hamming"
+        )
+    width = n_bits // bands
+    n_words = (n_bits + 31) // 32
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        words = [
+            F.conv(F.expr(f"substring({sig_col}, {w * 32 + 1}, 32)"), 2, 10)
+            .cast("long")
+            .alias(f"w{w}")
+            for w in range(n_words)
+        ]
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+            F.col(sig_col),
+            *words,
+        ).select(
+            out_id,
+            "band_id",
+            F.expr(f"substring({sig_col}, band_id * {width} + 1, {width})").alias(
+                "band_val"
+            ),
+            *[F.col(f"w{w}") for w in range(n_words)],
+        )
+
+    bn = banded(new_sigs, "new_id").alias("a")
+    br = cap_buckets(
+        banded(ref_sigs, "ref_id"), ("band_id", "band_val"), max_bucket
+    ).alias("b")
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"a.w{w}").bitwiseXOR(F.col(f"b.w{w}")))
+            for w in range(n_words)
+        ),
+        F.lit(0),
+    ).cast("int")
+    return (
+        bn.join(
+            br,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.new_id").alias("new_id"),
+            F.col("b.ref_id").alias("ref_id"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

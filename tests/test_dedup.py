@@ -496,3 +496,86 @@ def test_ngram_jaccard_top_n_fingerprints_superset(spark):
             docs, "doc_id", "text", n_fingerprints=2,
             fingerprint=lambda t: F.lit("x"),
         )
+
+
+class TestSimhashCross:
+    """Cross-set (incremental-ingest) SimHash miner — the Hamming
+    analog of minhash_cross_near_dup."""
+
+    @staticmethod
+    def _sigs(spark, rows):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return (
+            df.select("doc_id", dd.token_hashes("text").alias("_hs"))
+            .select(
+                "doc_id",
+                dd.simhash_from_hashes(F.col("_hs"), 64).alias("simhash"),
+            )
+        )
+
+    def test_flags_cross_set_dups_only(self, spark):
+        # 3× repetition keeps the one-token edit SMALL relative to the
+        # weighted token multiset (same fixture shape as the in-set
+        # TestSimhashNearDup — a single edit in a 12-token doc flips
+        # too many signature bits to stay within hamming 3)
+        base = "the quick brown fox jumps over the lazy dog again and again " * 3
+        ref = self._sigs(
+            spark,
+            [(1, base), (2, "completely different words here entirely unrelated")],
+        )
+        new = self._sigs(
+            spark,
+            [
+                (100, base),                  # identical → hamming 0
+                (101, base.replace("lazy", "sleepy", 1)),  # near edit
+                (102, "novel content nothing shared with reference corpus"),
+            ],
+        )
+        got = {
+            (r.new_id, r.ref_id): r.hamming
+            for r in dd.simhash_cross_near_dup(
+                new, ref, n_bits=64, bands=4, max_hamming=3
+            ).collect()
+        }
+        assert got.get((100, 1)) == 0
+        assert (101, 1) in got and got[(101, 1)] <= 3
+        assert all(n != 102 for n, _ in got)
+        assert all(r != 2 for _, r in got)
+
+    def test_agrees_with_in_set_operator(self, spark):
+        """Splitting the real corpus into (ref, new) halves and
+        cross-flagging must find exactly the in-set pairs that straddle
+        the split, with identical hamming values."""
+        docs = load_table(spark, SF, "documents")
+        in_set = {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.hamming
+            for r in dd.simhash_near_dup_pairs(
+                docs, "doc_id", "text", n_bits=64, bands=4, max_hamming=3
+            ).collect()
+        }
+        sigs = (
+            docs.select("doc_id", dd.token_hashes("text").alias("_hs"))
+            .select(
+                "doc_id",
+                dd.simhash_from_hashes(F.col("_hs"), 64).alias("simhash"),
+            )
+        )
+        ref = sigs.where(F.col("doc_id") % 2 == 0)
+        new = sigs.where(F.col("doc_id") % 2 == 1)
+        cross = {
+            (min(r.new_id, r.ref_id), max(r.new_id, r.ref_id)): r.hamming
+            for r in dd.simhash_cross_near_dup(
+                new, ref, n_bits=64, bands=4, max_hamming=3
+            ).collect()
+        }
+        straddling = {
+            p: h for p, h in in_set.items() if (p[0] % 2) != (p[1] % 2)
+        }
+        assert cross == straddling
+
+    def test_validates_blocking(self, spark):
+        sigs = self._sigs(spark, [(1, "a b c")])
+        with pytest.raises(ValueError, match="MISS"):
+            dd.simhash_cross_near_dup(sigs, sigs, bands=2, max_hamming=3)
+        with pytest.raises(ValueError, match="divide"):
+            dd.simhash_cross_near_dup(sigs, sigs, bands=5)
