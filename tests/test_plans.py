@@ -301,3 +301,50 @@ def test_contamination_benchmark_is_broadcast(spark, oracle_sf_dir):
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_ngram_registry_plan_has_no_window_cap(spark, oracle_sf_dir):
+    """The registered ngram_jaccard_pairs runs max_bucket=None (oracle
+    parity), so cap_buckets must be a plan-level NO-OP — no Window
+    operator, no extra exchange beyond the fp self-join. The capped
+    variant (the 100 TB configuration) DOES plan the Window count."""
+    df = all_queries()["ngram_jaccard_pairs"].fn(spark, oracle_sf_dir)
+    plan = explain_str(df)
+    assert "Window" not in plan, plan
+
+    from mapreduce_implementation_spark.operators import dedup as dd
+    from mapreduce_implementation_spark.sources.catalog import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    capped = dd.ngram_jaccard_pairs(docs, "doc_id", "text", max_bucket=50)
+    assert "Window" in explain_str(capped)
+
+
+def test_cross_set_miners_shuffle_only_banded_projections(spark, oracle_sf_dir):
+    """Both incremental-ingest miners (MinHash + SimHash cross-set)
+    must join on the band key with the signature payloads riding the
+    banded rows — no nested-loop/cartesian fallback anywhere."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.operators import dedup as dd
+    from mapreduce_implementation_spark.sources.catalog import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    msigs = dd.minhash_signatures(docs, "doc_id", "text", shingle_n=3, k=16)
+    mh = dd.minhash_cross_near_dup(
+        msigs.where(F.col("doc_id") % 2 == 1),
+        msigs.where(F.col("doc_id") % 2 == 0),
+        k=16, bands=4, rows=4, threshold=0.5,
+    )
+    ssigs = docs.select("doc_id", dd.token_hashes("text").alias("_hs")).select(
+        "doc_id", dd.simhash_from_hashes(F.col("_hs"), 64).alias("simhash")
+    )
+    sh = dd.simhash_cross_near_dup(
+        ssigs.where(F.col("doc_id") % 2 == 1),
+        ssigs.where(F.col("doc_id") % 2 == 0),
+        n_bits=64, bands=4, max_hamming=3,
+    )
+    for df in (mh, sh):
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
