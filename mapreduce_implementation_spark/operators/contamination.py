@@ -77,3 +77,60 @@ def ngram_contamination(
             F.col("n_contaminated") / F.col("n_ngrams"),
         )
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+) -> DataFrame:
+    """Substring-level SELF-duplication: per document, the fraction of
+    its distinct word-``n``-grams that appear verbatim in at least one
+    OTHER document — the long-span signal behind substring-dedup
+    results in the public training-data literature (docs sharing long
+    verbatim spans — licenses, boilerplate, mirrored passages — that
+    document-level near-dup misses when the rest of the text differs).
+    Returns DataFrame[id_col, n_spans, n_dup_spans, dup_span_frac];
+    docs shorter than ``n`` tokens have no spans and yield no row.
+
+    Scale shape (the self-corpus twist on ngram_contamination — here
+    NEITHER side is broadcastable):
+
+    * explode distinct per-doc spans, hash each span to 64-bit
+      (xxhash64 — the span STRING never enters a shuffle; 20-word
+      spans are hundreds of bytes, the hash is 8);
+    * holder count per span as a WINDOW count over the span hash — ONE
+      shuffle and ONE tokenize/explode pass. The tempting
+      groupBy(h)+join-back is NOT a second option here: Catalyst
+      prunes doc_id out of the count branch, the two subplans stop
+      being identical, no ReusedExchange is planned, and the corpus is
+      tokenized and exploded TWICE (verified on the physical plan,
+      tests/test_contamination.py pins the single-scan shape). A hot
+      span (boilerplate held by millions of docs) makes one spilling
+      window group — the same bounded failure mode as cap_buckets'
+      bucket-count window, and far cheaper than a second corpus pass;
+    * final skew-free groupBy on the doc id.
+
+    Collision note: a 64-bit hash pairs unrelated spans with ~n²/2⁶⁵
+    probability — at 10¹² spans that is a handful of FALSE dup marks,
+    the right trade against shuffling span strings (tighten to the
+    md5 hex the other miners use if exactness ever matters)."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2 for span stats, got {n}")
+    from pyspark.sql.window import Window
+
+    spans = spread(docs).select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("span")
+    ).select(F.col(id_col), F.xxhash64("span").alias("h"))
+    counted = spans.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    return (
+        counted.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_dup_spans"),
+        )
+        .withColumn("dup_span_frac", F.col("n_dup_spans") / F.col("n_spans"))
+    )

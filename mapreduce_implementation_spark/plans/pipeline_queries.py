@@ -411,3 +411,47 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(bkt < CONTAM_BENCH_BUCKETS)
     corpus = docs.where(bkt >= CONTAM_BENCH_BUCKETS)
     return ngram_contamination(corpus, bench, n=3)
+
+
+# ---------------------------------------------------------------------------
+# Substring-level self-duplication (operators/contamination.
+# duplicate_span_stats) — pytest parity gate (tests/test_demoted_oracles:
+# the 50 registry slots are all taken by non-overlapping operators).
+# The oracle groups by the SPAN STRING where the Spark plan groups by
+# xxhash64(span) — an independent formulation; agreement also certifies
+# the hash carried no collision on this corpus.
+
+SPAN_N = 20
+
+from mapreduce_implementation_spark.plans.dedup_queries import _TOKS as _LTOKS
+
+_SPANS_N = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_LTOKS}) - {SPAN_N - 2}, 1)), "
+    f"i -> array_to_string(({_LTOKS})[i:i+{SPAN_N - 1}], ' ')))"
+)
+
+DUP_SPAN_ORACLE = f"""
+    WITH s AS (
+        SELECT doc_id, UNNEST({_SPANS_N}) AS span FROM documents
+    ),
+    c AS (SELECT span, COUNT(*) AS n_docs FROM s GROUP BY span)
+    SELECT s.doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(CASE WHEN c.n_docs > 1 THEN 1 END) AS n_dup_spans,
+           CAST(COUNT(CASE WHEN c.n_docs > 1 THEN 1 END) AS DOUBLE)
+               / COUNT(*) AS dup_span_frac
+    FROM s JOIN c USING (span)
+    GROUP BY s.doc_id
+"""
+
+
+def duplicate_span_stats_parity(spark, sf_dir):
+    """Per-doc fraction of distinct 20-word spans appearing verbatim in
+    another document (the substring-dedup signal)."""
+    from mapreduce_implementation_spark.operators.contamination import (
+        duplicate_span_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, n=SPAN_N)

@@ -11,6 +11,7 @@ import pytest
 
 from mapreduce_implementation_spark.oracle import compare, run_oracle
 from mapreduce_implementation_spark.plans import dedup_queries as dq
+from mapreduce_implementation_spark.plans import pipeline_queries as pq
 from mapreduce_implementation_spark.plans import relational_queries as rq
 from mapreduce_implementation_spark.plans import textstats_queries as tq
 
@@ -25,6 +26,7 @@ DEMOTED = [
     (rq.cube_lineitem_flags, rq.CUBE_LINEITEM_ORACLE),
     (rq.set_ops_customer_cohorts, rq.SET_OPS_ORACLE),
     (tq.corpus_stats_by_lang, tq.CORPUS_STATS_ORACLE),
+    (pq.duplicate_span_stats_parity, pq.DUP_SPAN_ORACLE),
 ]
 
 
