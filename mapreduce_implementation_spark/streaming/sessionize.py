@@ -45,7 +45,22 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _sessionize_fn(gap_s: int, use_timeout: bool = True):
+def _sessionize_fn(gap_s: int, timeout_mode: str = "processing"):
+    """State-fold factory. ``timeout_mode``: "processing" (wall-clock
+    flush after gap_s of inactivity — heuristic, replay-speed-
+    dependent), "event" (flush when the WATERMARK passes
+    last_s + gap_s — the moment the session is provably unextendable:
+    later events are beyond the gap, older ones beyond the watermark),
+    or "none" (bounded drains)."""
+
+    def _arm(state: GroupState, last_s: int) -> None:
+        if timeout_mode == "processing":
+            state.setTimeoutDuration(gap_s * 1000)
+        elif timeout_mode == "event":
+            target = (last_s + gap_s) * 1000 + 1
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(target, wm + 1))
+
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -90,8 +105,7 @@ def _sessionize_fn(gap_s: int, use_timeout: bool = True):
             if sessions:
                 closed.extend(sessions[:-1])
                 state.update(sessions[-1])
-                if use_timeout:
-                    state.setTimeoutDuration(gap_s * 1000)
+                _arm(state, sessions[-1][1])
         if closed:
             yield pd.DataFrame(
                 {
@@ -106,34 +120,66 @@ def _sessionize_fn(gap_s: int, use_timeout: bool = True):
 
 
 def sessionize_stream(
-    events: DataFrame, gap_s: int = 1800, use_timeout: bool = True
+    events: DataFrame,
+    gap_s: int = 1800,
+    use_timeout: bool = True,
+    timeout_mode: str | None = None,
+    watermark_delay_s: int | None = None,
 ) -> DataFrame:
     """Emit closed sessions from an unbounded event stream.
 
     ``events`` needs ``user_id`` and ``ts`` (timestamp) columns.
 
-    ``use_timeout=True`` (production): open tails are flushed by
-    processing-time timeout after ``gap_s`` of inactivity. CAVEAT: a
-    ProcessingTimeTimeout query schedules state-cleanup micro-batches
-    indefinitely, so neither ``processAllAvailable()`` nor
-    Trigger.AvailableNow ever sees it finish — drive it with
-    ``wait_for_input_rows`` (streaming/queries.py). For bounded drains
-    (oracle runs) use ``use_timeout=False``: identical closed-session
-    output (a bounded run never reaches the timeout), and the query
-    terminates under Trigger.AvailableNow."""
+    Tail-flush policy — ``timeout_mode`` (``use_timeout`` is the
+    legacy bool: True → "processing", False → "none"; an explicit
+    ``timeout_mode`` wins):
+
+    * ``"processing"``: open tails are flushed by wall-clock timeout
+      after ``gap_s`` of inactivity. Heuristic (replaying an old
+      corpus fast flushes nothing; a stalled source flushes live
+      sessions) and a ProcessingTimeTimeout query schedules
+      state-cleanup micro-batches indefinitely, so neither
+      ``processAllAvailable()`` nor Trigger.AvailableNow ever sees it
+      finish — drive it with ``wait_for_input_rows``
+      (streaming/queries.py).
+    * ``"event"``: the input gets ``withWatermark(ts,
+      watermark_delay_s)`` (default ``gap_s``) and a tail flushes when
+      the watermark passes ``last_s + gap_s`` — the moment the session
+      is PROVABLY unextendable (later events are beyond the gap, older
+      ones beyond the watermark). Exact, replay-speed-independent, and
+      the flush fires from data progress, so bounded drains see it in
+      the trailing no-data batch. The 100 TB-shape choice; mirrors
+      streaming/funnel.py. Late rows beyond the watermark are dropped
+      (the standard bounded-disorder contract).
+    * ``"none"``: for bounded drains (oracle runs): identical
+      closed-session output (a bounded run never reaches a timeout),
+      terminates under Trigger.AvailableNow; open tails stay in state.
+    """
     from pyspark.sql import functions as F
 
+    if timeout_mode is None:
+        timeout_mode = "processing" if use_timeout else "none"
+    if timeout_mode not in ("processing", "event", "none"):
+        raise ValueError(
+            f"timeout_mode must be processing|event|none, got {timeout_mode!r}"
+        )
     keyed = events.select(
-        "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_s")
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts_event"),
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
     )
+    if timeout_mode == "event":
+        delay = gap_s if watermark_delay_s is None else watermark_delay_s
+        keyed = keyed.withWatermark("ts_event", f"{delay} seconds")
+        conf = GroupStateTimeout.EventTimeTimeout
+    elif timeout_mode == "processing":
+        conf = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        conf = GroupStateTimeout.NoTimeout
     return keyed.groupBy("user_id").applyInPandasWithState(
-        _sessionize_fn(gap_s, use_timeout),
+        _sessionize_fn(gap_s, timeout_mode),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if use_timeout
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=conf,
     )

@@ -210,3 +210,59 @@ def test_sessionize_stream_timeout_flushes_open_session(spark, stream_dir, tmp_p
         1_000_000,
         1,
     )
+
+
+def test_sessionize_stream_event_time_flush(spark, stream_dir, tmp_path):
+    """timeout_mode='event': the open tail flushes as soon as the
+    WATERMARK (advanced by other users' data) proves the gap elapsed —
+    no wall-clock involved, so a bounded AvailableNow-style drain sees
+    it from data progress alone, and the state store empties."""
+    q = run_to_memory(
+        sessionize_stream(
+            read_events_stream(spark, stream_dir, schema=EVENTS_RAW_SCHEMA),
+            gap_s=1800,
+            timeout_mode="event",
+            watermark_delay_s=60,
+        ),
+        "sess_event_stream",
+        output_mode="append",
+    )
+    try:
+        # batch 0: user 1's two events (one open session)
+        _write_events_batch(
+            tmp_path / "e0.parquet", [(1, 1_000_000, 1), (2, 1_000_100, 1)]
+        )
+        _feed(str(tmp_path / "e0.parquet"), stream_dir, "e0.parquet")
+        wait_for_input_rows(q, 2)
+        assert spark.table("sess_event_stream").count() == 0  # still open
+        # batch 1: user 99 far in the future — watermark jumps past
+        # user 1's last_s + gap, so the EVENT timer fires (user 1 has
+        # no new data; only the stream's own clock moved)
+        _write_events_batch(tmp_path / "e1.parquet", [(3, 1_010_000, 99)])
+        _feed(str(tmp_path / "e1.parquet"), stream_dir, "e1.parquet")
+        wait_for_input_rows(q, 3)
+        # the event timer fires in the batch AFTER the one that moved
+        # the watermark (often a no-data batch) — poll for the flush
+        import time as _time
+
+        deadline = _time.time() + 60
+        while (
+            spark.table("sess_event_stream").count() == 0
+            and _time.time() < deadline
+        ):
+            _time.sleep(0.5)
+        rows = spark.table("sess_event_stream").collect()
+        flushed = {
+            (r.user_id, r.session_start_s, r.session_end_s, r.n_events)
+            for r in rows
+        }
+        assert (1, 1_000_000, 1_000_100, 2) in flushed
+        # final state: user 99's open tail only (user 1 was removed)
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        assert state_rows[-1] == 1, state_rows
+    finally:
+        q.stop()
