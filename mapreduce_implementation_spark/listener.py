@@ -261,7 +261,19 @@ def run_listener_logged_wordcount(
             f"{group}, found {sorted(stages)} — did the action run?"
         )
     ordered = sorted(stages)
-    map_tasks = stages[ordered[0]]
+    # map stage = the EARLIEST stage that wrote shuffle records: a
+    # broadcast-build job (e.g. the locality-config join side) can run
+    # first but collects its result instead of shuffle-writing, so it
+    # must not be mistaken for the map stage. Fallback: first stage.
+    map_sid = next(
+        (
+            sid
+            for sid in ordered
+            if any(t["shuffle_write_records"] > 0 for t in stages[sid])
+        ),
+        ordered[0],
+    )
+    map_tasks = stages[map_sid]
     reduce_tasks = stages[ordered[-1]]
     if len(reduce_tasks) != num_reducers:
         raise RuntimeError(

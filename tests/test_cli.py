@@ -71,6 +71,12 @@ def test_cli_locality_restricts_chunks(spark, tmp_path):
     os.makedirs(outdir, exist_ok=True)
     rc = main(["cli_loc", "2", "0", str(inp), "2", str(cfg), outdir])
     assert rc == 0
+    # map-stage classification must skip the broadcast-build stage of
+    # the locality join (it writes NO shuffle records): a misclassified
+    # map stage would log Start_Shuffle,0
+    log = open(os.path.join(outdir, "cli_loc-log.out")).read().splitlines()
+    shuffle_row = next(l for l in log if ",Start_Shuffle," in l)
+    assert int(shuffle_row.split(",")[2]) > 0, shuffle_row
     words = set()
     for r in (1, 2):
         with open(os.path.join(outdir, f"cli_loc-{r}.out")) as fh:
