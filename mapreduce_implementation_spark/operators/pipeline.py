@@ -274,6 +274,8 @@ def build_drop_list(
     benchmark: DataFrame | None = None,
     contamination_threshold: float = 0.8,
     contamination_n: int = 3,
+    max_dup_span_frac: float | None = None,
+    dup_span_n: int = 20,
 ) -> DataFrame:
     """The auditable drop decision: DataFrame[id_col, reason] with one
     row per (document, applicable reason) — the artifact a corpus
@@ -292,7 +294,11 @@ def build_drop_list(
     * ``low_quality`` / ``repetitive`` — the quality floor / repetition
       cap, same expressions as quality_gate;
     * ``contaminated`` — distinct-n-gram overlap with ``benchmark``
-      at/above ``contamination_threshold``.
+      at/above ``contamination_threshold``;
+    * ``dup_spans`` — more than ``max_dup_span_frac`` of the doc's
+      distinct ``dup_span_n``-word spans appear verbatim in another
+      document (substring-level duplication,
+      operators/contamination.duplicate_span_stats).
 
     A document can carry several reasons (all are reported — dedup
     alone would hide that a kept-if-deduped doc was also contaminated).
@@ -376,6 +382,18 @@ def build_drop_list(
                     F.col("contamination_frac") >= contamination_threshold
                 ),
                 "contaminated",
+            )
+        )
+    if max_dup_span_frac is not None:
+        from mapreduce_implementation_spark.operators.contamination import (
+            duplicate_span_stats,
+        )
+
+        spans = duplicate_span_stats(docs, id_col, text_col, n=dup_span_n)
+        parts.append(
+            tagged(
+                spans.where(F.col("dup_span_frac") > max_dup_span_frac),
+                "dup_spans",
             )
         )
     out = parts[0]

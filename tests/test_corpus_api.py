@@ -299,3 +299,30 @@ def test_build_training_corpus_near_dup_stage(spark):
     )
     kept_off = {r.doc_id for r in off["split_train"].select("doc_id").collect()}
     assert kept_off == {1, 2, 3}  # exact dedup only
+
+
+def test_build_drop_list_dup_spans_reason(spark):
+    """max_dup_span_frac adds the substring-duplication reason: docs
+    sharing a verbatim long span are BOTH flagged (unlike dedup, which
+    keeps a survivor — a shared-boilerplate signal is a per-doc fact),
+    unique docs are not."""
+    from mapreduce_implementation_spark.operators.pipeline import (
+        build_drop_list,
+    )
+
+    passage = " ".join(f"w{i}" for i in range(24))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one " + passage),
+            (2, "different lead " + passage + " tail"),
+            (3, " ".join(f"u{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = build_drop_list(docs, max_dup_span_frac=0.3, dup_span_n=20)
+    reasons = {}
+    for r in out.collect():
+        reasons.setdefault(r.doc_id, set()).add(r.reason)
+    assert "dup_spans" in reasons.get(1, set())
+    assert "dup_spans" in reasons.get(2, set())
+    assert "dup_spans" not in reasons.get(3, set())
