@@ -200,3 +200,47 @@ def split_by_hash(
         out[name] = df.where((bucket >= lo) & (bucket < hi))
         lo = hi
     return out
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    salt: str = "fixedn",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (or all rows of a
+    smaller stratum), chosen deterministically — the "take 10k docs per
+    language" shape that rate-based sampling can't express (a fraction
+    yields a BINOMIAL count; a corpus mix spec wants an exact one).
+
+    Selection = the ``n`` smallest ``(hash(key||salt), key)`` pairs per
+    stratum: stable under retries and relayout (pure function of key),
+    independent per salt, and adding documents to a stratum only ever
+    swaps members at the hash boundary — existing members keep their
+    relative order, so incremental corpus builds see minimal churn.
+
+    Scale shape: ONE shuffle (the per-stratum window); the rank runs on
+    the (hash, key) projection with the window's sort bounded by
+    stratum size. Strata are assumed corpus-language-sized (dozens to
+    thousands) — for a pathological single-stratum corpus prefer
+    rate-based hash_sample, which is map-only. ``method="md5"`` makes
+    membership engine-portable (same contract as hash_bucket; DuckDB
+    twin pytest-gated in tests/test_demoted_oracles.py).
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    from pyspark.sql.window import Window
+
+    h = hash_bucket(key_col, salt=salt, method=method)
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_h", "_rn")
+    )

@@ -455,3 +455,34 @@ def duplicate_span_stats_parity(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_span_stats(docs, n=SPAN_N)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-N-per-stratum sampling (operators/sampling.stratified_fixed_n) —
+# pytest parity gate: membership itself is engine-portable in md5 mode,
+# so the oracle re-derives every selected (doc_id, lang) row.
+
+FIXED_N = 20
+FIXED_N_SALT = "fixedn"
+
+STRATIFIED_FIXED_N_ORACLE = f"""
+    WITH h AS (
+        SELECT doc_id, lang, {_bucket_sql("doc_id", FIXED_N_SALT)} AS hb
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn
+        FROM h
+    )
+    SELECT doc_id, lang FROM r WHERE rn <= {FIXED_N}
+"""
+
+
+def stratified_fixed_n_parity(spark, sf_dir):
+    """Exactly 20 deterministically-chosen docs per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.stratified_fixed_n(
+        docs, "lang", FIXED_N, key_col="doc_id", salt=FIXED_N_SALT,
+        method="md5",
+    ).select("doc_id", "lang")

@@ -27,6 +27,7 @@ DEMOTED = [
     (rq.set_ops_customer_cohorts, rq.SET_OPS_ORACLE),
     (tq.corpus_stats_by_lang, tq.CORPUS_STATS_ORACLE),
     (pq.duplicate_span_stats_parity, pq.DUP_SPAN_ORACLE),
+    (pq.stratified_fixed_n_parity, pq.STRATIFIED_FIXED_N_ORACLE),
 ]
 
 

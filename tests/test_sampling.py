@@ -276,3 +276,38 @@ def test_md5_null_keys_get_a_bucket_not_dropped(spark):
 
     splits = sp.split_by_hash(df, "k", {"a": 0.5, "b": 0.5}, method="md5")
     assert splits["a"].count() + splits["b"].count() == 2
+
+
+def test_stratified_fixed_n_exact_counts_and_determinism(spark):
+    """Exactly n rows per stratum (all rows of a smaller stratum),
+    identical membership across physical relayouts, independent of
+    salt, and validation rejects bad n."""
+    from mapreduce_implementation_spark.operators.sampling import (
+        stratified_fixed_n,
+    )
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)] + [
+        (1000 + i, "tiny") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_fixed_n(df, "lang", 10).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["en"]) == 10 and len(by_lang["de"]) == 10
+    assert by_lang["tiny"] == {1000, 1001, 1002}  # smaller stratum kept whole
+
+    relaid = stratified_fixed_n(df.repartition(7, "doc_id"), "lang", 10).collect()
+    by_lang2: dict = {}
+    for r in relaid:
+        by_lang2.setdefault(r.lang, set()).add(r.doc_id)
+    assert by_lang2 == by_lang  # pure function of keys, not layout
+
+    other_salt = stratified_fixed_n(df, "lang", 10, salt="other").collect()
+    other = {r.doc_id for r in other_salt if r.lang == "en"}
+    assert other != by_lang["en"]  # independent decision per salt
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_fixed_n(df, "lang", 0)
