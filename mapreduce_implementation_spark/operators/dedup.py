@@ -771,7 +771,6 @@ def simhash_near_dup_pairs(
             "blocking would MISS qualifying pairs; raise bands or lower "
             "max_hamming"
         )
-    width = n_bits // bands
     if signatures is None:
         sigs = track_cache(
             spread(df.select(id_col, text_col))
@@ -783,44 +782,10 @@ def simhash_near_dup_pairs(
         )
     else:
         sigs = signatures
-    # Parse the bit-string ONCE PER DOC into 32-bit words so the
-    # per-candidate verify is word_count × (xor + bit_count) instead of
-    # an n_bits-iteration substring fold — ~10× cheaper exactly where
-    # LSH skew piles up candidates (7.8 s → 1.35 s at sf0.1, ~190k
-    # candidates from low-entropy 16-bit bands; BASELINE.md). Words, not
-    # one 64-bit parse: conv(..., 2, 10) parses unsigned, so a leading-1
-    # 64-char string would overflow a signed long.
-    words = [
-        F.conv(F.expr(f"substring(simhash, {w * 32 + 1}, 32)"), 2, 10)
-        .cast("long")
-        .alias(f"w{w}")
-        for w in range((n_bits + 31) // 32)
-    ]
-    banded = sigs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
-        F.col("simhash"),
-        *words,
-    ).select(
-        "doc_id",
-        "band_id",
-        F.expr(f"substring(simhash, band_id * {width} + 1, {width})").alias(
-            "band_val"
-        ),
-        *[F.col(f"w{w}") for w in range((n_bits + 31) // 32)],
-    )
+    banded = _simhash_banded(sigs, id_col, "simhash", "doc_id", n_bits, bands)
     banded = cap_buckets(banded, ("band_id", "band_val"), max_bucket)
     left = banded.alias("a")
     right = banded.alias("b")
-    hamming = sum(
-        (
-            F.bit_count(
-                F.col(f"a.w{w}").bitwiseXOR(F.col(f"b.w{w}"))
-            )
-            for w in range((n_bits + 31) // 32)
-        ),
-        F.lit(0),
-    ).cast("int")
     # verify INSIDE the band join (the signature words ride the band
     # rows — no re-join back to sigs), then distinct only the few
     # qualifying pairs: a pair sharing several bands is verified up to
@@ -836,11 +801,65 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            _hamming_words("a", "b", n_bits).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _simhash_banded(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    out_id: str,
+    n_bits: int,
+    bands: int,
+) -> DataFrame:
+    """Banded projection shared by the in-set and cross-set Hamming
+    miners: one row per (doc, band) carrying the band substring AND the
+    signature parsed into 32-bit words.
+
+    The word parse happens ONCE PER DOC here so the per-candidate
+    verify is word_count × (xor + bit_count) instead of an
+    n_bits-iteration substring fold — ~10× cheaper exactly where LSH
+    skew piles up candidates (7.8 s → 1.35 s at sf0.1, ~190k candidates
+    from low-entropy 16-bit bands; BASELINE.md). Words, not one 64-bit
+    parse: conv(..., 2, 10) parses unsigned, so a leading-1 64-char
+    string would overflow a signed long."""
+    width = n_bits // bands
+    n_words = (n_bits + 31) // 32
+    words = [
+        F.conv(F.expr(f"substring({sig_col}, {w * 32 + 1}, 32)"), 2, 10)
+        .cast("long")
+        .alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    return sigs.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+        F.col(sig_col),
+        *words,
+    ).select(
+        out_id,
+        "band_id",
+        F.expr(f"substring({sig_col}, band_id * {width} + 1, {width})").alias(
+            "band_val"
+        ),
+        *[F.col(f"w{w}") for w in range(n_words)],
+    )
+
+
+def _hamming_words(a: str, b: str, n_bits: int) -> Column:
+    """Hamming distance between two word-parsed banded rows (aliases
+    ``a``/``b``) — per-word xor + popcount, summed."""
+    return sum(
+        (
+            F.bit_count(F.col(f"{a}.w{w}").bitwiseXOR(F.col(f"{b}.w{w}")))
+            for w in range((n_bits + 31) // 32)
+        ),
+        F.lit(0),
+    ).cast("int")
 
 
 def minhash_cross_near_dup(
@@ -951,41 +970,14 @@ def simhash_cross_near_dup(
             "blocking would MISS qualifying pairs; raise bands or lower "
             "max_hamming"
         )
-    width = n_bits // bands
-    n_words = (n_bits + 31) // 32
-
-    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
-        words = [
-            F.conv(F.expr(f"substring({sig_col}, {w * 32 + 1}, 32)"), 2, 10)
-            .cast("long")
-            .alias(f"w{w}")
-            for w in range(n_words)
-        ]
-        return sigs.select(
-            F.col(id_col).alias(out_id),
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
-            F.col(sig_col),
-            *words,
-        ).select(
-            out_id,
-            "band_id",
-            F.expr(f"substring({sig_col}, band_id * {width} + 1, {width})").alias(
-                "band_val"
-            ),
-            *[F.col(f"w{w}") for w in range(n_words)],
-        )
-
-    bn = banded(new_sigs, "new_id").alias("a")
+    bn = _simhash_banded(
+        new_sigs, id_col, sig_col, "new_id", n_bits, bands
+    ).alias("a")
     br = cap_buckets(
-        banded(ref_sigs, "ref_id"), ("band_id", "band_val"), max_bucket
+        _simhash_banded(ref_sigs, id_col, sig_col, "ref_id", n_bits, bands),
+        ("band_id", "band_val"),
+        max_bucket,
     ).alias("b")
-    hamming = sum(
-        (
-            F.bit_count(F.col(f"a.w{w}").bitwiseXOR(F.col(f"b.w{w}")))
-            for w in range(n_words)
-        ),
-        F.lit(0),
-    ).cast("int")
     return (
         bn.join(
             br,
@@ -995,7 +987,7 @@ def simhash_cross_near_dup(
         .select(
             F.col("a.new_id").alias("new_id"),
             F.col("b.ref_id").alias("ref_id"),
-            hamming.alias("hamming"),
+            _hamming_words("a", "b", n_bits).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
