@@ -123,6 +123,44 @@ def streaming_interval_join(
     return l.join(r, cond)
 
 
+def streaming_enrich_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment — the standard pattern for
+    joining an unbounded fact stream against a (slowly-changing)
+    dimension table: user → account, event → geo, doc → license.
+
+    Semantics and scale notes:
+
+    * the STATIC side is re-planned per micro-batch, so a file-backed
+      dimension picks up newly-written files between batches — the
+      cheap slowly-changing-dim refresh (swap the dim by atomically
+      replacing its directory/table);
+    * ``broadcast_dim=True`` (default) pins the broadcast-hash plan:
+      dimensions are MBs against an unbounded stream, and a shuffled
+      join would re-shuffle every micro-batch. Disable only for a
+      dimension too big to broadcast — then pre-bucket both sides;
+    * ``how="left"`` keeps facts with no dimension row (NULL-extended)
+      — dropping unmatched facts silently is the classic enrichment
+      bug; use ``"inner"`` only when that is the declared filter.
+      Stream-static supports inner/left with the STREAM on the left
+      (right/full would need the unbounded side materialized);
+    * stateless: no watermark required, nothing in the state store —
+      unlike stream-stream joins the engine holds no join state.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"stream-static join supports inner|left (stream side "
+            f"preserved), got {how!r}"
+        )
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Start a memory-sink query (test/demo harness). Caller must
     processAllAvailable()/stop().

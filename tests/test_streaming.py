@@ -266,3 +266,36 @@ def test_sessionize_stream_event_time_flush(spark, stream_dir, tmp_path):
         assert state_rows[-1] == 1, state_rows
     finally:
         q.stop()
+
+
+def test_streaming_enrich_static_matches_batch(spark, stream_dir, tmp_path):
+    """Stream-static broadcast enrichment: every streamed event picks
+    up its dimension attributes; unmatched facts survive NULL-extended
+    (left); output equals the batch join over the same data."""
+    from mapreduce_implementation_spark.streaming.queries import (
+        streaming_enrich_static,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    _write_events_batch(
+        tmp_path / "s0.parquet",
+        [(1, 1_000_000, 1), (2, 1_000_010, 2), (3, 1_000_020, 7)],
+    )
+    _feed(str(tmp_path / "s0.parquet"), stream_dir, "s0.parquet")
+    stream = read_events_stream(spark, stream_dir, schema=EVENTS_RAW_SCHEMA)
+    q = run_to_memory(
+        streaming_enrich_static(stream, dim, "user_id"),
+        "enriched_stream",
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(r.event_id, r.tier) for r in spark.table("enriched_stream").collect()}
+    finally:
+        q.stop()
+    assert rows == {(1, "gold"), (2, "silver"), (3, None)}
+
+    with pytest.raises(ValueError, match="inner\\|left"):
+        streaming_enrich_static(stream, dim, "user_id", how="right")
