@@ -101,3 +101,40 @@ def test_packing_contract_on_arbitrary_sizes(spark, sizes, budget, n_buckets):
         df.repartition(3), "k", "t", budget, n_buckets=n_buckets
     ).collect()
     assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+
+
+def test_round8_operators_on_empty_and_degenerate_input(spark):
+    """Q7-style sweep for the round-8 additions: zero rows and
+    degenerate (empty/short text) rows produce empty-or-rowless
+    results, never errors."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.operators import dedup as dd
+    from mapreduce_implementation_spark.operators.contamination import (
+        duplicate_span_stats,
+    )
+    from mapreduce_implementation_spark.operators.sampling import (
+        stratified_fixed_n,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert duplicate_span_stats(empty).collect() == []
+    assert stratified_fixed_n(empty, "lang", 5).collect() == []
+    assert dd.ngram_jaccard_pairs(empty, n_fingerprints=3).collect() == []
+    assert dd.ngram_jaccard_pairs(empty, max_bucket=2).collect() == []
+
+    deg = spark.createDataFrame(
+        [(1, "", "en"), (2, "one", "en"), (3, None, "de")],
+        "doc_id long, text string, lang string",
+    )
+    # short/empty text: no 20-gram spans -> no rows; NULL text tolerated
+    assert duplicate_span_stats(deg).collect() == []
+    # empty-ish docs share the empty-content fallback fingerprint but
+    # have no shingles -> NULL jaccard -> filtered, never a crash
+    assert dd.ngram_jaccard_pairs(deg, n_fingerprints=2).collect() == []
+    # fixed-N keeps whole strata smaller than n
+    got = {r.doc_id for r in stratified_fixed_n(deg, "lang", 5).collect()}
+    assert got == {1, 2, 3}
+
+    empty_sigs = spark.createDataFrame([], "doc_id long, simhash string")
+    assert dd.simhash_cross_near_dup(empty_sigs, empty_sigs).collect() == []
