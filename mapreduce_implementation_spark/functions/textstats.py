@@ -247,3 +247,35 @@ def quality_gate(
             <= max_top_token_frac
         )
     return staged.where(keep).drop("_qg_toks")
+
+
+def frequent_tokens(df, text_col: str = "text", support: float = 0.01):
+    """Approximate heavy-hitter tokens: every token whose corpus
+    frequency exceeds ``support`` (fraction of all token occurrences),
+    possibly with false positives — the one-sided guarantee of Spark's
+    built-in misra-gries-style ``freqItems`` sketch (Karp et al.'s
+    streaming frequent-items algorithm, public literature).
+
+    Scale shape: ONE corpus pass, ZERO shuffles — each task folds its
+    partition into an O(1/support) candidate map and the driver merges
+    the per-task maps (classic mergeable-summary heavy hitters). The
+    exact alternative (groupBy token → count → filter) shuffles every
+    distinct token; use it only when exact counts are needed
+    (plans/text_queries wordcount) — this is the profiling/monitoring
+    path ("which tokens dominate this 100 TB corpus?").
+
+    Returns DataFrame[token string] (collected sketch result as a
+    local relation — size is O(1/support), tiny by construction).
+    Verification contract (pytest): result ⊇ {tokens with frequency
+    > support}; callers needing NO false positives re-count just the
+    candidates (a filtered second pass, still cheaper than a full
+    groupBy)."""
+    if not 0 < support < 1:
+        raise ValueError(f"support must be in (0,1), got {support}")
+    toks = df.select(
+        F.explode(_lower_tokens(text_col)).alias("token")
+    )
+    hits = toks.freqItems(["token"], support).collect()[0][0]
+    return df.sparkSession.createDataFrame(
+        [(t,) for t in sorted(hits)], "token string"
+    )

@@ -35,3 +35,34 @@ def test_empty_doc_ratios_are_zero(spark):
         f["distinct_token_ratio"].alias("d"), f["top_token_frac"].alias("t")
     ))
     assert got.d == 0.0 and got.t == 0.0
+
+
+def test_frequent_tokens_superset_guarantee(spark):
+    """freqItems-backed heavy hitters: every token with frequency >
+    support appears (one-sided guarantee); validation rejects bad
+    support. Verified against exact counts on a crafted corpus."""
+    from mapreduce_implementation_spark.functions import textstats as ts
+
+    rows = [(i, "heavy " * 30 + f"rare{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.token for r in ts.frequent_tokens(df, support=0.2).collect()}
+    # 'heavy' is 600 of 620 occurrences (0.97 > 0.2) -> must be present
+    assert "heavy" in got
+
+    # exact heavy set from true counts: result must be a superset
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t")).where(
+        F.col("t") != ""
+    )
+    total = toks.count()
+    exact_heavy = {
+        r.t
+        for r in toks.groupBy("t").count().where(F.col("count") > 0.2 * total).collect()
+    }
+    assert exact_heavy <= got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="support"):
+        ts.frequent_tokens(df, support=0.0)
