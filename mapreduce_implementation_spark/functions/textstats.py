@@ -270,8 +270,11 @@ def frequent_tokens(df, text_col: str = "text", support: float = 0.01):
     > support}; callers needing NO false positives re-count just the
     candidates (a filtered second pass, still cheaper than a full
     groupBy)."""
-    if not 0 < support < 1:
-        raise ValueError(f"support must be in (0,1), got {support}")
+    if not 1e-4 <= support < 1:
+        # Spark's freqItems itself rejects support < 1e-4 (sketch size
+        # blows up as 1/support) — surface the bound here as a clean
+        # ValueError instead of a raw JVM IllegalArgumentException
+        raise ValueError(f"support must be in [1e-4, 1), got {support}")
     toks = df.select(
         F.explode(_lower_tokens(text_col)).alias("token")
     )

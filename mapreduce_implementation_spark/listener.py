@@ -163,11 +163,24 @@ def _scala_seq(seq) -> list:
 
 def _task_rows(store, stage_id: int, attempt: int) -> list[dict]:
     """Per-task facts from the AppStatusStore: (index, launch_ms,
-    end_ms, executor_id, shuffle_write_records). Tasks missing metrics
-    (still running / lost) are skipped — callers run AFTER the action
-    returned, so completed jobs have complete metrics."""
+    end_ms, executor_id, shuffle_write_records). Only SUCCESSFUL
+    attempts count — a failed or speculative attempt shares the task
+    index and would double-count shuffle records, duplicate log lines,
+    and break the one-task-per-reducer validation. Tasks missing a
+    duration (still running / lost) are skipped — callers run AFTER
+    the action returned, so completed jobs have complete metrics.
+
+    Cost/retention bounds (by design — this is the reference-shaped
+    log, a per-task CSV): extraction is ~7 py4j calls per task, and
+    AppStatusListener retains at most spark.ui.retainedTasks (default
+    100k) task rows per stage. Both are fine exactly where a per-task
+    text log is sensible (up to ~10^4 tasks); the caller validates
+    row counts against the stage's task count and refuses to emit a
+    silently truncated log."""
     rows = []
     for td in _scala_seq(store.taskList(stage_id, attempt, 2_147_483_647)):
+        if str(td.status()) != "SUCCESS":
+            continue
         if not td.duration().isDefined():
             continue
         launch = td.launchTime().getTime()
@@ -184,7 +197,15 @@ def _task_rows(store, stage_id: int, attempt: int) -> list[dict]:
                 "shuffle_write_records": swr,
             }
         )
-    return rows
+    # one row per task INDEX (keep the earliest finisher): if a
+    # speculative duplicate also reports SUCCESS, counting both would
+    # double shuffle records and duplicate log lines
+    by_index: dict[int, dict] = {}
+    for r in rows:
+        cur = by_index.get(r["index"])
+        if cur is None or r["end_ms"] < cur["end_ms"]:
+            by_index[r["index"]] = r
+    return [by_index[i] for i in sorted(by_index)]
 
 
 def run_listener_logged_wordcount(
@@ -234,13 +255,26 @@ def run_listener_logged_wordcount(
     reduced = map_reduce(
         df, mapper=wordcount_mapper(text_col), num_reducers=num_reducers
     )
+    # save/restore the caller's thread-local job properties — a bare
+    # null-out would clobber a caller-set job group (their
+    # cancelJobGroup would stop matching) and leak this run's
+    # description + interruptOnCancel onto every later job
+    saved = {
+        p: sc.getLocalProperty(p)
+        for p in (
+            "spark.jobGroup.id",
+            "spark.job.description",
+            "spark.job.interruptOnCancel",
+        )
+    }
     sc.setJobGroup(group, f"{job_name}: logged wordcount")
     try:
         files = write_reducer_files(
             reduced, output_dir, job_name, num_reducers=num_reducers
         )
     finally:
-        sc.setLocalProperty("spark.jobGroup.id", None)
+        for prop, val in saved.items():
+            sc.setLocalProperty(prop, val)
 
     tracker = sc.statusTracker()
     stage_ids: list[int] = []
@@ -254,7 +288,19 @@ def run_listener_logged_wordcount(
         sinfo = tracker.getStageInfo(sid)
         if sinfo is None or sinfo.numCompletedTasks == 0:
             continue  # skipped / reused stages hold no tasks
-        stages[sid] = _task_rows(store, sid, sinfo.currentAttemptId)
+        rows = _task_rows(store, sid, sinfo.currentAttemptId)
+        if len(rows) < sinfo.numTasks:
+            # AppStatusStore retention (spark.ui.retainedTasks) evicted
+            # task rows — a per-task log reconstructed from a subset
+            # would silently undercount; refuse instead (the _task_rows
+            # docstring states the applicability bound)
+            raise RuntimeError(
+                f"stage {sid}: only {len(rows)} of {sinfo.numTasks} task "
+                "rows retained in the AppStatusStore (raise "
+                "spark.ui.retainedTasks or use the fidelity shim for "
+                "jobs this large)"
+            )
+        stages[sid] = rows
     if len(stages) < 2:
         raise RuntimeError(
             f"expected >= 2 executed stages (map + reduce) in job group "

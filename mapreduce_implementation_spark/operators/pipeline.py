@@ -155,9 +155,16 @@ def build_training_corpus(
     )
     deduped = mixed.join(survivors, id_col, "semi")
     if cfg.near_dup:
+        import os as _os
+
         from mapreduce_implementation_spark.operators.dedup import (
             connected_components,
             minhash_near_dup_pairs,
+            minhash_signatures,
+        )
+        from mapreduce_implementation_spark.sources.materialize import (
+            ensure_table,
+            scratch_dir,
         )
 
         # pair mining + component labeling over the EXACT-deduped set
@@ -165,16 +172,33 @@ def build_training_corpus(
         # aren't wasted re-pairing byte-identical copies); keep the
         # min-id doc per cluster, drop the rest via anti-join. Runs
         # BEFORE the split so no split can hold a near-dup of another.
+        # Signatures are MATERIALIZED to a scratch table and passed in:
+        # the operator's signatures=None fallback session-caches the
+        # frame with no release path a library caller would ever hit
+        # (registry queries release via caching.release_caches; a
+        # long-lived session building many corpora would pin one cached
+        # frame per build) — the table is also the honest 100 TB
+        # layout, shared by the band explode and both verify joins.
+        k = cfg.near_dup_bands * cfg.near_dup_rows
+        sigs = ensure_table(
+            docs.sparkSession,
+            _os.path.join(scratch_dir("mris_pipeline_neardup_"), "sigs"),
+            lambda: minhash_signatures(
+                deduped, id_col, text_col,
+                shingle_n=cfg.near_dup_shingle_n, k=k,
+            ),
+        )
         pairs = minhash_near_dup_pairs(
             deduped,
             id_col,
             text_col,
             shingle_n=cfg.near_dup_shingle_n,
-            k=cfg.near_dup_bands * cfg.near_dup_rows,
+            k=k,
             bands=cfg.near_dup_bands,
             rows=cfg.near_dup_rows,
             threshold=cfg.near_dup_threshold,
             max_bucket=cfg.near_dup_max_bucket,
+            signatures=sigs,
         )
         clusters = connected_components(pairs, "doc_a", "doc_b")
         near_drops = clusters.where(

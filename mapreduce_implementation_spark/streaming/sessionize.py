@@ -164,13 +164,18 @@ def sessionize_stream(
             f"timeout_mode must be processing|event|none, got {timeout_mode!r}"
         )
     keyed = events.select(
-        "user_id",
-        F.col("ts").cast("timestamp").alias("ts_event"),
-        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_s")
     )
     if timeout_mode == "event":
+        # the watermark column rides ONLY in event mode — in the other
+        # modes it would be a dead timestamp column shipped through the
+        # shuffle and every Arrow batch into the state fold
         delay = gap_s if watermark_delay_s is None else watermark_delay_s
-        keyed = keyed.withWatermark("ts_event", f"{delay} seconds")
+        keyed = events.select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts_event"),
+            F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        ).withWatermark("ts_event", f"{delay} seconds")
         conf = GroupStateTimeout.EventTimeTimeout
     elif timeout_mode == "processing":
         conf = GroupStateTimeout.ProcessingTimeTimeout

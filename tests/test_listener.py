@@ -114,3 +114,121 @@ def test_listener_logged_wordcount_event_log(spark, tmp_path):
             for line in fh:
                 total += int(line.rsplit(" ", 1)[1])
     assert total == raw
+
+
+class _FakeOpt:
+    def __init__(self, v=None):
+        self._v = v
+
+    def isDefined(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+
+class _FakeDate:
+    def __init__(self, ms):
+        self._ms = ms
+
+    def getTime(self):
+        return self._ms
+
+
+class _FakeMetrics:
+    def __init__(self, swr):
+        self._swr = swr
+
+    def shuffleWriteMetrics(self):
+        return self
+
+    def recordsWritten(self):
+        return self._swr
+
+
+class _FakeTask:
+    def __init__(self, index, status="SUCCESS", launch=1000, dur=50, swr=10,
+                 executor="driver"):
+        self._i, self._s, self._l = index, status, launch
+        self._d, self._swr, self._e = dur, swr, executor
+
+    def index(self):
+        return self._i
+
+    def status(self):
+        return self._s
+
+    def launchTime(self):
+        return _FakeDate(self._l)
+
+    def duration(self):
+        return _FakeOpt(self._d)
+
+    def taskMetrics(self):
+        return _FakeOpt(_FakeMetrics(self._swr))
+
+    def executorId(self):
+        return self._e
+
+
+class _FakeStore:
+    def __init__(self, tasks):
+        self._tasks = tasks
+
+    def taskList(self, *_):
+        class _Seq:
+            def __init__(self, xs):
+                self._xs = xs
+
+            def size(self):
+                return len(self._xs)
+
+            def apply(self, i):
+                return self._xs[i]
+
+        return _Seq(self._tasks)
+
+
+def test_task_rows_filters_failures_and_dedups_speculative():
+    """Review finding r8: a FAILED attempt and a speculative duplicate
+    SUCCESS share the task index — only one successful row per index
+    may survive (earliest finisher), or Start_Shuffle double-counts
+    and the reduce-count validation breaks on any retry."""
+    from mapreduce_implementation_spark.listener import _task_rows
+
+    store = _FakeStore(
+        [
+            _FakeTask(0, status="FAILED", swr=999),
+            _FakeTask(0, status="SUCCESS", launch=2000, dur=50, swr=10),
+            _FakeTask(1, status="SUCCESS", launch=1000, dur=40, swr=7),
+            # speculative duplicate of index 1, finishes later
+            _FakeTask(1, status="SUCCESS", launch=1010, dur=80, swr=7),
+            _FakeTask(2, status="KILLED", swr=999),
+        ]
+    )
+    rows = _task_rows(store, 0, 0)
+    assert [r["index"] for r in rows] == [0, 1]
+    assert sum(r["shuffle_write_records"] for r in rows) == 17
+    assert rows[1]["end_ms"] == 1040  # earliest finisher kept
+
+
+def test_listener_log_restores_caller_job_properties(spark, tmp_path):
+    """Review finding r8: the job-group wrapper must restore the
+    caller's thread-local job group/description, not null them."""
+    from mapreduce_implementation_spark.listener import (
+        run_listener_logged_wordcount,
+    )
+
+    sc = spark.sparkContext
+    sc.setJobGroup("caller-group", "caller work")
+    try:
+        docs = load_table(spark, SF, "documents").select("text")
+        run_listener_logged_wordcount(
+            spark, docs, job_name="wcp", num_reducers=2,
+            output_dir=str(tmp_path / "outp"),
+        )
+        assert sc.getLocalProperty("spark.jobGroup.id") == "caller-group"
+        assert sc.getLocalProperty("spark.job.description") == "caller work"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
