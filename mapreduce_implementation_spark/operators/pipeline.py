@@ -104,7 +104,9 @@ def build_training_corpus(
     text_col: str = "text",
 ) -> dict[str, DataFrame]:
     """Run the full corpus build; returns every artifact a pipeline
-    owner needs (all lazy — materialize what you use):
+    owner needs (lazy — materialize what you use — except the
+    ``near_dup`` stage, which eagerly materializes its signature table
+    to scratch once per call):
 
     * ``splits``-prefixed frames (``split_<name>``): deduped documents
       per split — provably disjoint (hash ranges), holdout untouched by

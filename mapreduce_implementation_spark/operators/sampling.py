@@ -221,11 +221,25 @@ def stratified_fixed_n(
     swaps members at the hash boundary — existing members keep their
     relative order, so incremental corpus builds see minimal churn.
 
-    Scale shape: ONE shuffle (the per-stratum window); the rank runs on
-    the (hash, key) projection with the window's sort bounded by
-    stratum size. Strata are assumed corpus-language-sized (dozens to
-    thousands) — for a pathological single-stratum corpus prefer
-    rate-based hash_sample, which is map-only. ``method="md5"`` makes
+    Scale shape — TWO-PHASE top-N, the TakeOrdered-per-group pattern
+    (a single per-stratum window would sort an ENTIRE stratum in one
+    task: a 10^9-row language is one sorting, possibly spilling task —
+    the skew shape this repo bans elsewhere):
+
+    1. partial top-N per (stratum, input partition): the window key
+       includes the materialized partition id, so the exchange hashes
+       on a key the scan layout spreads UNIFORMLY and every sort group
+       is bounded by one input partition's slice of one stratum. The
+       global per-stratum top-N is provably contained in the union of
+       per-partition top-Ns (any-partitioning superset property);
+    2. final per-stratum window over ≤ N × num_partitions survivors.
+
+    The intermediate partition id never reaches the output, so the
+    RESULT stays a pure function of keys — layout-independence is
+    pytest-pinned. Strata are assumed corpus-language-sized (dozens to
+    thousands); for a huge ``n_per_stratum`` on a massively-partitioned
+    scan note the phase-2 input is N × partitions per stratum —
+    still never more than phase 1's input. ``method="md5"`` makes
     membership engine-portable (same contract as hash_bucket; DuckDB
     twin pytest-gated in tests/test_demoted_oracles.py).
     """
@@ -234,13 +248,15 @@ def stratified_fixed_n(
     from pyspark.sql.window import Window
 
     h = hash_bucket(key_col, salt=salt, method=method)
-    w = (
-        Window.partitionBy(stratum_col)
-        .orderBy(F.col("_h").asc(), F.col(key_col).asc())
-    )
+    order = (F.col("_h").asc(), F.col(key_col).asc())
+    w_part = Window.partitionBy(stratum_col, "_pid").orderBy(*order)
+    w_full = Window.partitionBy(stratum_col).orderBy(*order)
     return (
         df.withColumn("_h", h)
-        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prn", F.row_number().over(w_part))
+        .where(F.col("_prn") <= n_per_stratum)
+        .withColumn("_rn", F.row_number().over(w_full))
         .where(F.col("_rn") <= n_per_stratum)
-        .drop("_h", "_rn")
+        .drop("_h", "_pid", "_prn", "_rn")
     )
