@@ -311,3 +311,44 @@ def test_stratified_fixed_n_exact_counts_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="n_per_stratum"):
         stratified_fixed_n(df, "lang", 0)
+
+
+def test_stratified_fixed_n_matches_python_reference(spark):
+    """Two-phase top-N equals a pure-Python re-derivation of 'the n
+    smallest (md5-bucket, key) per stratum' on seeded random data —
+    the selection is a function of keys alone, not of the plan."""
+    import hashlib
+    import random
+
+    from mapreduce_implementation_spark.operators.sampling import (
+        BUCKETS,
+        stratified_fixed_n,
+    )
+
+    rng = random.Random(8)
+    rows = [
+        (rng.randrange(1_000_000), rng.choice(["en", "de", "fr", "zz"]))
+        for _ in range(400)
+    ]
+    rows = list({r[0]: r for r in rows}.values())  # unique keys
+    df = spark.createDataFrame(rows, "doc_id long, lang string").repartition(9)
+
+    def bucket(k):
+        hx = hashlib.md5(f"{k}fx".encode()).hexdigest()[:8]
+        return int(hx, 16) % BUCKETS
+
+    expected: dict = {}
+    for k, lang in rows:
+        expected.setdefault(lang, []).append((bucket(k), k))
+    exp_sel = {
+        (k, lang)
+        for lang, pairs in expected.items()
+        for _, k in sorted(pairs)[:7]
+    }
+    got = {
+        (r.doc_id, r.lang)
+        for r in stratified_fixed_n(
+            df, "lang", 7, key_col="doc_id", salt="fx", method="md5"
+        ).collect()
+    }
+    assert got == exp_sel
