@@ -148,12 +148,19 @@ def run_logged_wordcount(
     mapped.unpersist()
 
     lines.append((_now_ms(), f"FinishJob,{int(time.monotonic() - t_job)}"))
+    _write_log(output_dir, job_name, lines)
+    return reduced
+
+
+def _write_log(output_dir: str, job_name: str, lines: list) -> None:
+    """Time-sorted reference-format CSV log at
+    ``<output_dir>/<job_name>-log.out`` (/root/reference/Scheduler.cc:75)."""
+    import os
+
     os.makedirs(output_dir, exist_ok=True)
-    log_path = os.path.join(output_dir, f"{job_name}-log.out")
-    with open(log_path, "w") as fh:
+    with open(os.path.join(output_dir, f"{job_name}-log.out"), "w") as fh:
         for ts, body in sorted(lines, key=lambda x: x[0]):
             fh.write(f"{ts},{body}\n")
-    return reduced
 
 
 def _scala_seq(seq) -> list:
@@ -360,10 +367,5 @@ def run_listener_logged_wordcount(
         lines.append((t["launch_ms"], f"Dispatch_ReduceTask,{t['index'] + 1},{rank}"))
         lines.append((t["end_ms"], f"Complete_ReduceTask,{t['index'] + 1},{exe_s}"))
     lines.append((_now_ms(), f"FinishJob,{int(time.monotonic() - t_job)}"))
-
-    os.makedirs(output_dir, exist_ok=True)
-    log_path = os.path.join(output_dir, f"{job_name}-log.out")
-    with open(log_path, "w") as fh:
-        for ts, body in sorted(lines, key=lambda x: x[0]):
-            fh.write(f"{ts},{body}\n")
+    _write_log(output_dir, job_name, lines)
     return files

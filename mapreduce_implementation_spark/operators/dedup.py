@@ -193,6 +193,32 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _validate_minhash_bands(k: int, bands: int, rows: int) -> None:
+    if bands * rows != k:
+        raise ValueError(
+            f"signature length must equal bands*rows ({bands}*{rows} != {k}): "
+            "a mismatch would silently slice wrong band boundaries"
+        )
+
+
+def _minhash_banded(sigs: DataFrame, out_id: str, bands: int, rows: int) -> DataFrame:
+    """Band-exploded projection shared by the in-set and cross-set
+    MinHash miners: one (id, band_id, band_hash) row per band; NULL
+    signatures (shingle-less docs) drop here."""
+    return (
+        sigs.where(F.col("sig").isNotNull())
+        .select(
+            F.col("doc_id").alias(out_id),
+            F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b"),
+        )
+        .select(
+            out_id,
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+    )
+
+
 def cap_buckets(
     df: DataFrame, part_cols: tuple[str, ...], max_bucket: int | None
 ) -> DataFrame:
@@ -299,23 +325,18 @@ def minhash_near_dup_pairs(
     the chain is computed here and session-cached as a small-scale
     stand-in (released by the next registry query via
     caching.release_caches)."""
-    if bands * rows != k:
-        raise ValueError(
-            f"signature length must equal bands*rows ({bands}*{rows} != {k}): "
-            "a mismatch would silently slice wrong band boundaries"
-        )
+    _validate_minhash_bands(k, bands, rows)
     if signatures is None:
         sigs = track_cache(
             minhash_signatures(df, id_col, text_col, shingle_n=shingle_n, k=k)
         )
     else:
         sigs = signatures
-    # Filtering ABOVE the cached frame is pushdown-safe: cache
-    # substitution (InMemoryRelation) happens before the optimizer, so
-    # this filter lands on the cache scan, not the raw text scan.
-    banded = sigs.where(F.col("sig").isNotNull()).select(
-        "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
-    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    # The banded projection filters NULL sigs ABOVE the cached frame —
+    # pushdown-safe: cache substitution (InMemoryRelation) happens
+    # before the optimizer, so the filter lands on the cache scan, not
+    # the raw text scan.
+    banded = _minhash_banded(sigs, "doc_id", bands, rows)
     banded = cap_buckets(banded, ("band_id", "band_hash"), max_bucket)
     left = banded.alias("a")
     right = banded.alias("b")
@@ -732,6 +753,17 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(None).cast("double"))
 
 
+def _validate_simhash_blocking(n_bits: int, bands: int, max_hamming: int) -> None:
+    if n_bits % bands != 0:
+        raise ValueError(f"bands must divide n_bits, got {bands}/{n_bits}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming {max_hamming} > bands-1 {bands - 1}: the band "
+            "blocking would MISS qualifying pairs; raise bands or lower "
+            "max_hamming"
+        )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -763,14 +795,7 @@ def simhash_near_dup_pairs(
     One shuffle (the band self-join); signatures are scan-side or a
     precomputed/materialized table via ``signatures``
     (DataFrame[id_col, simhash])."""
-    if n_bits % bands != 0:
-        raise ValueError(f"bands must divide n_bits, got {bands}/{n_bits}")
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"max_hamming {max_hamming} > bands-1 {bands - 1}: the band "
-            "blocking would MISS qualifying pairs; raise bands or lower "
-            "max_hamming"
-        )
+    _validate_simhash_blocking(n_bits, bands, max_hamming)
     if signatures is None:
         sigs = track_cache(
             spread(df.select(id_col, text_col))
@@ -888,29 +913,13 @@ def minhash_cross_near_dup(
     ``max_bucket`` caps REFERENCE bucket size (a degenerate reference
     cohort — boilerplate docs — would multiply every matching new doc
     by the whole cohort)."""
-    if bands * rows != k:
-        raise ValueError(
-            f"signature length must equal bands*rows ({bands}*{rows} != {k}): "
-            "a mismatch would silently slice wrong band boundaries"
-        )
-
-    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
-        return (
-            sigs.where(F.col("sig").isNotNull())
-            .select(
-                F.col("doc_id").alias(out_id),
-                F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b"),
-            )
-            .select(
-                out_id,
-                F.col("b.band_id").alias("band_id"),
-                F.col("b.band_hash").alias("band_hash"),
-            )
-        )
-
-    bn = banded(new_sigs, "new_id")
-    br = banded(ref_sigs, "ref_id")
-    br = cap_buckets(br, ("band_id", "band_hash"), max_bucket)
+    _validate_minhash_bands(k, bands, rows)
+    bn = _minhash_banded(new_sigs, "new_id", bands, rows)
+    br = cap_buckets(
+        _minhash_banded(ref_sigs, "ref_id", bands, rows),
+        ("band_id", "band_hash"),
+        max_bucket,
+    )
     cand = (
         bn.join(br, ["band_id", "band_hash"])
         .select("new_id", "ref_id")
@@ -962,14 +971,7 @@ def simhash_cross_near_dup(
 
     Returns DataFrame[new_id, ref_id, hamming]; a new doc with no
     qualifying row is genuinely novel."""
-    if n_bits % bands != 0:
-        raise ValueError(f"bands must divide n_bits, got {bands}/{n_bits}")
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"max_hamming {max_hamming} > bands-1 {bands - 1}: the band "
-            "blocking would MISS qualifying pairs; raise bands or lower "
-            "max_hamming"
-        )
+    _validate_simhash_blocking(n_bits, bands, max_hamming)
     bn = _simhash_banded(
         new_sigs, id_col, sig_col, "new_id", n_bits, bands
     ).alias("a")
