@@ -1,0 +1,71 @@
+"""Batch-inference plumbing (operators/inference.py): partition-scoped
+model lifecycle, Arrow batching, deterministic replay, and composition
+with the similarity operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators.inference import (
+    _stub_model,
+    embed_documents,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, f"doc number {i} with shared words and token{i % 5}") for i in range(40)]
+    rows.append((100, None))  # NULL text embeds as the zero vector
+    rows.append((101, "doc number 7 with shared words and token2"))  # dup text of 7
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_embeddings_deterministic_and_replayable(spark, docs):
+    """Same text → same vector across runs AND layouts, vectors match a
+    pure-Python replay of the stub, unit-norm (or zero for empty)."""
+    out1 = {r.doc_id: r.embedding for r in embed_documents(docs, dim=8).collect()}
+    out2 = {
+        r.doc_id: r.embedding
+        for r in embed_documents(docs.repartition(7), dim=8).collect()
+    }
+    assert out1 == out2
+    assert out1[7] == out1[101]  # identical text, identical vector
+    assert out1[100] == [0.0] * 8  # NULL text → zero vector
+
+    ref = _stub_model(8)(["doc number 3 with shared words and token3"])[0]
+    assert out1[3] == pytest.approx(ref, abs=1e-6)
+    norm = math.sqrt(sum(x * x for x in out1[3]))
+    assert norm == pytest.approx(1.0, abs=1e-5)
+
+
+def test_model_loads_once_per_partition_not_per_batch(spark, docs):
+    """The load-count contract: with Arrow batches forced tiny (many
+    batches per partition), the model must still load exactly once per
+    partition."""
+    acc = spark.sparkContext.accumulator(0)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        df = docs.repartition(4)
+        embed_documents(df, dim=4, load_counter=acc).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # 42 rows / 4 partitions at 3 rows per Arrow batch = ~14 batches;
+    # loads must equal PARTITIONS (4), not batches
+    assert acc.value == 4, acc.value
+
+
+def test_embeddings_compose_with_similarity_search(spark, docs):
+    """The output schema matches the embeddings table contract: the
+    brute-force ANN operator consumes it directly, and the duplicated
+    text is its twin's nearest neighbor with cosine 1."""
+    from mapreduce_implementation_spark.operators import similarity as sim
+
+    emb = embed_documents(docs.where(F.col("text").isNotNull()), dim=8)
+    emb = emb.withColumnRenamed("doc_id", "vec_id")
+    queries = emb.where(F.col("vec_id") == 101)
+    top = sim.brute_force_topk(emb, queries, k=1).collect()[0]
+    assert top.vec_id == 7 and float(top.cos_sim) == pytest.approx(1.0, abs=1e-4)
