@@ -34,6 +34,25 @@ def test_registry_plan_is_clean(spark, name):
     )
 
 
+def _demoted_fns():
+    from tests.test_demoted_oracles import DEMOTED
+
+    return [fn for fn, _ in DEMOTED]
+
+
+@pytest.mark.parametrize(
+    "fn", _demoted_fns(), ids=lambda f: getattr(f, "__name__", "")
+)
+def test_demoted_plan_is_clean(spark, fn):
+    """The pytest-parity queries get the same lint as the registry."""
+    findings = set(audit_plan(fn(spark, SF)))
+    allowed = WHITELIST.get(fn.__name__, set())
+    assert findings <= allowed, (
+        f"{fn.__name__}: unexpected plan anti-patterns "
+        f"{sorted(findings - allowed)}"
+    )
+
+
 def test_detectors_fire_on_known_bad_plans(spark):
     """Each detector must actually detect its pattern — audited on
     constructed plans, so a silent regex rot can't hollow the sweep."""
