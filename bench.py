@@ -281,6 +281,20 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
             materialize(duplicate_span_stats(docs, n=20))
             best = min(best, time.perf_counter() - t0)
         warm["duplicate_span_stats"] = round(best, 3)
+
+        # Batch-inference plumbing: stub-encoder embedding of the full
+        # corpus (model-per-partition mapInPandas) — the Python-side
+        # throughput floor a real encoder's Spark plumbing inherits.
+        from mapreduce_implementation_spark.operators.inference import (
+            embed_documents,
+        )
+
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(embed_documents(docs, dim=16))
+            best = min(best, time.perf_counter() - t0)
+        warm["embed_documents_stub16"] = round(best, 3)
     return warm
 
 

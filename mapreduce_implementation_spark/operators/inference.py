@@ -49,14 +49,19 @@ def _stub_model(dim: int) -> Callable[[list[str]], list[list[float]]]:
     document is the L2-normalized mean of its token vectors (the
     classic bag-of-embeddings baseline). Zero-token docs embed as the
     zero vector. Pure stdlib — ships by value to executors."""
+    import functools
     import hashlib
 
-    def token_vec(tok: str) -> list[float]:
+    # memoized per model instance (= per partition): a token's vector
+    # is recomputed once per DISTINCT token, not once per occurrence —
+    # the same economy a real tokenizer's vocab table gives
+    @functools.lru_cache(maxsize=1 << 16)
+    def token_vec(tok: str) -> tuple[float, ...]:
         out = []
         for i in range(dim):
             h = hashlib.md5(f"{tok}:{i}".encode()).hexdigest()[:8]
             out.append(int(h, 16) / 0xFFFFFFFF * 2.0 - 1.0)
-        return out
+        return tuple(out)
 
     def encode(texts: list[str]) -> list[list[float]]:
         vecs = []
@@ -128,4 +133,8 @@ def embed_documents(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(batches, schema)
+    # spread(): Python inference is the textbook expression-heavy stage
+    # a thin scan would serialize onto a few cores (operators/dedup)
+    from mapreduce_implementation_spark.operators.dedup import spread
+
+    return spread(docs.select(id_col, text_col)).mapInPandas(batches, schema)
