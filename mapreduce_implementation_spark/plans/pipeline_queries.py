@@ -415,11 +415,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Substring-level self-duplication (operators/contamination.
-# duplicate_span_stats) — pytest parity gate (tests/test_demoted_oracles:
-# the 50 registry slots are all taken by non-overlapping operators).
-# The oracle groups by the SPAN STRING where the Spark plan groups by
-# xxhash64(span) — an independent formulation; agreement also certifies
-# the hash carried no collision on this corpus.
+# duplicate_span_stats) — REGISTRY slot (promoted round 8, taking
+# filter_pushdown_scan's slot: that query's whole point is the plan
+# shape, gated directly in tests/test_plans.py, and its values are a
+# trivial filter — pytest parity keeps it honest). The oracle groups by
+# the SPAN STRING where the Spark plan groups by xxhash64(span) — an
+# independent formulation; agreement also certifies the hash carried
+# no collision on this corpus.
 
 SPAN_N = 20
 
@@ -446,9 +448,12 @@ DUP_SPAN_ORACLE = f"""
 """
 
 
+@register("duplicate_ngram_spans", tables=("documents",), oracle=DUP_SPAN_ORACLE)
 def duplicate_span_stats_parity(spark, sf_dir):
     """Per-doc fraction of distinct 20-word spans appearing verbatim in
-    another document (the substring-dedup signal)."""
+    another document (the substring-dedup signal — hashed spans, one
+    window-counted shuffle, single corpus pass; operators/
+    contamination.duplicate_span_stats)."""
     from mapreduce_implementation_spark.operators.contamination import (
         duplicate_span_stats,
     )

@@ -393,15 +393,17 @@ def topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "filter_pushdown_scan",
-    tables=("lineitem",),
-    oracle="""
+# Demoted round 8 (slot given to duplicate_span_stats — the substring-
+# level dedup signal; this query's whole point is the PLAN shape, which
+# tests/test_plans.py gates directly, and its values are a trivial
+# filter); pytest parity via tests/test_demoted_oracles.py.
+FILTER_PUSHDOWN_ORACLE = """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         FROM lineitem
         WHERE l_quantity >= 45 AND l_returnflag = 'R'
-    """,
-)
+    """
+
+
 def filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection+selection straight on the scan: both predicates and the
     4-column ReadSchema reach the parquet reader (verified in

@@ -26,8 +26,8 @@ DEMOTED = [
     (rq.cube_lineitem_flags, rq.CUBE_LINEITEM_ORACLE),
     (rq.set_ops_customer_cohorts, rq.SET_OPS_ORACLE),
     (tq.corpus_stats_by_lang, tq.CORPUS_STATS_ORACLE),
-    (pq.duplicate_span_stats_parity, pq.DUP_SPAN_ORACLE),
     (pq.stratified_fixed_n_parity, pq.STRATIFIED_FIXED_N_ORACLE),
+    (rq.filter_pushdown_scan, rq.FILTER_PUSHDOWN_ORACLE),
 ]
 
 

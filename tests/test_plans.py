@@ -14,7 +14,11 @@ def explain_str(df) -> str:
 
 
 def test_filter_pushdown_reaches_scan(spark, oracle_sf_dir):
-    df = all_queries()["filter_pushdown_scan"].fn(spark, oracle_sf_dir)
+    from mapreduce_implementation_spark.plans.relational_queries import (
+        filter_pushdown_scan,
+    )
+
+    df = filter_pushdown_scan(spark, oracle_sf_dir)
     plan = explain_str(df)
     assert "PushedFilters: [" in plan
     assert "IsNotNull(l_quantity)" in plan or "GreaterThanOrEqual(l_quantity" in plan, plan
