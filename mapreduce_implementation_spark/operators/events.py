@@ -55,7 +55,10 @@ def sliding_buckets(ts: Column | str, width_s: int, step_s: int) -> Column:
     """Array of window starts containing ``ts`` for a sliding window of
     ``width_s`` sliding by ``step_s`` (width must be a multiple of step).
     Explode BEFORE aggregating — each event lands in width/step buckets."""
-    assert width_s % step_s == 0, "width must be a multiple of step"
+    if width_s % step_s != 0:
+        raise ValueError(
+            f"width must be a multiple of step, got {width_s}/{step_s}"
+        )
     e = epoch_s(ts)
     first = (F.floor((e - F.lit(width_s - step_s)) / F.lit(step_s)) * step_s).cast("long")
     n = width_s // step_s
@@ -114,7 +117,8 @@ def range_join(
     ``l_`` where they collide.
     """
     span = hi_s - lo_s
-    assert span >= 0, "hi_s must be >= lo_s"
+    if span < 0:
+        raise ValueError(f"hi_s must be >= lo_s, got [{lo_s}, {hi_s}]")
     b = bucket_s or max(span, 1)
     lts, rts = F.col(f"l.{left_ts_s}"), F.col(f"r.{right_ts_s}")
     lo_bucket = F.floor((F.col(left_ts_s) + lo_s) / b).cast("long")

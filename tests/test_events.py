@@ -181,3 +181,21 @@ class TestFunnel:
             funnel(df, ["a", "a"], 10)
         with pytest.raises(ValueError):
             funnel(df, ["a", "b"], 0)
+
+
+def test_window_param_validation_raises_not_asserts(spark):
+    """ValueError (not assert, which -O strips) on invalid window
+    params — same hardening as the miner band checks (advisor r7)."""
+    import pytest as _pytest
+
+    from mapreduce_implementation_spark.operators.events import (
+        range_join,
+        sliding_buckets,
+    )
+
+    with _pytest.raises(ValueError, match="multiple of step"):
+        sliding_buckets("ts", width_s=10, step_s=3)
+    df = spark.createDataFrame([(1, 1)], "user_id long, t long")
+    with _pytest.raises(ValueError, match="hi_s must be >="):
+        range_join(df, df, key="user_id", left_ts_s="t", right_ts_s="t",
+                   lo_s=5, hi_s=1)
