@@ -295,7 +295,17 @@ def run_listener_logged_wordcount(
         sinfo = tracker.getStageInfo(sid)
         if sinfo is None or sinfo.numCompletedTasks == 0:
             continue  # skipped / reused stages hold no tasks
+        # AppStatusListener populates the store ASYNCHRONOUSLY on the
+        # listener bus: right after the write action returns, task rows
+        # can lag behind job completion (especially under load). Poll
+        # briefly before concluding anything is missing, so the
+        # retention refusal below only fires on genuine eviction, not
+        # bus lag.
+        deadline = time.monotonic() + 5.0
         rows = _task_rows(store, sid, sinfo.currentAttemptId)
+        while len(rows) < sinfo.numTasks and time.monotonic() < deadline:
+            time.sleep(0.05)
+            rows = _task_rows(store, sid, sinfo.currentAttemptId)
         if len(rows) < sinfo.numTasks:
             # AppStatusStore retention (spark.ui.retainedTasks) evicted
             # task rows — a per-task log reconstructed from a subset

@@ -79,3 +79,32 @@ def test_detectors_fire_on_known_bad_plans(spark):
     assert "global-sort" not in audit_plan(h.orderBy("k").limit(5))
     # sortWithinPartitions is the sanctioned sort
     assert "global-sort" not in audit_plan(h.sortWithinPartitions("k"))
+
+
+def test_tree_and_text_paths_both_fire(spark):
+    """audit_plan walks the physical-plan TREE (SortExec.global via
+    Py4J) with the formatted-text regex as a version-drift fallback.
+    Pin BOTH paths independently: if the tree walk starts throwing (a
+    renamed accessor on a Spark bump), audit_plan would silently fall
+    back and this test's direct _audit_plan_tree call fails loudly;
+    if the explain format drifts, the _audit_plan_text assertions
+    fail."""
+    from mapreduce_implementation_spark.plans.audit import (
+        _audit_plan_text,
+        _audit_plan_tree,
+    )
+
+    a = spark.range(100).withColumnRenamed("id", "x")
+    h = a.withColumn("k", F.pmod(F.col("x") * 37, F.lit(11)))
+    for impl in (_audit_plan_tree, _audit_plan_text):
+        assert "global-sort" in impl(h.orderBy("k")), impl.__name__
+        assert "global-sort" not in impl(h.orderBy("k").limit(5)), impl.__name__
+    b = spark.range(100).withColumnRenamed("id", "y")
+    nl = a.join(b, F.col("x") < F.col("y"))
+    for impl in (_audit_plan_tree, _audit_plan_text):
+        assert "nested-loop" in impl(nl), impl.__name__
+    # the tree walk sees the RUNTIME plan: a sort AQE's
+    # RemoveRedundantSorts eliminates (range() is already id-ascending)
+    # must NOT be flagged — the regex over the initial formatted plan
+    # is the stricter, pre-optimization view
+    assert "global-sort" not in _audit_plan_tree(a.orderBy("x"))
