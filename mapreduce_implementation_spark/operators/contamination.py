@@ -95,22 +95,35 @@ def duplicate_span_stats(
     docs shorter than ``n`` tokens have no spans and yield no row.
 
     Scale shape (the self-corpus twist on ngram_contamination — here
-    NEITHER side is broadcastable):
+    NEITHER side is broadcastable). Every shuffle is a partial-agg
+    hash aggregation — NO window over the span hash, so a hot span
+    (boilerplate held by millions of docs) is map-side combined like
+    any other group instead of landing on one spilling window task
+    (the round-8 verdict's single-task ceiling, removed round 9):
 
     * explode distinct per-doc spans, hash each span to 64-bit
       (xxhash64 — the span STRING never enters a shuffle; 20-word
       spans are hundreds of bytes, the hash is 8);
-    * holder count per span as a WINDOW count over the span hash — ONE
-      shuffle and ONE tokenize/explode pass. The tempting
-      groupBy(h)+join-back is NOT a second option here: Catalyst
-      prunes doc_id out of the count branch, the two subplans stop
-      being identical, no ReusedExchange is planned, and the corpus is
-      tokenized and exploded TWICE (verified on the physical plan,
-      tests/test_contamination.py pins the single-scan shape). A hot
-      span (boilerplate held by millions of docs) makes one spilling
-      window group — the same bounded failure mode as cap_buckets'
-      bucket-count window, and far cheaper than a second corpus pass;
-    * final skew-free groupBy on the doc id.
+    * ``groupBy(h)`` → (holder count, ``min(id)``): partial agg
+      absorbs hot spans map-side. Spans are DISTINCT per doc
+      (shingles = array_distinct), so count == #holder docs and a
+      count-1 group's ``min(id)`` IS its only holder — per-doc unique
+      counts come from a second tiny skew-free agg over those rows;
+    * per-doc totals as ``spans.groupBy(id).count()`` — a SECOND
+      tokenize+explode pass over the 2-column pruned scan, but
+      map-side combined down to doc-cardinality before its shuffle
+      (Spark plans no ReusedExchange across DataFrame branches, so
+      EVERY two-branch formulation scans twice; the alternatives are
+      the round-8 window — single pass, hot-span single-task ceiling
+      — or materializing the corpus-scale span table, which trades
+      the second tokenize CPU for a corpus-scale parquet write+read).
+      The rejected-for-good-reason middle ground (groupBy + join-back
+      of counts onto the exploded rows) ALSO tokenizes twice AND
+      shuffles corpus-scale rows on the skewed span hash — strictly
+      worse;
+    * dup spans per doc = n_spans − unique spans (complement — exact,
+      because spans are per-doc distinct); final doc-keyed join of two
+      doc-cardinality frames, skew-free.
 
     Collision note: a 64-bit hash pairs unrelated spans with ~n²/2⁶⁵
     probability — at 10¹² spans that is a handful of FALSE dup marks,
@@ -118,19 +131,30 @@ def duplicate_span_stats(
     md5 hex the other miners use if exactness ever matters)."""
     if n < 2:
         raise ValueError(f"n must be >= 2 for span stats, got {n}")
-    from pyspark.sql.window import Window
-
-    spans = spread(docs).select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("span")
+    sp = shingles(text_col, n)
+    base = spread(docs)
+    spans = base.select(
+        F.col(id_col), F.explode(sp).alias("span")
     ).select(F.col(id_col), F.xxhash64("span").alias("h"))
-    counted = spans.withColumn(
-        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    per_span = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("only_doc")
+    )
+    uniq_per_doc = (
+        per_span.filter(F.col("cnt") == 1)
+        .groupBy(F.col("only_doc").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
+    )
+    doc_sizes = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans")
     )
     return (
-        counted.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_dup_spans"),
+        doc_sizes.join(uniq_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_spans"),
+            (
+                F.col("n_spans") - F.coalesce(F.col("n_uniq"), F.lit(0))
+            ).alias("n_dup_spans"),
         )
         .withColumn("dup_span_frac", F.col("n_dup_spans") / F.col("n_spans"))
     )

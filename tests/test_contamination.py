@@ -95,12 +95,14 @@ def test_duplicate_span_stats_finds_shared_spans(spark):
         duplicate_span_stats(docs, n=1)
 
 
-def test_duplicate_span_stats_single_pass(spark):
-    """The expensive tokenize+explode must run ONCE: one parquet scan
-    of documents, holder counts via the span-hash window (a
-    groupBy+join-back formulation loses exchange reuse to column
-    pruning and tokenizes the corpus twice — the plan this test keeps
-    out)."""
+def test_duplicate_span_stats_plan_shape(spark):
+    """There must be NO window over the span hash: holder counts are
+    a partial-agg groupBy, so a hot span is map-side combined instead
+    of forming one spilling window task (the round-8 single-task
+    ceiling). Two scan+explode branches are EXPECTED — Spark plans no
+    ReusedExchange across DataFrame branches, so the per-doc totals
+    branch re-tokenizes the 2-column pruned scan (the operator
+    docstring argues the trade)."""
     from mapreduce_implementation_spark.operators.contamination import (
         duplicate_span_stats,
     )
@@ -111,7 +113,34 @@ def test_duplicate_span_stats_single_pass(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    # formatted explain lists each node twice (tree + details), so one
-    # physical scan node == exactly two string occurrences
-    assert plan.count("Scan parquet") == 2, plan
-    assert "Window" in plan, plan
+    # "Scan parquet" appears in the tree line AND the details header
+    # (2 per node); "(n) Generate" only in the details header (1 per
+    # node)
+    assert plan.count("Scan parquet") == 4, plan  # two branches
+    assert plan.count(") Generate") == 2, plan  # one explode per branch
+    assert "Window" not in plan, plan  # no hot-key single-task ceiling
+
+
+def test_duplicate_span_stats_planted_hot_span(spark):
+    """A universal span (held by EVERY doc) — the skew case the
+    partial-agg formulation exists for — still produces exact per-doc
+    counts: each doc has the shared passage's spans as dups and its
+    own filler as unique."""
+    from mapreduce_implementation_spark.operators.contamination import (
+        duplicate_span_stats,
+    )
+
+    passage = " ".join(f"hot{i}" for i in range(20))  # exactly one 20-gram
+    rows = [
+        (i, passage + " " + " ".join(f"d{i}w{j}" for j in range(20)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_span_stats(docs, n=20).collect()
+    assert len(out) == 200
+    for r in out:
+        # 40 tokens -> 21 spans; every span touching a private word is
+        # unique to its doc — only the pure-hot-passage span is shared
+        assert r.n_spans == 21, r
+        assert r.n_dup_spans == 1, r
+        assert abs(r.dup_span_frac - 1 / 21) < 1e-12
