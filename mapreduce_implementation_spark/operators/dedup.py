@@ -65,25 +65,41 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         files = []
     if not files:
         # no file-source scan in the plan. Repartition ONLY when the
-        # source is a driver-local relation (createDataFrame test
-        # frames — provably tiny); an unknown no-file source (DSv2
-        # table, JDBC, foreachBatch frame) may be the whole corpus, and
-        # a spurious round-robin exchange of raw text is the worse
-        # failure — skip, per the conservative rule above. The probe
-        # inspects the OPTIMIZED plan ROOT (ConvertToLocalRelation
-        # collapses projections over a LocalRelation into it), so a
-        # big plan that merely JOINS a LocalRelation branch never
-        # matches; the private _jdf accessor is guarded — under Spark
-        # Connect (no _jdf) fall back to the conservative no-exchange
-        # path.
+        # source is driver-local (createDataFrame test frames —
+        # provably tiny); an unknown no-file source (DSv2 table, JDBC,
+        # foreachBatch frame) may be the whole corpus, and a spurious
+        # round-robin exchange of raw text is the worse failure —
+        # skip, per the conservative rule above. Probe: every LEAF of
+        # the optimized logical plan is a LocalRelation/OneRowRelation
+        # — then ALL data is driver-held regardless of what sits above
+        # it (projections ConvertToLocalRelation cannot collapse —
+        # non-deterministic exprs, Python UDFs, mapInPandas — or even
+        # a self-join of local frames), while a plan that joins a
+        # LocalRelation branch to any real source has a non-local leaf
+        # and never matches. The round-8 ROOT-string probe missed the
+        # non-collapsible-projection cases and silently serialized
+        # their expression work (round-8 ADVICE). The private _jdf
+        # accessor is guarded — under Spark Connect (no _jdf) fall
+        # back to the conservative no-exchange path.
         try:
-            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            stack = [df._jdf.queryExecution().optimizedPlan()]
+            saw_leaf = False
+            while stack:
+                node = stack.pop()
+                children = node.children()
+                n = children.size()
+                if n == 0:
+                    saw_leaf = True
+                    # case-object leaves (OneRowRelation) carry a $
+                    if not node.getClass().getSimpleName().startswith(
+                        ("LocalRelation", "OneRowRelation")
+                    ):
+                        return df
+                for i in range(n):
+                    stack.append(children.apply(i))
         except Exception:
             return df
-        root = plan.lstrip().split("\n", 1)[0]
-        if root.startswith(("LocalRelation", "OneRowRelation")):
-            return df.repartition(target)
-        return df
+        return df.repartition(target) if saw_leaf else df
     if len(files) >= target:
         return df
     est_splits = _estimate_scan_splits(df.sparkSession, files)
@@ -219,13 +235,26 @@ def _minhash_banded(sigs: DataFrame, out_id: str, bands: int, rows: int) -> Data
     )
 
 
+# Default LSH-bucket cap for every pair miner. A bucket of B members
+# yields ~B²/2 candidate pairs, so 1000 bounds any single cohort at
+# ~500k pairs — large enough that genuine near-dup clusters (tens to
+# hundreds of members in web corpora) are untouched, small enough that
+# a boilerplate cohort cannot square (the round-8 measured case: a
+# 2.0M-pair cohort square took 401.6s uncapped vs 6.3s at max_bucket
+# =100 — BASELINE.md). Callers doing oracle-exact parity pass
+# ``max_bucket=None`` EXPLICITLY (the registry rows do); a 100 TB
+# caller on defaults gets the capped shape.
+DEFAULT_MAX_BUCKET = 1000
+
+
 def cap_buckets(
     df: DataFrame, part_cols: tuple[str, ...], max_bucket: int | None
 ) -> DataFrame:
     """Drop rows in LSH buckets larger than ``max_bucket`` — the
     boilerplate-cohort guard shared by every banded pair miner (a band
     value shared by a degenerate cohort would square that bucket).
-    No-op when ``max_bucket`` is None."""
+    No-op when ``max_bucket`` is None (the explicit opt-out; miners
+    default to DEFAULT_MAX_BUCKET)."""
     if max_bucket is None:
         return df
     from pyspark.sql.window import Window
@@ -309,7 +338,7 @@ def minhash_near_dup_pairs(
     bands: int = 4,
     rows: int = 4,
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
     signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
@@ -579,7 +608,7 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
     n_fingerprints: int = 1,
     fingerprint=None,
 ) -> DataFrame:
@@ -772,7 +801,7 @@ def simhash_near_dup_pairs(
     n_bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
     signatures: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded Hamming-LSH — the
@@ -895,7 +924,7 @@ def minhash_cross_near_dup(
     bands: int = 4,
     rows: int = 4,
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN two signature sets — the incremental-
     ingest shape: which NEW documents near-duplicate the EXISTING
@@ -948,7 +977,7 @@ def simhash_cross_near_dup(
     n_bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
     id_col: str = "doc_id",
     sig_col: str = "simhash",
 ) -> DataFrame:

@@ -28,7 +28,10 @@ from mapreduce_implementation_spark.operators.chunking import (
     chunk_documents,
     keyed_chunks,
 )
-from mapreduce_implementation_spark.operators.dedup import exact_dedup
+from mapreduce_implementation_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET,
+    exact_dedup,
+)
 from mapreduce_implementation_spark.operators.packing import (
     pack_greedy,
     pack_stats,
@@ -81,8 +84,10 @@ class CorpusPipelineConfig:
     near_dup_rows: int = 4
     near_dup_shingle_n: int = 3
     # boilerplate-cohort cap for the LSH buckets (operators/dedup
-    # cap_buckets); None keeps all buckets — at 100 TB always set it
-    near_dup_max_bucket: int | None = None
+    # cap_buckets); finite by default (DEFAULT_MAX_BUCKET rationale in
+    # operators/dedup.py) — None is the explicit keep-every-bucket
+    # opt-out for oracle-exact parity runs
+    near_dup_max_bucket: int | None = DEFAULT_MAX_BUCKET
     split_weights: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.9, "holdout": 0.1}
     )
@@ -314,9 +319,14 @@ def build_drop_list(
       "survivor" and mislabel the rest ``exact_dup``);
     * ``exact_dup`` — another doc has identical normalized content and
       a smaller id (the survivor stays);
-    * ``near_dup`` — the doc is the larger id of a supplied near-dup
-      pair (``near_dup_pairs``: DataFrame[doc_a, doc_b, ...] from any
-      of the pair miners — MinHash, SimHash, n-gram, embedding);
+    * ``near_dup`` — the doc is a non-minimum member of a connected
+      component of the supplied near-dup pair graph
+      (``near_dup_pairs``: DataFrame[doc_a, doc_b, ...] from any of
+      the pair miners — MinHash, SimHash, n-gram, embedding). CLUSTER
+      semantics, exactly matching build_training_corpus's keep-the-
+      cluster-min rule: for pairs {(1,3),(2,3)} docs 2 AND 3 are
+      tagged (pair semantics would tag only 3 and under-report what
+      the corpus build excluded — the round-8 ADVICE divergence);
     * ``low_quality`` / ``repetitive`` — the quality floor / repetition
       cap, same expressions as quality_gate;
     * ``contaminated`` — distinct-n-gram overlap with ``benchmark``
@@ -340,7 +350,10 @@ def build_drop_list(
     from mapreduce_implementation_spark.operators.contamination import (
         ngram_contamination,
     )
-    from mapreduce_implementation_spark.operators.dedup import exact_dedup
+    from mapreduce_implementation_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+    )
 
     def tagged(df: DataFrame, reason: str) -> DataFrame:
         return df.select(F.col(id_col), F.lit(reason).alias("reason"))
@@ -362,11 +375,15 @@ def build_drop_list(
         tagged(non_null.select(id_col).join(survivors, id_col, "anti"), "exact_dup")
     )
     if near_dup_pairs is not None:
+        # cluster semantics (connected components, drop non-min
+        # members) — the SAME rule build_training_corpus enforces, so
+        # the audit artifact reports exactly what the build excluded
+        cc = connected_components(near_dup_pairs)
         parts.append(
             tagged(
-                near_dup_pairs.select(
-                    F.greatest(F.col("doc_a"), F.col("doc_b")).alias(id_col)
-                ).distinct(),
+                cc.where(F.col("doc_id") != F.col("cluster_id")).select(
+                    F.col("doc_id").alias(id_col)
+                ),
                 "near_dup",
             )
         )

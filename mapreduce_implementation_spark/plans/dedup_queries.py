@@ -237,7 +237,8 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash_signatures moved to the pytest gate."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_near_dup_pairs(
-        docs, "doc_id", "text", n_bits=64, bands=4, max_hamming=3
+        docs, "doc_id", "text", n_bits=64, bands=4, max_hamming=3,
+        max_bucket=None,  # oracle sees every bucket (explicit opt-out)
     )
 
 

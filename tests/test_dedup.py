@@ -59,6 +59,48 @@ def test_minhash_bucket_cap_drops_boilerplate(spark):
     assert capped == []  # the 20-doc boilerplate bucket is skipped
 
 
+def test_default_max_bucket_is_finite(spark):
+    """A 100 TB caller on DEFAULTS must get the capped shape (round-8
+    verdict: defaults were None, so the cohort square was one forgotten
+    kwarg away). A cohort LARGER than DEFAULT_MAX_BUCKET yields no
+    pairs under defaults; a small cohort is untouched (the cap only
+    bites degenerate buckets)."""
+    assert dd.DEFAULT_MAX_BUCKET is not None and dd.DEFAULT_MAX_BUCKET > 0
+    import inspect
+
+    for miner in (
+        dd.minhash_near_dup_pairs,
+        dd.simhash_near_dup_pairs,
+        dd.ngram_jaccard_pairs,
+        dd.minhash_cross_near_dup,
+        dd.simhash_cross_near_dup,
+    ):
+        sig = inspect.signature(miner)
+        assert (
+            sig.parameters["max_bucket"].default == dd.DEFAULT_MAX_BUCKET
+        ), miner.__name__
+
+    big = spark.createDataFrame(
+        [(i, BASE) for i in range(dd.DEFAULT_MAX_BUCKET + 1)],
+        ["doc_id", "text"],
+    )
+    assert (
+        dd.minhash_near_dup_pairs(
+            big, "doc_id", "text", k=16, bands=4, rows=4, threshold=0.5
+        ).count()
+        == 0
+    )
+    small = spark.createDataFrame(
+        [(1, BASE), (2, BASE)], ["doc_id", "text"]
+    )
+    assert (
+        dd.minhash_near_dup_pairs(
+            small, "doc_id", "text", k=16, bands=4, rows=4, threshold=0.5
+        ).count()
+        == 1
+    )
+
+
 def test_simhash_hamming_ordering(spark, docs):
     sigs = {
         r.doc_id: r.sh
@@ -579,3 +621,29 @@ class TestSimhashCross:
             dd.simhash_cross_near_dup(sigs, sigs, bands=2, max_hamming=3)
         with pytest.raises(ValueError, match="divide"):
             dd.simhash_cross_near_dup(sigs, sigs, bands=5)
+
+
+def test_spread_leaf_probe(spark):
+    """spread()'s driver-local probe checks every LEAF of the optimized
+    plan, not the root string: projections ConvertToLocalRelation
+    cannot collapse into the LocalRelation (non-deterministic exprs,
+    mapInPandas) still widen, while any plan with a real-source leaf is
+    left alone (round-8 ADVICE: the root probe silently skipped the
+    non-collapsible cases and serialized their expression work)."""
+    target = spark.sparkContext.defaultParallelism
+    a = spark.createDataFrame([(i, "x") for i in range(10)], ["id", "t"])
+    assert dd.spread(a).rdd.getNumPartitions() >= min(target, 10)
+    # non-deterministic projection: root is Project, leaves are local
+    r = a.withColumn("r", F.rand(7))
+    assert dd.spread(r).rdd.getNumPartitions() >= min(target, 10)
+    # mapInPandas over a local frame: still provably tiny
+
+    def _ident(batches):
+        yield from batches
+
+    m = a.mapInPandas(_ident, "id long, t string")
+    assert dd.spread(m).rdd.getNumPartitions() >= min(target, 10)
+    # a non-local no-file leaf (Range) must NOT match the local path —
+    # unknown no-file sources may be corpus-sized (conservative rule)
+    rng = spark.range(10).withColumn("t", F.lit("x"))
+    assert dd.spread(rng) is rng
