@@ -209,6 +209,8 @@ def stratified_fixed_n(
     key_col: str = "doc_id",
     salt: str = "fixedn",
     method: str = "xxhash64",
+    *,
+    phase2_max_rows: int = 10_000_000,
 ) -> DataFrame:
     """EXACTLY ``n_per_stratum`` rows per stratum (or all rows of a
     smaller stratum), chosen deterministically — the "take 10k docs per
@@ -236,12 +238,24 @@ def stratified_fixed_n(
 
     The intermediate partition id never reaches the output, so the
     RESULT stays a pure function of keys — layout-independence is
-    pytest-pinned. Strata are assumed corpus-language-sized (dozens to
-    thousands); for a huge ``n_per_stratum`` on a massively-partitioned
-    scan note the phase-2 input is N × partitions per stratum —
-    still never more than phase 1's input. ``method="md5"`` makes
-    membership engine-portable (same contract as hash_bucket; DuckDB
-    twin pytest-gated in tests/test_demoted_oracles.py).
+    pytest-pinned. ``method="md5"`` makes membership engine-portable
+    (same contract as hash_bucket; DuckDB twin pytest-gated in
+    tests/test_demoted_oracles.py).
+
+    Phase-2 ceiling guard (round-8 verdict item): the final
+    per-stratum window sorts up to N × num_input_partitions survivor
+    rows in ONE task. When the cheap partition estimate says that
+    product exceeds ``phase2_max_rows`` (default 10⁷ — a comfortable
+    single-task sort), an INTERMEDIATE top-N level over
+    ``(stratum, _pid % g)`` with ``g = phase2_max_rows / N`` contracts
+    the survivors first, bounding the final input at ~phase2_max_rows
+    rows per stratum. The contraction keeps the superset property
+    (the global top-N per stratum is contained in any grouped union
+    of partial top-Ns), so results are bit-identical with or without
+    the extra level — the estimate only shapes the PLAN. One extra
+    level covers N × P up to ~phase2_max_rows²/N (10⁹ partitions at
+    N=10⁴); beyond that, lower n_per_stratum or raise the knob
+    consciously.
     """
     if n_per_stratum < 1:
         raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
@@ -251,12 +265,44 @@ def stratified_fixed_n(
     order = (F.col("_h").asc(), F.col(key_col).asc())
     w_part = Window.partitionBy(stratum_col, "_pid").orderBy(*order)
     w_full = Window.partitionBy(stratum_col).orderBy(*order)
-    return (
+    part1 = (
         df.withColumn("_h", h)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_prn", F.row_number().over(w_part))
         .where(F.col("_prn") <= n_per_stratum)
-        .withColumn("_rn", F.row_number().over(w_full))
+    )
+    if _estimated_partitions(df) * n_per_stratum > phase2_max_rows:
+        g = max(32, phase2_max_rows // n_per_stratum)
+        w_mid = Window.partitionBy(
+            stratum_col, F.pmod(F.col("_pid"), F.lit(g))
+        ).orderBy(*order)
+        part1 = part1.withColumn(
+            "_mrn", F.row_number().over(w_mid)
+        ).where(F.col("_mrn") <= n_per_stratum).drop("_mrn")
+    return (
+        part1.withColumn("_rn", F.row_number().over(w_full))
         .where(F.col("_rn") <= n_per_stratum)
         .drop("_h", "_pid", "_prn", "_rn")
     )
+
+
+def _estimated_partitions(df: DataFrame) -> int:
+    """Cheap scan-parallelism upper-bound estimate for the phase-2
+    guard: file-split arithmetic where the plan scans local files
+    (dedup._estimate_scan_splits — driver-side stats, no Spark job),
+    else the cluster's default parallelism. An underestimate only
+    skips the optional intermediate level (perf, never correctness)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        from mapreduce_implementation_spark.operators.dedup import (
+            _estimate_scan_splits,
+        )
+
+        est = _estimate_scan_splits(df.sparkSession, files)
+        if est is not None:
+            return max(est, len(files))
+        return len(files)
+    return df.sparkSession.sparkContext.defaultParallelism

@@ -352,3 +352,33 @@ def test_stratified_fixed_n_matches_python_reference(spark):
         ).collect()
     }
     assert got == exp_sel
+
+
+def test_stratified_fixed_n_phase2_guard(spark):
+    """When N x estimated-partitions exceeds phase2_max_rows, an
+    intermediate top-N level bounds the final window's input; results
+    are BIT-IDENTICAL with and without the guard (the contraction
+    preserves the per-stratum top-N superset property), and the
+    guarded plan carries one extra Window level."""
+    from mapreduce_implementation_spark.operators.sampling import (
+        stratified_fixed_n,
+    )
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string").repartition(16)
+
+    plain = stratified_fixed_n(df, "lang", 10)
+    # force the guard: tiny ceiling -> 16 partitions * 10 > 40
+    guarded = stratified_fixed_n(df, "lang", 10, phase2_max_rows=40)
+
+    def plan(d):
+        return d._sc._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted"
+        )
+
+    # exact node-header match: WindowGroupLimit also contains "Window"
+    assert plan(guarded).count(") Window\n") == plan(plain).count(") Window\n") + 1
+    got_p = sorted((r.lang, r.doc_id) for r in plain.collect())
+    got_g = sorted((r.lang, r.doc_id) for r in guarded.collect())
+    assert got_p == got_g
+    assert len(got_g) == 30
