@@ -242,6 +242,26 @@ def test_build_drop_list_reasons(spark):
     assert "contaminated" in reasons.get(6, set()) or "contaminated" in reasons.get(2, set())
 
 
+def test_build_drop_list_near_dup_cluster_semantics(spark):
+    """near_dup uses CLUSTER semantics matching build_training_corpus:
+    for pairs {(1,3),(2,3)} the component is {1,2,3} with min 1, so
+    docs 2 AND 3 are tagged — pair semantics (larger id per pair) would
+    tag only 3 and under-report what the corpus build excluded (the
+    round-8 ADVICE divergence)."""
+    from mapreduce_implementation_spark.operators.pipeline import (
+        build_drop_list,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"distinct content number {i} " + "filler " * 5) for i in (1, 2, 3)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "doc_a long, doc_b long")
+    out = build_drop_list(docs, near_dup_pairs=pairs)
+    near = {r.doc_id for r in out.collect() if r.reason == "near_dup"}
+    assert near == {2, 3}
+
+
 def test_build_drop_list_null_text(spark):
     """NULL-text docs get an explicit null_text reason and never enter
     the exact-dup grouping (advisor finding r7: a shared NULL content
