@@ -103,6 +103,18 @@ def embed_documents(
     (tests pin loads == partitions, not batches)."""
     import pandas as pd
 
+    # executor closures referencing this module (the default
+    # model_loader closes over _stub_model) must pickle BY VALUE: the
+    # driver contract hands us an arbitrary SparkSession whose Python
+    # workers may not have this package on sys.path (they don't when
+    # the driver's cwd isn't the repo root — the same contract as
+    # operators/multimodal._ship_codecs_by_value)
+    from pyspark import cloudpickle
+
+    import mapreduce_implementation_spark.operators.inference as _self
+
+    cloudpickle.register_pickle_by_value(_self)
+
     if model_loader is None:
         _dim = dim
 

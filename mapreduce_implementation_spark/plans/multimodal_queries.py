@@ -41,10 +41,7 @@ _RATE = "8000 + (doc_id % 3) * 8000"
 _NS = "800 + (doc_id % 5) * 400"
 
 
-@register(
-    "multimodal_catalog",
-    tables=("documents",),
-    oracle=f"""
+MULTIMODAL_CATALOG_ORACLE = f"""
         SELECT {_MEDIA_TYPE} AS media_type,
                {_CODEC} AS codec,
                COUNT(*) AS n_files,
@@ -52,12 +49,20 @@ _NS = "800 + (doc_id % 5) * 400"
                COUNT(DISTINCT md5(text)) AS n_distinct_payloads
         FROM documents
         GROUP BY 1, 2
-    """,
-)
+    """
+
+
 def multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media catalog rollup: files/bytes/distinct payloads per
     (media_type, codec). Pure metadata aggregation — the payload column
-    is pruned out before the shuffle (only md5 hex travels)."""
+    is pruned out before the shuffle (only md5 hex travels).
+
+    DEMOTED to the pytest parity gate in round 9 to free the registry
+    slot for ``embed_similarity_topk`` (the inference→similarity
+    composition): of the four multimodal rows this is the only one
+    that never enters the mapInPandas decode path — a plain metadata
+    groupBy — so it is the row the driver sweep misses least. Same
+    DuckDB compare, pytest-run (tests/test_demoted_oracles.py)."""
     media = mm.media_table(load_table(spark, sf_dir, "documents"))
     return media.groupBy("media_type", "codec").agg(
         F.count(F.lit(1)).alias("n_files"),

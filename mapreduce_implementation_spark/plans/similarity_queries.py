@@ -67,6 +67,90 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, queries, k=K)
 
 
+EMBED_DIM = 64  # must match the committed embeddings table's dim
+EMBED_OFFSET = 1_000_000  # lifts query ids out of the vec_id space
+
+
+@register(
+    "embed_similarity_topk",
+    tables=("documents", "embeddings"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents WHERE doc_id < {N_QUERIES}
+        ),
+        comps AS (
+            SELECT doc_id, i,
+                   SUM(('0x' || substring(
+                            md5(tok || ':' || CAST(i AS VARCHAR)), 1, 8)
+                        )::BIGINT / 4294967295.0 * 2.0 - 1.0) AS s
+            FROM toks CROSS JOIN unnest(range(0, {EMBED_DIM})) AS t(i)
+            GROUP BY doc_id, i
+        ),
+        norms AS (
+            SELECT doc_id, sqrt(SUM(s * s)) AS nrm FROM comps GROUP BY doc_id
+        ),
+        qvec AS (
+            SELECT c.doc_id,
+                   list(CAST(CASE WHEN n.nrm > 0 THEN c.s / n.nrm ELSE c.s END
+                             AS FLOAT) ORDER BY c.i) AS qe
+            FROM comps c JOIN norms n USING (doc_id)
+            GROUP BY c.doc_id
+        ),
+        scored AS (
+            SELECT q.doc_id AS query_doc_id, e.vec_id,
+                   {_cos("q.qe", "e.embedding")} AS cos_sim
+            FROM qvec q CROSS JOIN embeddings e
+        ),
+        ranked AS (
+            SELECT query_doc_id, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_doc_id
+                       ORDER BY cos_sim DESC, vec_id
+                   ) AS "rank"
+            FROM scored
+        )
+        SELECT query_doc_id, vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim,
+               "rank"
+        FROM ranked WHERE "rank" <= {K}
+    """,
+)
+def embed_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end inference→similarity composition (round-8 verdict
+    item 5): stub-embed {N_QUERIES} documents at the committed table's
+    dim with operators/inference.embed_documents (mapInPandas, model
+    loaded once per partition, deterministic md5-projection encoder),
+    then exact cosine top-{K} against the COMMITTED embeddings table
+    via brute_force_topk. The oracle replays the stub encoder in SQL
+    (same md5 hex-prefix projection, same mean-pool + L2 normalize,
+    float32-cast to match the Arrow float boundary) — making the
+    inference plumbing hash-gated, not just pytest-gated. Query ids
+    are lifted by {EMBED_OFFSET} before the call so brute_force_topk's
+    self-match exclusion (id != query_id) can never fire against the
+    unrelated vec_id space, then lowered back for the output."""
+    from mapreduce_implementation_spark.operators.inference import (
+        embed_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < N_QUERIES
+    )
+    q = embed_documents(docs, dim=EMBED_DIM).select(
+        (F.col("doc_id") + EMBED_OFFSET).alias("vec_id"), "embedding"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.brute_force_topk(emb, q, k=K)
+    return out.select(
+        (F.col("query_id") - EMBED_OFFSET).alias("query_doc_id"),
+        "vec_id",
+        "cos_sim",
+        "rank",
+    )
+
+
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via single-bucket SRP-LSH (4 data-derived
     planes → 16 buckets). NOT registry-gated: the shipped ANN

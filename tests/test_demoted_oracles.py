@@ -11,11 +11,13 @@ import pytest
 
 from mapreduce_implementation_spark.oracle import compare, run_oracle
 from mapreduce_implementation_spark.plans import dedup_queries as dq
+from mapreduce_implementation_spark.plans import multimodal_queries as mq
 from mapreduce_implementation_spark.plans import pipeline_queries as pq
 from mapreduce_implementation_spark.plans import relational_queries as rq
 from mapreduce_implementation_spark.plans import textstats_queries as tq
 
 DEMOTED = [
+    (mq.multimodal_catalog, mq.MULTIMODAL_CATALOG_ORACLE),
     (rq.window_running_customer_spend, rq.WINDOW_RUNNING_ORACLE),
     (rq.rollup_order_status_priority, rq.ROLLUP_ORDERS_ORACLE),
     (dq.simhash_signatures, dq.SIMHASH_SIG_ORACLE),

@@ -21,6 +21,9 @@ WHITELIST: dict[str, set[str]] = {
     # brute-force exact top-k IS a broadcast nested-loop scoring pass
     # (tiny query set × corpus scan) — the ANN variants exist for scale
     "similarity_topk_bruteforce": {"nested-loop"},
+    # same brute-force scorer fed by the stub embedder (the
+    # inference→similarity composition row)
+    "embed_similarity_topk": {"nested-loop"},
 }
 
 
