@@ -214,3 +214,50 @@ def test_ingest_dedup_stream_flags_against_reference(spark, tmp_path):
     }
     assert got == want and len(got) > 0
     assert flags.select("batch_id").distinct().count() == 2
+
+
+def test_ingest_embed_stream_matches_batch(spark, tmp_path):
+    """Embed-at-ingest parity: streaming the corpus through
+    start_ingest_embed_stream yields EXACTLY the batch
+    embed_documents vectors (the stub encoder is deterministic), both
+    micro-batches reach the sink, and a full replay with a fresh
+    checkpoint overwrites its own partitions idempotently."""
+    from mapreduce_implementation_spark.operators.inference import (
+        embed_documents,
+    )
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        start_ingest_embed_stream,
+    )
+
+    docs = _stage_two_batches(spark, str(tmp_path / "in"))
+    out = str(tmp_path / "vecs")
+    q = start_ingest_embed_stream(
+        _docs_stream(spark, str(tmp_path / "in")),
+        out,
+        str(tmp_path / "ckpt"),
+        dim=8,
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(out)
+    assert streamed.select("batch_id").distinct().count() == 2
+    got = {r.doc_id: tuple(r.embedding) for r in streamed.collect()}
+    want = {
+        r.doc_id: tuple(r.embedding)
+        for r in embed_documents(docs, dim=8).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # at-least-once replay: a fresh checkpoint re-delivers every batch;
+    # dynamic partition overwrite + deterministic vectors -> same table
+    q2 = start_ingest_embed_stream(
+        _docs_stream(spark, str(tmp_path / "in")),
+        out,
+        str(tmp_path / "ckpt2"),
+        dim=8,
+    )
+    q2.awaitTermination()
+    replayed = {
+        r.doc_id: tuple(r.embedding) for r in spark.read.parquet(out).collect()
+    }
+    assert replayed == got
