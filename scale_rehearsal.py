@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Scale rehearsal — measured scaling curves for the dedup/pipeline
+operators on a synthetic Zipfian near-dup corpus (round-8 verdict item
+1: convert the repo's 100 TB claims from prose to data).
+
+Corpus model (all Spark-side expression generation, no driver loop):
+
+* ``frac_clustered`` of the docs belong to near-dup CLUSTERS whose
+  sizes follow the floor(1/u) law (P[cluster c] ~ 1/(c(c+1)) — a
+  Zipf-like heavy tail): cluster 1 alone holds ~15% of the corpus, the
+  boilerplate-cohort regime the miners' ``max_bucket`` default exists
+  for; mid-tail clusters (tens to ~1500 members) survive the cap and
+  exercise pair mining + connected components; the rest are
+  singletons.
+* A cluster member shares its cluster's ``words``-word base text and
+  appends an 8-word member-unique tail → Jaccard ~0.8-0.9 vs cluster
+  mates (near-dup, never exact-dup).
+* ``lang`` = 20 uniform strata for stratified_fixed_n.
+
+Operators measured per size, PRODUCTION DEFAULTS (the finite
+DEFAULT_MAX_BUCKET cap — the shape a 100 TB caller on defaults gets),
+noop-sink materialization, one cold run each (scaling curves, not
+micro-benchmarks; host noise is bounded by the calibration probe):
+
+* minhash_near_dup_pairs   (signature chain + banded join + verify)
+* duplicate_span_stats     (20-gram explode + partial-agg holder count)
+* stratified_fixed_n       (two-phase top-N, N=1000 over 20 strata)
+* corpus_build_near_dup    (quality gate -> exact dedup -> MinHash ->
+                            CC -> cluster-min anti-join -> split)
+
+Usage:  python scale_rehearsal.py [sizes...]   (default 250k 1M 4M)
+Prints one JSON line per size plus a final summary JSON with per-op
+log-log scaling exponents between consecutive sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark import get_spark
+
+WORDS = 60
+VOCAB = 30_000
+FRAC_CLUSTERED = 0.3
+N_STRATA = 20
+
+
+def synth_corpus(spark, n_docs: int, out_dir: str, n_files: int = 64) -> float:
+    """Generate and write the corpus; returns generation wall-time."""
+    t0 = time.perf_counter()
+    h = F.abs(F.xxhash64(F.col("doc_id"), F.lit("scatter")))
+    u = ((h % 1_000_000) + 1) / 1_000_000.0  # uniform (0, 1]
+    is_clustered = (h % 10) < int(FRAC_CLUSTERED * 10)
+    cluster = F.floor(1.0 / u).cast("long")
+    # singleton docs seed their base from the doc id, far above any
+    # cluster id so bases never collide
+    base_seed = F.when(is_clustered, cluster).otherwise(
+        F.col("doc_id") + F.lit(1_000_000_000_000)
+    )
+    base = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(WORDS - 1)),
+            lambda j: F.concat(
+                F.lit("w"), (F.abs(F.xxhash64(base_seed, j)) % VOCAB)
+            ),
+        ),
+    )
+    tail = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: F.concat(F.lit("u"), F.col("doc_id"), F.lit("x"), j),
+        ),
+    )
+    df = (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "doc_id")
+        .select(
+            "doc_id",
+            F.concat(base, F.lit(" "), tail).alias("text"),
+            F.concat(F.lit("l"), F.col("doc_id") % N_STRATA).alias("lang"),
+        )
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return time.perf_counter() - t0
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_ops(spark, docs_dir: str) -> dict[str, float]:
+    from mapreduce_implementation_spark.operators.contamination import (
+        duplicate_span_stats,
+    )
+    from mapreduce_implementation_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from mapreduce_implementation_spark.operators.pipeline import (
+        CorpusPipelineConfig,
+        build_training_corpus,
+    )
+    from mapreduce_implementation_spark.operators.sampling import (
+        stratified_fixed_n,
+    )
+
+    docs = spark.read.parquet(docs_dir)
+    out: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    materialize(minhash_near_dup_pairs(docs, "doc_id", "text"))
+    out["minhash_near_dup_pairs"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    materialize(duplicate_span_stats(docs, n=20))
+    out["duplicate_span_stats"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    materialize(stratified_fixed_n(docs, "lang", 1000))
+    out["stratified_fixed_n"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    art = build_training_corpus(
+        docs,
+        CorpusPipelineConfig(split_weights={"train": 1.0}, near_dup=True),
+    )
+    materialize(art["split_train"].select("doc_id"))
+    out["corpus_build_near_dup"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def calibration(spark) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        materialize(
+            spark.range(0, 100_000_000, 1, 32).select(
+                F.sum((F.col("id") % 7) * 3 + 1).alias("s")
+            )
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    sizes = [int(s) for s in sys.argv[1:]] or [250_000, 1_000_000, 4_000_000]
+    spark = get_spark(app_name="mris-scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    cal = calibration(spark)
+    results: list[dict] = []
+    root = tempfile.mkdtemp(prefix="mris_rehearsal_")
+    try:
+        for n in sizes:
+            d = os.path.join(root, f"docs_{n}")
+            gen = synth_corpus(spark, n, d)
+            ops = run_ops(spark, d)
+            row = {"n_docs": n, "gen_sec": round(gen, 2), **ops}
+            results.append(row)
+            print(json.dumps(row), flush=True)
+            shutil.rmtree(d, ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    exponents: dict[str, list[float]] = {}
+    for op in results[0]:
+        if op in ("n_docs", "gen_sec"):
+            continue
+        exponents[op] = [
+            round(
+                math.log(results[i + 1][op] / results[i][op])
+                / math.log(results[i + 1]["n_docs"] / results[i]["n_docs"]),
+                2,
+            )
+            for i in range(len(results) - 1)
+        ]
+    print(
+        json.dumps(
+            {"calibration": cal, "sizes": sizes, "scaling_exponents": exponents}
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
