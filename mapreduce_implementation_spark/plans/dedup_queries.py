@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_implementation_spark.operators import dedup as dd
+from mapreduce_implementation_spark.plans import similarity_queries as _sq
 from mapreduce_implementation_spark.plans.registry import register
 from mapreduce_implementation_spark.sources.catalog import load_table
 
@@ -284,10 +285,13 @@ _EMB_DOT = (
 )
 
 
-@register(
-    "embedding_near_dup_pairs",
-    tables=("embeddings",),
-    oracle=f"""
+# Demoted to the pytest parity gate in round 9 (tests/
+# test_demoted_oracles.py) to free its 50-slot registry seat for
+# semantic_dedup below: both are embedding-cosine near-dup screens, and
+# the k-means-clustered variant exercises strictly more machinery at
+# the driver gate (trained centroids + assignment + pair screen) while
+# this SRP-bucketed one stays fully oracle-verified in-tree.
+EMBEDDING_NEAR_DUP_ORACLE = f"""
         WITH planes AS (
             SELECT vec_id AS plane_id, embedding AS pe
             FROM embeddings WHERE vec_id < 4
@@ -312,8 +316,9 @@ _EMB_DOT = (
         )
         SELECT vec_a, vec_b, CAST(cos_sim AS DOUBLE) AS cos_sim
         FROM q WHERE cos_sim >= 0.35
-    """,
-)
+    """
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dups blocked by SRP-LSH bucket (reusing
     operators.similarity._with_buckets — 4 deterministic planes → 16
@@ -388,4 +393,65 @@ def minhash_cross_near_dup_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     ref_sigs = sigs.where(F.col("doc_id") % 2 == 0)
     return dd.minhash_cross_near_dup(
         new_sigs, ref_sigs, k=K, bands=BANDS, rows=ROWS, threshold=0.5
+    )
+
+
+# Fixture-calibrated: the synthetic sf0.01 embeddings are near-
+# orthogonal (max within-cluster cosine < 0.5), so the production-
+# grade SemDeDup epsilon (~0.95) would drop nothing and gate nothing;
+# 0.35 drops 78 of 500 vectors — both keep branches exercised.
+SEMANTIC_THRESHOLD = 0.35
+
+
+@register(
+    "semantic_dedup",
+    tables=("embeddings",),
+    oracle=f"""
+        WITH {_sq._kmeans_ctes(_sq.N_CENTROIDS, _sq.KMEANS_ITERS)},
+        va AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_sq._cos("e.embedding", "c.ce")} DESC,
+                                    c.centroid_id) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id AS db
+            FROM va a
+            JOIN va b ON a.centroid_id = b.centroid_id
+                     AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE {_sq._cos("ea.embedding", "eb.embedding")}
+                  >= {SEMANTIC_THRESHOLD}
+        )
+        SELECT v.vec_id, v.centroid_id,
+               CAST(CASE WHEN d.db IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+        FROM va v LEFT JOIN dropped d ON v.vec_id = d.db
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/semantic.py): the IVF
+    stack's trained k-means clusters block the candidate join (equi on
+    centroid_id — never all-pairs), then a quantized within-cluster
+    cosine screen drops every vector with a smaller-id near-twin. One
+    row per input vector, keep in {0, 1}. The oracle replays the
+    identical Lloyd training as unrolled CTEs (shared with
+    similarity_topk_ivf) and the same pairwise min-id-exemplar rule.
+    Registry runs max_cluster=None so the oracle sees every cluster;
+    the mega-cluster guard is pinned by tests/test_semantic.py."""
+    from mapreduce_implementation_spark.operators import semantic as sem
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = dd.spread(emb.select("vec_id", "embedding"))
+    return sem.semantic_dedup(
+        vectors,
+        "vec_id",
+        "embedding",
+        k=_sq.N_CENTROIDS,
+        iters=_sq.KMEANS_ITERS,
+        threshold=SEMANTIC_THRESHOLD,
+        max_cluster=None,
     )

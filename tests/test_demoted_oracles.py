@@ -18,6 +18,7 @@ from mapreduce_implementation_spark.plans import textstats_queries as tq
 
 DEMOTED = [
     (mq.multimodal_catalog, mq.MULTIMODAL_CATALOG_ORACLE),
+    (dq.embedding_near_dup_pairs, dq.EMBEDDING_NEAR_DUP_ORACLE),
     (rq.window_running_customer_spend, rq.WINDOW_RUNNING_ORACLE),
     (rq.rollup_order_status_priority, rq.ROLLUP_ORDERS_ORACLE),
     (dq.simhash_signatures, dq.SIMHASH_SIG_ORACLE),

@@ -128,7 +128,9 @@ def test_embedding_near_dup_blocks_on_srp_bucket(spark, oracle_sf_dir):
     """The candidate join must be an EQUI-join on the SRP bucket string
     (the only acceptable nested-loop is the bounded 4-plane broadcast
     scoring pass that computes the buckets)."""
-    df = all_queries()["embedding_near_dup_pairs"].fn(spark, oracle_sf_dir)
+    from mapreduce_implementation_spark.plans import dedup_queries as dq
+
+    df = dq.embedding_near_dup_pairs(spark, oracle_sf_dir)
     plan = explain_str(df)
     # any hash EQUI-join on the bucket is fine (AQE broadcasts at this
     # size; at scale it becomes SMJ/SHJ) — never a nested loop

@@ -1,0 +1,101 @@
+"""operators/semantic.py — SemDeDup-style semantic dedup behavior.
+
+Registry parity (vs the DuckDB k-means twin) runs in
+test_oracle_parity; here the semantics the oracle can't isolate:
+the mega-cluster exemption guard, the pairwise chain-drop rule, the
+one-row-per-input invariant, and the pre-trained-centroid path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators.semantic import semantic_dedup
+
+
+def _unit(angle_deg: float) -> list[float]:
+    a = math.radians(angle_deg)
+    return [math.cos(a), math.sin(a)]
+
+
+def _centroids(spark, vecs: dict[int, list[float]]):
+    return spark.createDataFrame(
+        [(cid, emb) for cid, emb in sorted(vecs.items())],
+        "centroid_id int, centroid_emb array<double>",
+    )
+
+
+def _vectors(spark, rows: dict[int, list[float]]):
+    return spark.createDataFrame(
+        [(vid, emb) for vid, emb in sorted(rows.items())],
+        "vec_id int, embedding array<double>",
+    )
+
+
+def test_one_row_per_vector_keep_domain(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, k=4, iters=1, threshold=0.35).toPandas()
+    assert len(out) == emb.count()
+    assert out["vec_id"].is_unique
+    assert set(out["keep"].unique()) <= {0, 1}
+    # every vector landed in exactly one of the k clusters
+    assert set(out["centroid_id"].unique()) <= set(range(4))
+
+
+def test_chain_drop_rule_is_pairwise(spark):
+    # one cluster; angles 0/40/80 deg: cos(0,40)=cos(40,80)=0.766 >=
+    # 0.7071 but cos(0,80)=0.174 < 0.7071 — the pairwise min-id rule
+    # drops BOTH 2 (vs 1) and 3 (vs 2, itself dropped), keeping only 1.
+    vecs = _vectors(spark, {1: _unit(0), 2: _unit(40), 3: _unit(80)})
+    cents = _centroids(spark, {0: _unit(40)})
+    out = semantic_dedup(
+        vecs, centroids=cents, threshold=math.cos(math.radians(45))
+    ).toPandas()
+    kept = sorted(out[out["keep"] == 1]["vec_id"])
+    assert kept == [1]
+
+
+def test_mega_cluster_exempted_not_squared(spark):
+    # cluster 0: six identical vectors (a degenerate boilerplate
+    # cohort); cluster 1: one near-identical pair. With max_cluster=5
+    # the cohort is EXEMPT (all kept — conservative failure), while the
+    # small cluster still dedups; with the guard off the cohort
+    # collapses to its min id.
+    rows = {i: _unit(0) for i in range(1, 7)}
+    rows[10], rows[11] = _unit(170), _unit(171)
+    vecs = _vectors(spark, rows)
+    cents = _centroids(spark, {0: _unit(0), 1: _unit(170)})
+
+    guarded = semantic_dedup(
+        vecs, centroids=cents, threshold=0.95, max_cluster=5
+    ).toPandas()
+    cohort = guarded[guarded["vec_id"] <= 6]
+    assert (cohort["keep"] == 1).all()
+    pair = guarded.set_index("vec_id")
+    assert pair.loc[10, "keep"] == 1 and pair.loc[11, "keep"] == 0
+
+    unguarded = semantic_dedup(
+        vecs, centroids=cents, threshold=0.95, max_cluster=None
+    ).toPandas()
+    kept = sorted(unguarded[unguarded["keep"] == 1]["vec_id"])
+    assert kept == [1, 10]
+
+
+def test_pretrained_centroids_and_empty_input(spark):
+    cents = _centroids(spark, {0: _unit(0), 1: _unit(90)})
+    empty = _vectors(spark, {}).where(F.lit(False))
+    out = semantic_dedup(empty, centroids=cents, threshold=0.9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "centroid_id", "keep",
+    ]
+
+
+def test_threshold_validated(spark):
+    cents = _centroids(spark, {0: _unit(0)})
+    vecs = _vectors(spark, {1: _unit(0)})
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(vecs, centroids=cents, threshold=1.5)
