@@ -295,6 +295,30 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
             materialize(embed_documents(docs, dim=16))
             best = min(best, time.perf_counter() - t0)
         warm["embed_documents_stub16"] = round(best, 3)
+
+        # Round-9 operator: SemDeDup-style semantic dedup. Centroids
+        # are trained ONCE (reported as _build — production reuses a
+        # trained set per corpus snapshot), then the cluster-blocked
+        # cosine screen is timed with production-default max_cluster.
+        from mapreduce_implementation_spark.operators.semantic import (
+            semantic_dedup,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        t0 = time.perf_counter()
+        cents = sim.train_centroids(
+            emb, k=N_CENTROIDS, iters=KMEANS_ITERS
+        )
+        cents.collect()
+        warm["semantic_centroids_build"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(
+                semantic_dedup(emb, centroids=cents, threshold=0.35)
+            )
+            best = min(best, time.perf_counter() - t0)
+        warm["semantic_dedup"] = round(best, 3)
     return warm
 
 

@@ -83,22 +83,37 @@ def semantic_dedup(
     """
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    from mapreduce_implementation_spark.functions.vectors import dot, norm
+    from mapreduce_implementation_spark.operators.dedup import spread
+
+    # Widen THIN sources up front: Catalyst fuses the pair score into
+    # the (broadcast) self-join condition, so the expensive dot folds
+    # run wherever the PROBE side's partitions are — a single-file
+    # bench/test scan would serialize them onto one core. Corpus-scale
+    # inputs (many files) pass through spread untouched.
+    vectors = spread(vectors)
     if centroids is None:
         centroids = sim.train_centroids(
             vectors, k=k, iters=iters, id_col=id_col, emb_col=emb_col
         )
+
     # One map-only pass: nearest centroid per vector (quantized cosine,
     # ties -> smaller centroid_id), embedding carried through for the
-    # pair screen. Cached: the self-join below reads it twice, and the
-    # assignment chain (k x d literal fold per row) is the expensive
-    # part. Session-scale cache, released by the registry sweep; a
-    # persistent pipeline should materialize via sources/materialize
-    # (the IVF index row shows the pattern).
+    # pair screen. `_vn` (the L2 norm) is computed ONCE per vector
+    # here instead of twice per candidate PAIR below: the pair score
+    # then costs one 64-step dot fold instead of three folds —
+    # numerically identical (same sqrt(left-fold) bits, same
+    # denominator product) but ~3x less HOF work in the hot join.
+    # Cached: the self-join reads it twice and the assignment chain
+    # (k x d literal fold per row) is the expensive part. Session-
+    # scale cache, released by the registry sweep; a persistent
+    # pipeline should materialize via sources/materialize (the IVF
+    # index row shows the pattern).
     assigned = track_cache(
         sim.assign_inverted_lists(
             vectors, centroids, 1, id_col=id_col, emb_col=emb_col,
             keep_cols=(emb_col,),
-        )
+        ).withColumn("_vn", norm(F.col(emb_col)))
     )
     if max_cluster is not None:
         # k rows after the partial agg -> broadcast back; no window.
@@ -112,18 +127,27 @@ def semantic_dedup(
         )
     else:
         mineable = assigned
+    # The score predicate below is deliberately a plain .where():
+    # Catalyst pushes it into the self-join condition, fusing scoring
+    # with pair generation — zero extra exchange, and parallelism
+    # comes from the (spread) probe side, per the note above.
     a, b = mineable.alias("a"), mineable.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"b.{id_col}").alias("_dropped_id"),
+        F.col(f"a.{emb_col}").alias("_ea"),
+        F.col(f"b.{emb_col}").alias("_eb"),
+        (F.col("a._vn") * F.col("b._vn")).alias("_denom"),
+    )
+    score = F.when(
+        F.col("_denom") != 0, dot(F.col("_ea"), F.col("_eb")) / F.col("_denom")
+    ).cast(sim.COS_Q)
     dropped = (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .where(
-            sim._score(F.col(f"a.{emb_col}"), F.col(f"b.{emb_col}"))
-            >= F.lit(threshold).cast(sim.COS_Q)
-        )
-        .select(F.col(f"b.{id_col}").alias("_dropped_id"))
+        cand.where(score >= F.lit(threshold).cast(sim.COS_Q))
+        .select("_dropped_id")
         .distinct()
     )
     return (
@@ -139,4 +163,72 @@ def semantic_dedup(
             .cast("int")
             .alias("keep"),
         )
+    )
+
+
+def srp_near_dup_pairs(
+    vectors: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    threshold: float = 0.9,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS blocked by an SRP-LSH bucket —
+    the corpus-scale face of semantic dedup (promoted in round 9 from
+    the inline registry code in plans/dedup_queries.py so it carries
+    the same ``max_bucket`` cohort guard as every other pair miner).
+
+    ``planes`` is DataFrame[plane_id, plane_emb] — P hyperplanes,
+    driver-small, inlined as literals: bucketing is ONE scan-side
+    projection (P sign-of-dot bits per row), the candidate join is an
+    EQUI-join on the P-bit bucket string, and the expected bucket
+    population is N / 2^P. At 100 TB you scale P ~ log2(N / target)
+    (cheap: per-row cost is O(P * d), no shuffle) where k-means
+    assignment cost O(N * k * d) forces ``semantic_dedup``'s k to stay
+    moderate — use THIS miner when the cluster count the corpus needs
+    would dwarf the centroid budget, and `semantic_dedup` when you
+    want the cluster structure itself (SemDeDup's quality screen).
+
+    Returns DataFrame[id_a, id_b, cos_sim double] with ``id_a <
+    id_b`` and quantized ``cos_sim >= threshold``.
+    """
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    from mapreduce_implementation_spark.functions.vectors import dot, norm
+    from mapreduce_implementation_spark.operators.dedup import (
+        cap_buckets,
+        spread,
+    )
+
+    # Norm computed once per VECTOR (map-side), not twice per pair —
+    # same bits (sqrt of the same left fold, same denominator
+    # product), one dot fold per candidate instead of three.
+    bucketed = sim._with_buckets(
+        spread(vectors), planes, id_col, emb_col, keep_emb=True
+    ).withColumn("_vn", norm(F.col(emb_col)))
+    bucketed = cap_buckets(bucketed, ("bucket",), max_bucket)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{emb_col}").alias("_ea"),
+        F.col(f"b.{emb_col}").alias("_eb"),
+        (F.col("a._vn") * F.col("b._vn")).alias("_denom"),
+    )
+    cos_q = F.when(
+        F.col("_denom") != 0, dot(F.col("_ea"), F.col("_eb")) / F.col("_denom")
+    ).cast(sim.COS_Q)
+    # Plain .where(): Catalyst fuses the score into the bucket join's
+    # condition, so scoring parallelism follows the (spread) input —
+    # see semantic_dedup for the fusion note.
+    return (
+        cand.select("id_a", "id_b", cos_q.alias("cos_sim"))
+        .where(F.col("cos_sim") >= F.lit(threshold).cast(sim.COS_Q))
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
     )

@@ -329,34 +329,26 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     form could not give.
 
     Cosine is quantized to DECIMAL(10,4) so engine-level double
-    summation differences (≪1e-10) can't flip the comparison."""
-    from mapreduce_implementation_spark.functions.vectors import cosine
-    from mapreduce_implementation_spark.operators import similarity as sim
+    summation differences (≪1e-10) can't flip the comparison. Since
+    round 9 this routes through operators/semantic.srp_near_dup_pairs
+    (which adds the max_bucket cohort guard the other miners carry);
+    max_bucket=None here so the oracle sees every bucket."""
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_near_dup_pairs,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     planes = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("plane_id"), F.col("embedding").alias("plane_emb")
     )
-    base = dd.spread(emb.select("vec_id", "embedding"))
-    bucketed = sim._with_buckets(base, planes, "vec_id", "embedding", keep_emb=True)
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    cos_q = (
-        cosine(F.col("a.embedding"), F.col("b.embedding")).cast("decimal(10,4)")
+    pairs = srp_near_dup_pairs(
+        emb.select("vec_id", "embedding"),
+        planes,
+        threshold=0.35,
+        max_bucket=None,
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos_q.alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= 0.35)
-        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
+    return pairs.withColumnRenamed("id_a", "vec_a").withColumnRenamed(
+        "id_b", "vec_b"
     )
 
 

@@ -31,6 +31,22 @@ micro-benchmarks; host noise is bounded by the calibration probe):
 Usage:  python scale_rehearsal.py [sizes...]   (default 250k 1M 4M)
 Prints one JSON line per size plus a final summary JSON with per-op
 log-log scaling exponents between consecutive sizes.
+
+Round 9 adds the VECTORS rehearsal (``--vectors [sizes...]``): the
+similarity/semantic family over synthetic embeddings with the same
+Zipf near-dup cluster law (member = cluster base + 0.15x unique
+noise, dim 64):
+
+* ivf_build            (k=64 Lloyd x2 + materialized assignment)
+* ivf_probe            (32 queries, nprobe=4 -> reads ~1/16 of index)
+* brute_force_topk     (same 32 queries — the exact baseline IVF
+                        must beat, and the honest crossover evidence)
+* srp_near_dup_pairs   (P ~ log2(N/64) hyperplanes, default
+                        max_bucket — the corpus-scale semantic-dedup
+                        path; semantic_dedup's k-means assignment is
+                        O(N*k*d), so ITS curve is bounded by
+                        ivf_build at fixed k — measured here — while
+                        the pair screen scales as this miner)
 """
 
 from __future__ import annotations

@@ -94,6 +94,34 @@ def test_pretrained_centroids_and_empty_input(spark):
     ]
 
 
+def test_srp_pairs_cap_drops_degenerate_bucket(spark):
+    # 8 identical vectors share one SRP bucket (a boilerplate cohort);
+    # a disjoint near-identical pair lives in the opposite bucket.
+    # max_bucket=4 must drop the cohort's square entirely while the
+    # small bucket still mines its pair; uncapped is a superset.
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_near_dup_pairs,
+    )
+
+    rows = {i: _unit(10) for i in range(1, 9)}
+    rows[20], rows[21] = _unit(200), _unit(201)
+    vecs = _vectors(spark, rows)
+    planes = spark.createDataFrame(
+        [(0, _unit(100))], "plane_id int, plane_emb array<double>"
+    )
+    capped = srp_near_dup_pairs(
+        vecs, planes, threshold=0.9, max_bucket=4
+    ).toPandas()
+    assert sorted(map(tuple, capped[["id_a", "id_b"]].values)) == [(20, 21)]
+
+    full = srp_near_dup_pairs(
+        vecs, planes, threshold=0.9, max_bucket=None
+    ).toPandas()
+    full_pairs = set(map(tuple, full[["id_a", "id_b"]].values))
+    assert (20, 21) in full_pairs
+    assert len(full_pairs) == 1 + 8 * 7 // 2
+
+
 def test_threshold_validated(spark):
     cents = _centroids(spark, {0: _unit(0)})
     vecs = _vectors(spark, {1: _unit(0)})
