@@ -232,3 +232,73 @@ def srp_near_dup_pairs(
         .where(F.col("cos_sim") >= F.lit(threshold).cast(sim.COS_Q))
         .withColumn("cos_sim", F.col("cos_sim").cast("double"))
     )
+
+
+def srp_cross_near_dup(
+    new_vectors: DataFrame,
+    ref_vectors: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    threshold: float = 0.9,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Embedding near-dup pairs BETWEEN two vector sets — the
+    incremental-ingest face of ``srp_near_dup_pairs``, completing the
+    cross-set family (MinHash / SimHash / embedding; see
+    operators/dedup.py:919,973): which NEW vectors are semantic
+    near-twins of the COMMITTED corpus.
+
+    Same SRP bucketing as the in-set miner, but new × reference
+    instead of a self-join: candidate volume scales with |new batch| ×
+    bucket occupancy, never the corpus square. Both sides must be
+    bucketed with the SAME ``planes`` (store them with the corpus
+    snapshot — they are the index contract, like the IVF centroids).
+    ``max_bucket`` caps REFERENCE bucket size (a degenerate committed
+    cohort would multiply every matching new vector by the whole
+    cohort). Each vector lives in exactly one bucket, so pairs are
+    naturally distinct — no dedup pass.
+
+    Returns DataFrame[new_id, ref_id, cos_sim double] with quantized
+    ``cos_sim >= threshold``; a new vector with NO qualifying row is
+    genuinely novel.
+    """
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    from mapreduce_implementation_spark.functions.vectors import dot, norm
+    from mapreduce_implementation_spark.operators.dedup import (
+        cap_buckets,
+        spread,
+    )
+
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            sim._with_buckets(spread(df), planes, id_col, emb_col, keep_emb=True)
+            .withColumn("_vn", norm(F.col(emb_col)))
+            .select(
+                F.col(id_col).alias(out_id),
+                F.col(emb_col).alias(f"_e_{out_id}"),
+                F.col("_vn").alias(f"_vn_{out_id}"),
+                "bucket",
+            )
+        )
+
+    bn = bucketed(new_vectors, "new_id")
+    br = cap_buckets(bucketed(ref_vectors, "ref_id"), ("bucket",), max_bucket)
+    cand = bn.join(br, "bucket").select(
+        "new_id",
+        "ref_id",
+        (F.col("_vn_new_id") * F.col("_vn_ref_id")).alias("_denom"),
+        "_e_new_id",
+        "_e_ref_id",
+    )
+    cos_q = F.when(
+        F.col("_denom") != 0,
+        dot(F.col("_e_new_id"), F.col("_e_ref_id")) / F.col("_denom"),
+    ).cast(sim.COS_Q)
+    return (
+        cand.select("new_id", "ref_id", cos_q.alias("cos_sim"))
+        .where(F.col("cos_sim") >= F.lit(threshold).cast(sim.COS_Q))
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
+    )

@@ -156,6 +156,108 @@ def run_ops(spark, docs_dir: str) -> dict[str, float]:
     return out
 
 
+DIM = 64
+NOISE = 0.15  # mate cosine ~0.98; non-mates ~0 +- 1/sqrt(DIM)
+N_ANN_QUERIES = 8
+ANN_K = 10
+IVF_K = 64
+IVF_NPROBE = 4
+
+
+def synth_vectors(spark, n_vecs: int, out_dir: str, n_files: int = 64) -> float:
+    """Embeddings with the same Zipf near-dup cluster law as the text
+    corpus: member = cluster base + NOISE x member-unique perturbation,
+    componentwise from xxhash64 (all expression-side)."""
+    t0 = time.perf_counter()
+    h = F.abs(F.xxhash64(F.col("vec_id"), F.lit("vscatter")))
+    u = ((h % 1_000_000) + 1) / 1_000_000.0
+    is_clustered = (h % 10) < int(FRAC_CLUSTERED * 10)
+    cluster = F.floor(1.0 / u).cast("long")
+    base_seed = F.when(is_clustered, cluster).otherwise(
+        F.col("vec_id") + F.lit(1_000_000_000_000)
+    )
+
+    def comp(seed, tag, j):
+        return (
+            (F.xxhash64(seed, F.lit(tag), j) % 1_000_001) / 1_000_000.0
+        )  # in (-1, 1)
+
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: (
+            comp(base_seed, "b", j) + F.lit(NOISE) * comp(F.col("vec_id"), "n", j)
+        ).cast("float"),
+    )
+    df = (
+        spark.range(n_vecs)
+        .withColumnRenamed("id", "vec_id")
+        .select("vec_id", emb.alias("embedding"))
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return time.perf_counter() - t0
+
+
+def run_vector_ops(spark, vec_dir: str) -> dict[str, float]:
+    import random
+
+    from mapreduce_implementation_spark.operators import similarity as sim
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_near_dup_pairs,
+    )
+    from mapreduce_implementation_spark.sources.materialize import ensure_table
+
+    vecs = spark.read.parquet(vec_dir)
+    n = vecs.count()
+    queries = vecs.where(F.col("vec_id") < N_ANN_QUERIES)
+    out: dict[str, float] = {}
+
+    idx_root = tempfile.mkdtemp(prefix="mris_vec_idx_")
+    try:
+        t0 = time.perf_counter()
+        cents = sim.train_centroids(vecs, k=IVF_K, iters=2)
+        index_path = os.path.join(idx_root, "index")
+        ensure_table(
+            spark,
+            index_path,
+            lambda: sim.assign_inverted_lists(
+                vecs, cents, 1, keep_cols=("embedding",)
+            ),
+            partition_cols=("centroid_id",),
+        )
+        out["ivf_build"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        materialize(
+            sim.ivf_topk_from_index(
+                spark, index_path, queries, cents, k=ANN_K, nprobe=IVF_NPROBE
+            )
+        )
+        out["ivf_probe"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        materialize(sim.brute_force_topk(vecs, queries, k=ANN_K))
+        out["brute_force_topk"] = round(time.perf_counter() - t0, 2)
+
+        # P ~ log2(N / 64): expected bucket ~64 members; planes are
+        # deterministic driver-side pseudo-random hyperplanes.
+        n_planes = max(4, int(math.log2(max(n, 128) / 64)))
+        rnd = random.Random(42)
+        planes = spark.createDataFrame(
+            [
+                (p, [rnd.uniform(-1.0, 1.0) for _ in range(DIM)])
+                for p in range(n_planes)
+            ],
+            "plane_id int, plane_emb array<double>",
+        )
+        t0 = time.perf_counter()
+        materialize(srp_near_dup_pairs(vecs, planes, threshold=0.8))
+        out["srp_near_dup_pairs"] = round(time.perf_counter() - t0, 2)
+        out["srp_planes"] = n_planes
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+    return out
+
+
 def calibration(spark) -> float:
     best = float("inf")
     for _ in range(2):
@@ -170,17 +272,27 @@ def calibration(spark) -> float:
 
 
 def main() -> None:
-    sizes = [int(s) for s in sys.argv[1:]] or [250_000, 1_000_000, 4_000_000]
+    argv = sys.argv[1:]
+    vectors_mode = "--vectors" in argv
+    argv = [a for a in argv if a != "--vectors"]
+    sizes = [int(s) for s in argv] or (
+        [250_000, 1_000_000, 4_000_000]
+        if not vectors_mode
+        else [125_000, 500_000, 2_000_000]
+    )
     spark = get_spark(app_name="mris-scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
     cal = calibration(spark)
+    synth, run = (
+        (synth_vectors, run_vector_ops) if vectors_mode else (synth_corpus, run_ops)
+    )
     results: list[dict] = []
     root = tempfile.mkdtemp(prefix="mris_rehearsal_")
     try:
         for n in sizes:
-            d = os.path.join(root, f"docs_{n}")
-            gen = synth_corpus(spark, n, d)
-            ops = run_ops(spark, d)
+            d = os.path.join(root, f"data_{n}")
+            gen = synth(spark, n, d)
+            ops = run(spark, d)
             row = {"n_docs": n, "gen_sec": round(gen, 2), **ops}
             results.append(row)
             print(json.dumps(row), flush=True)
@@ -190,7 +302,7 @@ def main() -> None:
 
     exponents: dict[str, list[float]] = {}
     for op in results[0]:
-        if op in ("n_docs", "gen_sec"):
+        if op in ("n_docs", "gen_sec", "srp_planes"):
             continue
         exponents[op] = [
             round(

@@ -122,6 +122,44 @@ def test_srp_pairs_cap_drops_degenerate_bucket(spark):
     assert len(full_pairs) == 1 + 8 * 7 // 2
 
 
+def test_srp_cross_equals_straddling_in_set_pairs(spark, sf_dir):
+    # Same contract as the MinHash/SimHash cross-set miners: splitting
+    # the corpus by id parity, the cross-set pairs must be EXACTLY the
+    # in-set pairs that straddle the split (uncapped, same planes).
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_cross_near_dup,
+        srp_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("plane_id"),
+        F.col("embedding").alias("plane_emb"),
+    )
+    full = srp_near_dup_pairs(
+        emb, planes, threshold=0.3, max_bucket=None
+    ).toPandas()
+    straddling = {
+        frozenset((a, b))
+        for a, b in full[["id_a", "id_b"]].values
+        if a % 2 != b % 2
+    }
+    cross = srp_cross_near_dup(
+        emb.where(F.col("vec_id") % 2 == 1),
+        emb.where(F.col("vec_id") % 2 == 0),
+        planes,
+        threshold=0.3,
+        max_bucket=None,
+    ).toPandas()
+    assert all(cross["new_id"] % 2 == 1) and all(cross["ref_id"] % 2 == 0)
+    assert {
+        frozenset((a, b)) for a, b in cross[["new_id", "ref_id"]].values
+    } == straddling
+    assert len(straddling) > 0  # the fixture must actually exercise it
+
+
 def test_threshold_validated(spark):
     cents = _centroids(spark, {0: _unit(0)})
     vecs = _vectors(spark, {1: _unit(0)})
