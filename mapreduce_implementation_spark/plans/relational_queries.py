@@ -647,3 +647,93 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+# TPC-H Q5 (local supplier volume): the canonical 6-table snowflake
+# join with the c_nationkey = s_nationkey "local supplier" correlation
+# — the widest join shape in the suite. No registry slot (every slot
+# carries a non-overlapping operator); parity via
+# tests/test_demoted_oracles.py. Date band adapted to the synthetic
+# orders range (1995-2001).
+TPCH_Q5_ORACLE = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(12,8)))
+                AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation from lineitems whose supplier and
+    customer share an ASIA nation, one order-date year.
+
+    Shape at 100 TB: region→nation broadcasts (5 rows) to filter BOTH
+    customer and supplier map-side; the two fact joins shuffle on
+    their natural keys (orders⋈customer on custkey — customer is a
+    big dim, NOT broadcast — then lineitem⋈ on orderkey, both AQE-
+    planned), with the one-year date filter pushed to the orders scan
+    so the largest shuffle carries ~1/7 of orders. supplier after the
+    one-region filter stays MBs at any SF and broadcasts into the
+    post-shuffle stream, carrying n_name and closing the
+    c_nationkey = s_nationkey "local supplier" correlation."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    asia_nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").where(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    one_minus_disc = (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,4)")
+    ).cast("decimal(12,8)")
+    return (
+        li.join(
+            orders.join(cust, F.col("c_custkey") == F.col("o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * one_minus_disc)
+            .cast("double")
+            .alias("revenue")
+        )
+    )

@@ -226,17 +226,24 @@ def run_vector_ops(spark, vec_dir: str) -> dict[str, float]:
         )
         out["ivf_build"] = round(time.perf_counter() - t0, 2)
 
-        t0 = time.perf_counter()
-        materialize(
-            sim.ivf_topk_from_index(
+        def timed(build, runs: int = 2) -> float:
+            """min-of-N: the first run pays plan/codegen warmup, which
+            otherwise swamps the cross-size exponent on a noisy host."""
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                materialize(build())
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 2)
+
+        out["ivf_probe"] = timed(
+            lambda: sim.ivf_topk_from_index(
                 spark, index_path, queries, cents, k=ANN_K, nprobe=IVF_NPROBE
             )
         )
-        out["ivf_probe"] = round(time.perf_counter() - t0, 2)
-
-        t0 = time.perf_counter()
-        materialize(sim.brute_force_topk(vecs, queries, k=ANN_K))
-        out["brute_force_topk"] = round(time.perf_counter() - t0, 2)
+        out["brute_force_topk"] = timed(
+            lambda: sim.brute_force_topk(vecs, queries, k=ANN_K)
+        )
 
         # P ~ log2(N / 64): expected bucket ~64 members; planes are
         # deterministic driver-side pseudo-random hyperplanes.
@@ -249,9 +256,9 @@ def run_vector_ops(spark, vec_dir: str) -> dict[str, float]:
             ],
             "plane_id int, plane_emb array<double>",
         )
-        t0 = time.perf_counter()
-        materialize(srp_near_dup_pairs(vecs, planes, threshold=0.8))
-        out["srp_near_dup_pairs"] = round(time.perf_counter() - t0, 2)
+        out["srp_near_dup_pairs"] = timed(
+            lambda: srp_near_dup_pairs(vecs, planes, threshold=0.8)
+        )
         out["srp_planes"] = n_planes
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
