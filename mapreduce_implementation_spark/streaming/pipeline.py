@@ -194,6 +194,83 @@ def start_ingest_dedup_stream(
     )
 
 
+def start_ingest_semantic_dedup_stream(
+    docs_stream: DataFrame,
+    ref_vectors_path: str,
+    planes_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+    model_loader=None,
+    threshold: float = 0.9,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    trigger: dict | None = None,
+):
+    """Semantic dedup-at-ingest: embed each arriving micro-batch and
+    flag documents that are semantic near-twins of the COMMITTED
+    vector corpus; returns the StreamingQuery. The composition of the
+    two ingest stages above — embed-at-ingest feeding the embedding
+    cross-set miner (operators/semantic.srp_cross_near_dup) — catching
+    paraphrase-level duplicates the MinHash ingest screen misses.
+
+    ``ref_vectors_path`` is the committed vector table (e.g. the
+    output of start_ingest_embed_stream or batch embed_documents);
+    ``planes_path`` holds the SRP hyperplanes (DataFrame[plane_id,
+    plane_emb]) — both FIXED for the stream's lifetime, stored with
+    the corpus snapshot: the planes are the index contract, like IVF
+    centroids. Output DataFrame[new_id, ref_id, cos_sim, batch_id]
+    partitioned by batch_id with dynamic overwrite — idempotent under
+    at-least-once replay because the encoder and the screen are both
+    deterministic. Docs absent from the output are semantically novel
+    vs the reference."""
+    from mapreduce_implementation_spark.operators.inference import (
+        embed_documents,
+    )
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_cross_near_dup,
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ref_vecs = spark.read.parquet(ref_vectors_path)
+        planes = spark.read.parquet(planes_path)
+        new_vecs = embed_documents(
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            dim=dim,
+            model_loader=model_loader,
+        ).withColumnRenamed(id_col, "vec_id")
+        flags = srp_cross_near_dup(
+            new_vecs,
+            ref_vecs.select(
+                F.col(id_col).alias("vec_id"), "embedding"
+            )
+            if id_col in ref_vecs.columns
+            else ref_vecs,
+            planes,
+            threshold=threshold,
+            max_bucket=max_bucket,
+        )
+        (
+            flags.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def start_ingest_embed_stream(
     docs_stream: DataFrame,
     out_dir: str,

@@ -261,3 +261,87 @@ def test_ingest_embed_stream_matches_batch(spark, tmp_path):
         r.doc_id: tuple(r.embedding) for r in spark.read.parquet(out).collect()
     }
     assert replayed == got
+
+
+def test_semantic_dedup_at_ingest_flags_planted_twins(spark, tmp_path):
+    """start_ingest_semantic_dedup_stream == embed-at-ingest composed
+    with the embedding cross-set miner: micro-batch docs whose TEXT
+    duplicates a committed doc embed to the identical stub vector
+    (cos 1.0) and must be flagged against it; novel texts must not.
+    Streamed flags equal the batch composition on the same rows."""
+    import random
+
+    from mapreduce_implementation_spark.operators.inference import (
+        embed_documents,
+    )
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_cross_near_dup,
+    )
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        start_ingest_semantic_dedup_stream,
+    )
+
+    ref_texts = [f"reference corpus document number {i} alpha beta" for i in range(10)]
+    ref_docs = spark.createDataFrame(
+        list(enumerate(ref_texts)), "doc_id long, text string"
+    )
+    ref_path = str(tmp_path / "ref_vecs")
+    embed_documents(ref_docs, dim=8).withColumnRenamed(
+        "doc_id", "vec_id"
+    ).write.parquet(ref_path)
+
+    rnd = random.Random(7)
+    planes_path = str(tmp_path / "planes")
+    spark.createDataFrame(
+        [(p, [rnd.uniform(-1.0, 1.0) for _ in range(8)]) for p in range(2)],
+        "plane_id int, plane_emb array<double>",
+    ).write.parquet(planes_path)
+
+    # batch 0: two exact-text twins of ref docs 0 and 3 + one novel;
+    # batch 1: one twin of ref doc 7 + two novel
+    batches = [
+        [(100, ref_texts[0]), (101, ref_texts[3]), (102, "novel text one zzz")],
+        [(200, ref_texts[7]), (201, "novel text two qqq"), (202, "novel three")],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / f"stage{i}"))
+        import glob as g
+        import shutil
+
+        src = g.glob(str(tmp_path / f"stage{i}" / "part-*.parquet"))[0]
+        shutil.move(src, str(in_dir / f"batch_{i}.parquet"))
+
+    q = start_ingest_semantic_dedup_stream(
+        _docs_stream(spark, str(in_dir)),
+        ref_path,
+        planes_path,
+        str(tmp_path / "flags"),
+        str(tmp_path / "ckpt"),
+        dim=8,
+        threshold=0.99,
+    )
+    q.awaitTermination()
+
+    flags = spark.read.parquet(str(tmp_path / "flags")).toPandas()
+    twins = {(int(a), int(b)) for a, b in flags[["new_id", "ref_id"]].values}
+    assert {(100, 0), (101, 3), (200, 7)} <= twins
+    novel = {102, 201, 202}
+    assert not (set(flags["new_id"]) & novel)
+
+    # streamed flags == the batch composition over the same rows
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    batch_flags = srp_cross_near_dup(
+        embed_documents(all_docs, dim=8).withColumnRenamed("doc_id", "vec_id"),
+        spark.read.parquet(ref_path),
+        spark.read.parquet(planes_path),
+        threshold=0.99,
+    ).toPandas()
+    assert twins == {
+        (int(a), int(b)) for a, b in batch_flags[["new_id", "ref_id"]].values
+    }
