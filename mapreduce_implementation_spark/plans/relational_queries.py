@@ -737,3 +737,46 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("revenue")
         )
     )
+
+
+# Window NAVIGATION functions (LAG / LEAD / NTILE / FIRST_VALUE) over
+# each customer's order history — the window family the ranking and
+# frame queries don't cover. Ordering is made total (o_orderdate,
+# o_orderkey) so every navigation value — and NTILE's bucket split —
+# is deterministic and engine-portable. No registry slot; parity via
+# tests/test_demoted_oracles.py.
+WINDOW_NAVIGATION_ORACLE = """
+    SELECT o_custkey, o_orderkey,
+           CAST(LAG(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+           CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price,
+           NTILE(4) OVER w AS quartile,
+           CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE)
+               AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+    """
+
+
+def window_navigation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD/NTILE/FIRST_VALUE over per-customer order sequences.
+
+    One shuffle on o_custkey serves all four functions (a single
+    WindowExec — Spark merges same-spec window expressions); at 100 TB
+    this is the bounded per-customer-history shape, skew-limited by
+    the busiest customer, same as every per-entity window in the
+    suite."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+        F.lead("o_totalprice").over(w).cast("double").alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first_value(F.col("o_totalprice")).over(w)
+        .cast("double")
+        .alias("first_price"),
+    )

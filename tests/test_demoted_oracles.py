@@ -26,6 +26,7 @@ DEMOTED = [
     (rq.full_outer_bucket_counts, rq.FULL_OUTER_ORACLE),
     (rq.small_quantity_revenue, rq.SMALL_QTY_REVENUE_ORACLE),
     (rq.tpch_q5_local_supplier_volume, rq.TPCH_Q5_ORACLE),
+    (rq.window_navigation_orders, rq.WINDOW_NAVIGATION_ORACLE),
     (dq.minhash_cross_near_dup_parity, dq.MINHASH_CROSS_ORACLE),
     (rq.cube_lineitem_flags, rq.CUBE_LINEITEM_ORACLE),
     (rq.set_ops_customer_cohorts, rq.SET_OPS_ORACLE),
