@@ -60,6 +60,7 @@ def semantic_dedup(
     emb_col: str = "embedding",
     *,
     centroids: DataFrame | None = None,
+    assignment: DataFrame | None = None,
     k: int = 8,
     iters: int = 3,
     threshold: float = 0.9,
@@ -73,7 +74,13 @@ def semantic_dedup(
     ``threshold`` cosine (and the cluster is not ``max_cluster``
     -exempt). Pass ``centroids`` (DataFrame[centroid_id,
     centroid_emb]) to reuse a trained set; otherwise ``k``/``iters``
-    spherical k-means is trained here.
+    spherical k-means is trained here. For cluster counts beyond the
+    flat-scoring budget (k ≳ 10³ — SemDeDup at corpus scale), pass
+    ``assignment`` instead: a precomputed DataFrame[id_col, emb_col,
+    centroid_id] (e.g. similarity.assign_two_level over a
+    train_two_level_centroids hierarchy — per-row cost
+    O((k₁+k₂)·d) instead of O(k·d)); ``vectors``/``centroids``/``k``
+    are then ignored.
 
     ``max_cluster=None`` opts out of the skew guard (oracle parity
     runs do this); the default keeps a degenerate mega-cluster from
@@ -86,35 +93,40 @@ def semantic_dedup(
     from mapreduce_implementation_spark.functions.vectors import dot, norm
     from mapreduce_implementation_spark.operators.dedup import spread
 
-    # Widen THIN sources up front: Catalyst fuses the pair score into
-    # the (broadcast) self-join condition, so the expensive dot folds
-    # run wherever the PROBE side's partitions are — a single-file
-    # bench/test scan would serialize them onto one core. Corpus-scale
-    # inputs (many files) pass through spread untouched.
-    vectors = spread(vectors)
-    if centroids is None:
-        centroids = sim.train_centroids(
-            vectors, k=k, iters=iters, id_col=id_col, emb_col=emb_col
+    # `_vn` (the L2 norm) is computed ONCE per vector instead of twice
+    # per candidate PAIR: the pair score then costs one dot fold
+    # instead of three — numerically identical (same sqrt(left-fold)
+    # bits, same denominator product) but ~3x less HOF work in the hot
+    # join. Cached: the self-join reads the assignment twice and the
+    # assignment chain (k x d literal fold per row) is the expensive
+    # part. Session-scale cache, released by the registry sweep; a
+    # persistent pipeline should materialize via sources/materialize
+    # (the IVF index row shows the pattern).
+    if assignment is not None:
+        assigned = track_cache(
+            spread(assignment).withColumn("_vn", norm(F.col(emb_col)))
         )
-
-    # One map-only pass: nearest centroid per vector (quantized cosine,
-    # ties -> smaller centroid_id), embedding carried through for the
-    # pair screen. `_vn` (the L2 norm) is computed ONCE per vector
-    # here instead of twice per candidate PAIR below: the pair score
-    # then costs one 64-step dot fold instead of three folds —
-    # numerically identical (same sqrt(left-fold) bits, same
-    # denominator product) but ~3x less HOF work in the hot join.
-    # Cached: the self-join reads it twice and the assignment chain
-    # (k x d literal fold per row) is the expensive part. Session-
-    # scale cache, released by the registry sweep; a persistent
-    # pipeline should materialize via sources/materialize (the IVF
-    # index row shows the pattern).
-    assigned = track_cache(
-        sim.assign_inverted_lists(
-            vectors, centroids, 1, id_col=id_col, emb_col=emb_col,
-            keep_cols=(emb_col,),
-        ).withColumn("_vn", norm(F.col(emb_col)))
-    )
+    else:
+        # Widen THIN sources up front: Catalyst fuses the pair score
+        # into the (broadcast) self-join condition, so the expensive
+        # dot folds run wherever the PROBE side's partitions are — a
+        # single-file bench/test scan would serialize them onto one
+        # core. Corpus-scale inputs (many files) pass through spread
+        # untouched.
+        vectors = spread(vectors)
+        if centroids is None:
+            centroids = sim.train_centroids(
+                vectors, k=k, iters=iters, id_col=id_col, emb_col=emb_col
+            )
+        # One map-only pass: nearest centroid per vector (quantized
+        # cosine, ties -> smaller centroid_id), embedding carried
+        # through for the pair screen.
+        assigned = track_cache(
+            sim.assign_inverted_lists(
+                vectors, centroids, 1, id_col=id_col, emb_col=emb_col,
+                keep_cols=(emb_col,),
+            ).withColumn("_vn", norm(F.col(emb_col)))
+        )
     if max_cluster is not None:
         # k rows after the partial agg -> broadcast back; no window.
         sizes = assigned.groupBy("centroid_id").agg(

@@ -217,6 +217,171 @@ def train_centroids(
     )
 
 
+def train_two_level_centroids(
+    vectors: DataFrame,
+    k_coarse: int = 32,
+    k_fine: int = 32,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level (coarse → fine) centroid hierarchy — the IMI-style
+    answer to the flat assignment's O(N · k · d) per-corpus cost: with
+    k = k_coarse × k_fine effective cells, per-row assignment work
+    drops to O((k_coarse + k_fine) · d). This is what lets
+    semantic_dedup scale its cluster count with the corpus
+    (SemDeDup wants ~N/1000 clusters; flat scoring at k=10⁵ is
+    unpayable, two-level at 320×320 is two small argmaxes).
+
+    Level 1: real Lloyd training (train_centroids). Level 2: within
+    each coarse cell, ``k_fine`` deterministic md5-ranked member
+    vectors (sampling init, no per-cell Lloyd — the standard residual
+    shortcut; cells are already locally coherent). The fine selection
+    reuses sampling.stratified_fixed_n — two-phase top-N per cell, no
+    whole-cell single-task sort. Empty coarse cells keep their coarse
+    centroid as the single fine member so assignment is total.
+
+    Returns ``(coarse, fine)``:
+    ``coarse = DataFrame[centroid_id int, centroid_emb array<long>]``
+    (micro-quantized, as train_centroids) and
+    ``fine = DataFrame[coarse_id int, centroid_id int, centroid_emb
+    array<double>]`` with globally unique
+    ``centroid_id = coarse_id * k_fine + rank``."""
+    from mapreduce_implementation_spark.operators.sampling import (
+        stratified_fixed_n,
+    )
+
+    if k_fine < 1 or k_coarse < 1:
+        raise ValueError("k_coarse and k_fine must be >= 1")
+    spark = vectors.sparkSession
+    coarse = train_centroids(
+        vectors, k=k_coarse, iters=iters, id_col=id_col, emb_col=emb_col
+    )
+    assigned = assign_inverted_lists(
+        vectors, coarse, 1, id_col=id_col, emb_col=emb_col,
+        keep_cols=(emb_col,),
+    )
+    picks = stratified_fixed_n(assigned, "centroid_id", k_fine, key_col=id_col)
+    rows = picks.select("centroid_id", id_col, emb_col).collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(int(r["centroid_id"]), []).append(r)
+    coarse_rows = {
+        int(r.centroid_id): [float(x) for x in r.centroid_emb]
+        for r in coarse.collect()
+    }
+    fine_rows = []
+    for cid, cemb in sorted(coarse_rows.items()):
+        members = by_cell.get(cid)
+        if not members:
+            fine_rows.append((cid, cid * k_fine, cemb))
+            continue
+        members.sort(key=lambda r: int(r[id_col]))  # any fixed order
+        for j, m in enumerate(members):
+            fine_rows.append(
+                (cid, cid * k_fine + j, [float(x) for x in m[emb_col]])
+            )
+    fine = spark.createDataFrame(
+        fine_rows,
+        "coarse_id int, centroid_id int, centroid_emb array<double>",
+    )
+    return coarse, fine
+
+
+def assign_two_level(
+    vectors: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Two-level assignment: argmax-cosine coarse cell (ties → smaller
+    id, same convention as the flat path), then argmax among THAT
+    cell's fine centroids — one map-only projection, per-row cost
+    O((k_coarse + k_fine) · d) instead of the flat O(k_total · d).
+
+    The fine hierarchy ships as ONE ragged 3-D array literal indexed
+    by the coarse choice at runtime (element_at with a column index),
+    so the expression tree stays constant-size regardless of cell
+    population skew. Returns DataFrame[id_col, *keep_cols,
+    centroid_id] with the GLOBAL fine centroid id."""
+    import math as _math
+
+    from mapreduce_implementation_spark.functions.vectors import dot, norm
+
+    cents = sorted(
+        (
+            (int(r.centroid_id), [float(x) for x in r.centroid_emb])
+            for r in coarse.collect()
+        ),
+    )
+    if not cents:
+        raise ValueError("coarse centroid set is empty")
+    fine_by_cell: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in fine.collect():
+        fine_by_cell.setdefault(int(r.coarse_id), []).append(
+            (int(r.centroid_id), [float(x) for x in r.centroid_emb])
+        )
+    for cell in fine_by_cell.values():
+        cell.sort()
+    # ragged literals indexed by coarse position (cells align with the
+    # sorted coarse id order; coarse ids are dense 0..k1-1 from
+    # train_centroids, and train_two_level_centroids' construction is
+    # total — every coarse id has >= 1 fine entry)
+    fmat, fnorms, fnegids = [], [], []
+    for cid, cemb in cents:
+        cell = fine_by_cell.get(cid)
+        if not cell:
+            raise ValueError(
+                f"coarse cell {cid} has no fine centroids; pass the "
+                f"(coarse, fine) pair from train_two_level_centroids"
+            )
+        fmat.append([emb for _, emb in cell])
+        fnorms.append(
+            [_math.sqrt(sum(x * x for x in emb)) for _, emb in cell]
+        )
+        fnegids.append([-fid for fid, _ in cell])
+
+    cmat = F.lit([emb for _, emb in cents])
+    cnorms = F.lit([_math.sqrt(sum(x * x for x in emb)) for _, emb in cents])
+    cnegids = F.lit([-cid for cid, _ in cents])
+    fmat_l, fnorms_l, fnegids_l = F.lit(fmat), F.lit(fnorms), F.lit(fnegids)
+
+    pre = vectors.select(
+        F.col(id_col),
+        F.col(emb_col),
+        *[F.col(c) for c in keep_cols if c != emb_col],
+        norm(F.col(emb_col)).alias("_vn"),
+    )
+
+    def argmax_pos(mat, norms, negids, n):
+        def score_struct(i):
+            denom = norms[i] * F.col("_vn")
+            s = F.when(denom != 0, dot(mat[i], F.col(emb_col)) / denom).cast(
+                COS_Q
+            )
+            return F.struct(s.alias("s"), negids[i].alias("negid"))
+
+        structs = F.transform(F.sequence(F.lit(0), n - 1), score_struct)
+        return F.element_at(F.reverse(F.array_sort(structs)), 1)["negid"]
+
+    # coarse ids are dense 0..k1-1, so -negid doubles as the POSITION
+    # indexing the fine literals
+    c_pos = (-argmax_pos(cmat, cnorms, cnegids, F.lit(len(cents)))).cast("int")
+    with_cell = pre.withColumn("_c1", c_pos)
+    cell_mat = F.element_at(fmat_l, F.col("_c1") + 1)
+    cell_norms = F.element_at(fnorms_l, F.col("_c1") + 1)
+    cell_negids = F.element_at(fnegids_l, F.col("_c1") + 1)
+    f_id = (
+        -argmax_pos(cell_mat, cell_norms, cell_negids, F.size(cell_mat))
+    ).cast("int")
+    kept = [F.col(c) for c in keep_cols]
+    return with_cell.select(
+        F.col(id_col), *kept, f_id.alias("centroid_id")
+    )
+
+
 def assign_inverted_lists(
     df: DataFrame,
     centroids: DataFrame,
