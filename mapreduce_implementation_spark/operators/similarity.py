@@ -298,14 +298,29 @@ def assign_two_level(
 ) -> DataFrame:
     """Two-level assignment: argmax-cosine coarse cell (ties → smaller
     id, same convention as the flat path), then argmax among THAT
-    cell's fine centroids — one map-only projection, per-row cost
-    O((k_coarse + k_fine) · d) instead of the flat O(k_total · d).
+    cell's fine centroids — per-row score work O((k_coarse + k_fine)·d)
+    instead of the flat O(k_total · d).
 
-    The fine hierarchy ships as ONE ragged 3-D array literal indexed
-    by the coarse choice at runtime (element_at with a column index),
-    so the expression tree stays constant-size regardless of cell
-    population skew. Returns DataFrame[id_col, *keep_cols,
-    centroid_id] with the GLOBAL fine centroid id."""
+    The coarse stage is the flat literal argmax (k_coarse is driver-
+    small). The fine stage is a BROADCAST equi-join on the chosen cell
+    (fine is k1·k2 rows — driver-small by construction) followed by a
+    partial-agg max: each joined row scores exactly ONE (vector, fine
+    centroid) pair inside whole-stage codegen, and the per-vector
+    argmax is ``max(struct(score, -centroid_id, …))`` — ties to the
+    smaller id, identical to the flat path's ordering. The exchange
+    after partial aggregation carries exactly one row per input vector
+    (a vector's k2 candidate rows are produced inside one map task).
+
+    Measured (BASELINE.md round-9, n=100k dim=64 k=32×32): this form
+    runs 6.3 s vs 70 s for flat k=1024 (11×; theory 16×). A previous
+    all-expression form (ragged 3-D literal + element_at inside the
+    argmax lambda) was map-only but evaluated the per-cell argmax
+    through interpreted higher-order functions — 38 s, i.e. 6× slower
+    than paying this one skinny shuffle.
+
+    Returns DataFrame[id_col, *keep_cols, centroid_id] with the GLOBAL
+    fine centroid id — one row per distinct id (ids are assumed
+    unique, as everywhere in the similarity stack)."""
     import math as _math
 
     from mapreduce_implementation_spark.functions.vectors import dot, norm
@@ -318,35 +333,20 @@ def assign_two_level(
     )
     if not cents:
         raise ValueError("coarse centroid set is empty")
-    fine_by_cell: dict[int, list[tuple[int, list[float]]]] = {}
-    for r in fine.collect():
-        fine_by_cell.setdefault(int(r.coarse_id), []).append(
-            (int(r.centroid_id), [float(x) for x in r.centroid_emb])
+    have = {
+        int(r.coarse_id)
+        for r in fine.select("coarse_id").distinct().collect()
+    }
+    missing = [cid for cid, _ in cents if cid not in have]
+    if missing:
+        raise ValueError(
+            f"coarse cells {missing[:5]} have no fine centroids; pass "
+            f"the (coarse, fine) pair from train_two_level_centroids"
         )
-    for cell in fine_by_cell.values():
-        cell.sort()
-    # ragged literals indexed by coarse position (cells align with the
-    # sorted coarse id order; coarse ids are dense 0..k1-1 from
-    # train_centroids, and train_two_level_centroids' construction is
-    # total — every coarse id has >= 1 fine entry)
-    fmat, fnorms, fnegids = [], [], []
-    for cid, cemb in cents:
-        cell = fine_by_cell.get(cid)
-        if not cell:
-            raise ValueError(
-                f"coarse cell {cid} has no fine centroids; pass the "
-                f"(coarse, fine) pair from train_two_level_centroids"
-            )
-        fmat.append([emb for _, emb in cell])
-        fnorms.append(
-            [_math.sqrt(sum(x * x for x in emb)) for _, emb in cell]
-        )
-        fnegids.append([-fid for fid, _ in cell])
 
     cmat = F.lit([emb for _, emb in cents])
     cnorms = F.lit([_math.sqrt(sum(x * x for x in emb)) for _, emb in cents])
     cnegids = F.lit([-cid for cid, _ in cents])
-    fmat_l, fnorms_l, fnegids_l = F.lit(fmat), F.lit(fnorms), F.lit(fnegids)
 
     pre = vectors.select(
         F.col(id_col),
@@ -355,30 +355,53 @@ def assign_two_level(
         norm(F.col(emb_col)).alias("_vn"),
     )
 
-    def argmax_pos(mat, norms, negids, n):
-        def score_struct(i):
-            denom = norms[i] * F.col("_vn")
-            s = F.when(denom != 0, dot(mat[i], F.col(emb_col)) / denom).cast(
-                COS_Q
+    def score_struct(i):
+        denom = cnorms[i] * F.col("_vn")
+        s = F.when(denom != 0, dot(cmat[i], F.col(emb_col)) / denom).cast(
+            COS_Q
+        )
+        return F.struct(s.alias("s"), cnegids[i].alias("negid"))
+
+    structs = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)), score_struct
+    )
+    c_cell = -F.element_at(F.reverse(F.array_sort(structs)), 1)["negid"]
+    with_cell = pre.withColumn("_c1", c_cell.cast("int"))
+
+    f = fine.select(
+        F.col("coarse_id").alias("_fcell"),
+        (-F.col("centroid_id")).alias("_negid"),
+        F.col("centroid_emb").cast("array<double>").alias("_femb"),
+    ).withColumn(
+        "_fnorm",
+        F.sqrt(F.aggregate("_femb", F.lit(0.0), lambda a, v: a + v * v)),
+    )
+    joined = with_cell.join(
+        F.broadcast(f), F.col("_c1") == F.col("_fcell")
+    )
+    denom = F.col("_fnorm") * F.col("_vn")
+    fine_s = F.when(
+        denom != 0, dot("_femb", F.col(emb_col)) / denom
+    ).cast(COS_Q)
+    scored = joined.select(
+        F.col(id_col),
+        fine_s.alias("_s"),
+        F.col("_negid"),
+        *[F.col(c) for c in keep_cols],
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_s"),
+                F.col("_negid"),
+                *[F.col(c) for c in keep_cols],
             )
-            return F.struct(s.alias("s"), negids[i].alias("negid"))
-
-        structs = F.transform(F.sequence(F.lit(0), n - 1), score_struct)
-        return F.element_at(F.reverse(F.array_sort(structs)), 1)["negid"]
-
-    # coarse ids are dense 0..k1-1, so -negid doubles as the POSITION
-    # indexing the fine literals
-    c_pos = (-argmax_pos(cmat, cnorms, cnegids, F.lit(len(cents)))).cast("int")
-    with_cell = pre.withColumn("_c1", c_pos)
-    cell_mat = F.element_at(fmat_l, F.col("_c1") + 1)
-    cell_norms = F.element_at(fnorms_l, F.col("_c1") + 1)
-    cell_negids = F.element_at(fnegids_l, F.col("_c1") + 1)
-    f_id = (
-        -argmax_pos(cell_mat, cell_norms, cell_negids, F.size(cell_mat))
-    ).cast("int")
-    kept = [F.col(c) for c in keep_cols]
-    return with_cell.select(
-        F.col(id_col), *kept, f_id.alias("centroid_id")
+        ).alias("_m")
+    )
+    return agg.select(
+        F.col(id_col),
+        *[F.col(f"_m.{c}").alias(c) for c in keep_cols],
+        (-F.col("_m._negid")).cast("int").alias("centroid_id"),
     )
 
 

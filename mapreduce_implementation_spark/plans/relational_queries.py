@@ -780,3 +780,174 @@ def window_navigation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("first_price"),
     )
+
+
+# TPC-H Q4 (order priority checking), adapted to the synthetic schema:
+# the reference predicate l_commitdate < l_receiptdate has no columns
+# here, so the EXISTS condition becomes "some lineitem shipped after
+# the order date" — same decorrelated-EXISTS shape (hw dates absent;
+# the operator under test is the fact⋈fact LEFT SEMI join, not the
+# predicate). No registry slot; parity via test_demoted_oracles.py.
+TPCH_Q4_ORACLE = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """
+
+
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders in one quarter with at least one late-shipped
+    lineitem, counted by priority.
+
+    Shape at 100 TB: the quarter filter is pushed to the orders scan
+    (~1/26 of rows), then ONE shuffle left-semi join on l_orderkey /
+    o_orderkey — the EXISTS is expressed directly as left_semi so no
+    dedup aggregation and no row blowup on multi-lineitem orders; AQE
+    handles orderkey skew. The final groupBy has 5 groups — partial
+    agg collapses it map-side."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# TPC-H Q10 (returned item reporting): top-20 customers by revenue
+# lost to returns in one quarter. Ranking happens on the EXACT decimal
+# revenue (cross-engine-stable; the double cast is projection-only),
+# ties break on c_custkey. No registry slot; parity via
+# tests/test_demoted_oracles.py.
+TPCH_Q10_ORACLE = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(12,4))
+                           AS DECIMAL(12,8)))
+                AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= DATE '1996-04-01'
+      AND o_orderdate < DATE '1996-07-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - CAST(l_discount AS DECIMAL(12,4))
+                        AS DECIMAL(12,8))) DESC,
+             c_custkey
+    LIMIT 20
+    """
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue, one
+    quarter.
+
+    Shape at 100 TB: the quarter filter prunes the orders scan and
+    l_returnflag='R' prunes lineitem (both pushed); orders⋈lineitem
+    shuffles on orderkey, then ⋈customer shuffles on custkey (customer
+    is a big dim — NOT broadcast); nation (25 rows) broadcasts. The
+    top-20 is TakeOrderedAndProject over the exact decimal revenue —
+    per-partition heads then one driver merge, never a global sort."""
+    one_minus_disc = (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,4)")
+    ).cast("decimal(12,8)")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-04-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * one_minus_disc)
+            .alias("_rev_exact")
+        )
+        .orderBy(F.col("_rev_exact").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("_rev_exact").cast("double").alias("revenue"),
+        )
+    )
+
+
+# TPC-H Q13 (customer distribution): histogram of per-customer order
+# counts INCLUDING zero-order customers — the LEFT OUTER join +
+# double-aggregation shape nothing else in the suite has. The original
+# excludes comment-pattern orders; the synthetic orders table has no
+# comment, so the exclusion predicate adapts to o_orderpriority <>
+# '1-URGENT' (same join-condition-filter placement: it must sit IN the
+# join, not a WHERE, to keep zero-match customers). No registry slot;
+# parity via tests/test_demoted_oracles.py.
+TPCH_Q13_ORACLE = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) per_cust
+    GROUP BY c_count
+    """
+
+
+def tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer, zero
+    included.
+
+    Shape at 100 TB: one shuffle outer join on custkey (both sides
+    fact-scale), the priority exclusion lives in the join condition so
+    excluded-only customers still surface with c_count=0, then a
+    custkey-local count (reuses the join's partitioning — no second
+    shuffle) and a tiny final histogram agg (~dozens of distinct
+    counts, partial-agg collapsed)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )

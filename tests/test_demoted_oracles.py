@@ -33,6 +33,9 @@ DEMOTED = [
     (tq.corpus_stats_by_lang, tq.CORPUS_STATS_ORACLE),
     (pq.stratified_fixed_n_parity, pq.STRATIFIED_FIXED_N_ORACLE),
     (rq.filter_pushdown_scan, rq.FILTER_PUSHDOWN_ORACLE),
+    (rq.tpch_q4_order_priority, rq.TPCH_Q4_ORACLE),
+    (rq.tpch_q10_returned_items, rq.TPCH_Q10_ORACLE),
+    (rq.tpch_q13_customer_distribution, rq.TPCH_Q13_ORACLE),
 ]
 
 
