@@ -951,3 +951,25 @@ def tpch_q13_customer_distribution(
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+# Contiguous global row ids (operators/ids.assign_contiguous_ids): the
+# distributed equivalent of ROW_NUMBER() OVER (ORDER BY …) — which is
+# exactly what the oracle runs, while the Spark side never plans a
+# global sort (plan-gated in tests/test_ids.py). No registry slot;
+# parity via tests/test_demoted_oracles.py.
+CONTIGUOUS_IDS_ORACLE = """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+               AS row_id
+    FROM orders
+    """
+
+
+def contiguous_row_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_implementation_spark.operators.ids import (
+        assign_contiguous_ids,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return assign_contiguous_ids(orders, "o_orderkey")

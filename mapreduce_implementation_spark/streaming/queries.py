@@ -106,21 +106,37 @@ def streaming_interval_join(
     lo: str,
     hi: str,
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join bounded by an event-time interval:
-    pairs with ``right_ts ∈ [left_ts + lo, left_ts + hi]`` on ``key``.
+    """Stream-stream join bounded by an event-time interval: pairs with
+    ``right_ts ∈ [left_ts + lo, left_ts + hi]`` on ``key``.
 
     Watermarks on BOTH sides let the engine evict join state: a left
     row can stop waiting once the right watermark passes
     ``left_ts + hi``, so state is bounded by (watermark + interval) ×
-    arrival rate — the batch twin is operators/events.range_join."""
+    arrival rate — the batch twin is operators/events.range_join.
+
+    ``how`` extends to the OUTER stream-stream joins (``leftOuter`` /
+    ``rightOuter`` / ``fullOuter``): the engine NULL-extends a
+    preserved row only once the query-wide watermark (the MIN across
+    both sources) proves no match can still arrive — i.e. outer
+    results are delayed by up to watermark + interval, and rows still
+    in state when a bounded drain terminates are NOT null-emitted
+    (they are not lost — a restart with more data flushes them). The
+    time-interval condition is what makes outer state evictable; an
+    outer stream-stream join WITHOUT it would hold state forever."""
+    allowed = ("inner", "leftOuter", "rightOuter", "fullOuter")
+    if how not in allowed:
+        raise ValueError(
+            f"stream-stream interval join supports {allowed}, got {how!r}"
+        )
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = F.expr(
         f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} + interval {lo} "
         f"AND r.{right_ts} <= l.{left_ts} + interval {hi}"
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
 
 
 def streaming_enrich_static(

@@ -36,6 +36,7 @@ DEMOTED = [
     (rq.tpch_q4_order_priority, rq.TPCH_Q4_ORACLE),
     (rq.tpch_q10_returned_items, rq.TPCH_Q10_ORACLE),
     (rq.tpch_q13_customer_distribution, rq.TPCH_Q13_ORACLE),
+    (rq.contiguous_row_ids_orders, rq.CONTIGUOUS_IDS_ORACLE),
 ]
 
 
