@@ -265,6 +265,136 @@ def run_vector_ops(spark, vec_dir: str) -> dict[str, float]:
     return out
 
 
+N_MICRO_BATCHES = 8
+EVENTS_PER_USER = 50
+SESSION_GAP_S = 1800
+FUNNEL_WITHIN_S = 1800
+
+
+def synth_events(spark, n_events: int, out_dir: str) -> float:
+    """Event stream with SIZE-INDEPENDENT per-user temporal structure:
+    n/EVENTS_PER_USER users, each emitting its k-th event at
+    ``k*300 + jitter(0..600)`` seconds — so session/funnel state shape
+    (events per user, inter-event gaps, window occupancy) is constant
+    across sizes and the measured curve isolates THROUGHPUT scaling.
+    Staged as N_MICRO_BATCHES mtime-ordered parquet files split on k
+    (coarsely time-ordered; the jitter overlap is covered by the
+    operators' watermark delay)."""
+    t0 = time.perf_counter()
+    n_users = max(1, n_events // EVENTS_PER_USER)
+    u = F.col("event_id") % n_users
+    k = (F.col("event_id") / n_users).cast("long")
+    h = F.abs(F.xxhash64("event_id", F.lit("ev")))
+    ts_s = k * 300 + (h % 600)
+    etype = (
+        F.when(h % 10 < 6, "view")
+        .when(h % 10 < 9, "click")
+        .otherwise("purchase")
+    )
+    df = (
+        spark.range(n_events)
+        .withColumnRenamed("id", "event_id")
+        .select(
+            "event_id",
+            u.alias("user_id"),
+            k.alias("_k"),
+            ts_s.cast("timestamp").alias("ts"),
+            etype.alias("event_type"),
+            ((h % 1000) / 10.0).alias("value"),
+        )
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    per = max(1, EVENTS_PER_USER // N_MICRO_BATCHES)
+    now = time.time()
+    for b in range(N_MICRO_BATCHES):
+        lo, hi = b * per, (b + 1) * per if b < N_MICRO_BATCHES - 1 else 10**9
+        part = df.where((F.col("_k") >= lo) & (F.col("_k") < hi)).drop("_k")
+        tmp = os.path.join(out_dir, f"_tmp{b}")
+        part.coalesce(4).write.mode("overwrite").parquet(tmp)
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
+        for j, fp in enumerate(files):
+            dest = os.path.join(out_dir, f"b{b:02d}_{j}.parquet")
+            shutil.move(fp, dest)
+            mtime = now - (N_MICRO_BATCHES - b) * 30
+            os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return time.perf_counter() - t0
+
+
+def run_streaming_ops(spark, events_dir: str) -> dict[str, float]:
+    """Drain each stateful operator over the staged stream with
+    Trigger.AvailableNow into a noop sink; report wall seconds and the
+    peak state rows the engine held (the bounded-state evidence)."""
+    from mapreduce_implementation_spark.streaming.funnel import (
+        streaming_funnel,
+    )
+    from mapreduce_implementation_spark.streaming.queries import (
+        streaming_dedup_within_watermark,
+        streaming_windowed_counts,
+    )
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    def read():
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", str(max(1, len(os.listdir(events_dir)) // N_MICRO_BATCHES)))
+            .parquet(events_dir)
+        )
+
+    ops = {
+        "windowed_counts": lambda: streaming_windowed_counts(
+            read(), "5 minutes", "10 minutes"
+        ),
+        "sessionize_event": lambda: sessionize_stream(
+            read(), gap_s=SESSION_GAP_S, timeout_mode="event"
+        ),
+        "dedup_within_wm": lambda: streaming_dedup_within_watermark(
+            read().withColumn(
+                "dk", F.concat_ws(":", "user_id", "event_id")
+            ),
+            text_col="dk",
+            ts_col="ts",
+            watermark="10 minutes",
+        ),
+        "funnel_event": lambda: streaming_funnel(
+            read(),
+            ("view", "click", "purchase"),
+            FUNNEL_WITHIN_S,
+            timeout_mode="event",
+        ),
+    }
+    out: dict[str, float] = {}
+    for name, build in ops.items():
+        ckpt = tempfile.mkdtemp(prefix=f"mris_ckpt_{name}_")
+        try:
+            t0 = time.perf_counter()
+            q = (
+                build()
+                .writeStream.format("noop")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+            out[name] = round(time.perf_counter() - t0, 2)
+            peak = 0
+            for p in q.recentProgress:
+                for so in p.get("stateOperators", []):
+                    peak = max(peak, so.get("numRowsTotal", 0))
+            out[f"{name}_peak_state"] = peak
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def calibration(spark) -> float:
     best = float("inf")
     for _ in range(2):
@@ -281,18 +411,22 @@ def calibration(spark) -> float:
 def main() -> None:
     argv = sys.argv[1:]
     vectors_mode = "--vectors" in argv
-    argv = [a for a in argv if a != "--vectors"]
+    streaming_mode = "--streaming" in argv
+    argv = [a for a in argv if a not in ("--vectors", "--streaming")]
     sizes = [int(s) for s in argv] or (
-        [250_000, 1_000_000, 4_000_000]
-        if not vectors_mode
-        else [125_000, 500_000, 2_000_000]
+        [125_000, 500_000, 2_000_000]
+        if (vectors_mode or streaming_mode)
+        else [250_000, 1_000_000, 4_000_000]
     )
     spark = get_spark(app_name="mris-scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
     cal = calibration(spark)
-    synth, run = (
-        (synth_vectors, run_vector_ops) if vectors_mode else (synth_corpus, run_ops)
-    )
+    if streaming_mode:
+        synth, run = synth_events, run_streaming_ops
+    elif vectors_mode:
+        synth, run = synth_vectors, run_vector_ops
+    else:
+        synth, run = synth_corpus, run_ops
     results: list[dict] = []
     root = tempfile.mkdtemp(prefix="mris_rehearsal_")
     try:
@@ -309,7 +443,9 @@ def main() -> None:
 
     exponents: dict[str, list[float]] = {}
     for op in results[0]:
-        if op in ("n_docs", "gen_sec", "srp_planes"):
+        if op in ("n_docs", "gen_sec", "srp_planes") or op.endswith(
+            "_peak_state"
+        ):
             continue
         exponents[op] = [
             round(
