@@ -140,6 +140,7 @@ def start_ingest_dedup_stream(
     threshold: float = 0.5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     trigger: dict | None = None,
+    observe_name: str | None = "ingest_quality",
 ):
     """Dedup-at-ingest: flag each incoming document that near-duplicates
     the EXISTING corpus; returns the StreamingQuery. ``trigger``
@@ -157,6 +158,12 @@ def start_ingest_dedup_stream(
     reference. The reference is FIXED for the stream's lifetime
     (no read-write races); rebuild it and restart the stream to absorb
     ingested docs into the reference — the standard bulk-ingest cadence.
+
+    ``observe_name`` (all three ingest starters): attach the
+    operators/observability corpus-health metrics to the incoming
+    stream — they ride each micro-batch (zero extra scans) and land in
+    ``progress.observedMetrics[observe_name]``, the feed a production
+    ingest monitor alarms on. ``None`` disables.
     """
     from mapreduce_implementation_spark.operators.dedup import (
         minhash_cross_near_dup,
@@ -187,11 +194,26 @@ def start_ingest_dedup_stream(
         )
 
     return (
-        docs_stream.writeStream.foreachBatch(handle_batch)
+        _maybe_observe(docs_stream, observe_name, text_col)
+        .writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def _maybe_observe(
+    stream: DataFrame, observe_name: str | None, text_col: str
+) -> DataFrame:
+    """Attach per-micro-batch corpus-health metrics (CollectMetrics
+    rides the existing batch plan — no extra pass, no shuffle)."""
+    if not observe_name:
+        return stream
+    from mapreduce_implementation_spark.operators.observability import (
+        observe_stream,
+    )
+
+    return observe_stream(stream, name=observe_name, text_col=text_col)
 
 
 def start_ingest_semantic_dedup_stream(
@@ -208,6 +230,7 @@ def start_ingest_semantic_dedup_stream(
     threshold: float = 0.9,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     trigger: dict | None = None,
+    observe_name: str | None = "ingest_quality",
 ):
     """Semantic dedup-at-ingest: embed each arriving micro-batch and
     flag documents that are semantic near-twins of the COMMITTED
@@ -264,7 +287,8 @@ def start_ingest_semantic_dedup_stream(
         )
 
     return (
-        docs_stream.writeStream.foreachBatch(handle_batch)
+        _maybe_observe(docs_stream, observe_name, text_col)
+        .writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(**(trigger or {"availableNow": True}))
         .start()
@@ -281,6 +305,7 @@ def start_ingest_embed_stream(
     dim: int = 16,
     model_loader=None,
     trigger: dict | None = None,
+    observe_name: str | None = "ingest_quality",
 ):
     """Embed-at-ingest: run batch inference over each arriving
     micro-batch and land DataFrame[id_col, embedding, batch_id] as the
@@ -321,7 +346,8 @@ def start_ingest_embed_stream(
         )
 
     return (
-        docs_stream.writeStream.foreachBatch(handle_batch)
+        _maybe_observe(docs_stream, observe_name, text_col)
+        .writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(**(trigger or {"availableNow": True}))
         .start()

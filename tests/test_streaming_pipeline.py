@@ -239,6 +239,15 @@ def test_ingest_embed_stream_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
 
+    # default-on ingest telemetry: the corpus-health metrics ride each
+    # micro-batch's progress (zero extra scans) and sum to the corpus
+    per_batch = [
+        p["observedMetrics"]["ingest_quality"]
+        for p in q.recentProgress
+        if "ingest_quality" in p.get("observedMetrics", {})
+    ]
+    assert per_batch and sum(m["rows"] for m in per_batch) == docs.count()
+
     streamed = spark.read.parquet(out)
     assert streamed.select("batch_id").distinct().count() == 2
     got = {r.doc_id: tuple(r.embedding) for r in streamed.collect()}
