@@ -306,3 +306,156 @@ def _estimated_partitions(df: DataFrame) -> int:
             return max(est, len(files))
         return len(files)
     return df.sparkSession.sparkContext.defaultParallelism
+
+
+def stratified_token_budget(
+    df: DataFrame,
+    stratum_col: str,
+    budgets: Mapping,
+    token_col: str | None = None,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "tokbudget",
+    method: str = "xxhash64",
+    *,
+    num_partitions: int | None = None,
+    offsets_max_rows: int = 2_000_000,
+) -> DataFrame:
+    """Per-stratum TOKEN-budget selection — "2B tokens of code, 500M of
+    German" — the unit real corpus mix specs are written in (doc counts
+    are a proxy; training runs budget tokens). Deterministic: rows are
+    taken in ``(hash(key||salt), key)`` order within each stratum while
+    the PRE-row cumulative token sum is < the stratum's budget, so the
+    crossing document is included (selected mass >= budget whenever the
+    stratum has it; overshoot < one document). ``budgets`` maps stratum
+    value -> token budget; unlisted strata are kept WHOLE (no budget =
+    unlimited, mirroring ``stratified_sample``'s default_fraction=1.0)
+    — pass 0 to drop a stratum. ``token_col`` names a precomputed count
+    column; otherwise whitespace ``token_count(text_col)`` is used.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a per-stratum window (a
+    single window over a 10^9-row stratum is one giant sorting task,
+    the skew shape this repo bans elsewhere):
+
+    1. ONE range exchange on ``(stratum, h, key)`` — global order across
+       partitions, each partition a contiguous slice;
+    2. per-(stratum, partition) token sums — a tiny aggregate, collected
+       (O(strata x partitions) rows, guarded by ``offsets_max_rows``)
+       and turned into running offsets on the driver;
+    3. classification broadcast back: partitions wholly under budget
+       are kept with a MAP-ONLY filter (no sort ever touches them),
+       partitions past it are dropped the same way, and only the ONE
+       boundary partition per stratum pays a within-group running-sum
+       window — bounded by a single range-partition's rows.
+
+    The range partitioner SAMPLES to pick boundaries, so partition cuts
+    vary run to run — but the selected SET is a pure function of keys
+    and token counts (offsets are exact wherever the cuts fall);
+    layout-independence is pytest-pinned. ``method="md5"`` makes the
+    ordering hash engine-portable, so membership replays row-for-row in
+    DuckDB as ``SUM(tokens) OVER (PARTITION BY stratum ORDER BY h, key
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < budget``
+    (pytest-gated).
+    """
+    from pyspark.sql.window import Window
+
+    from mapreduce_implementation_spark.functions.textstats import (
+        token_count,
+    )
+
+    spark = df.sparkSession
+    toks = (
+        F.col(token_col).cast("long")
+        if token_col
+        else token_count(text_col)
+    )
+    h = hash_bucket(key_col, salt=salt, method=method)
+    budgets = dict(budgets)
+    listed = [s for s, b in budgets.items() if b is not None]
+    # strata with a finite budget pay the exchange; unlisted (and
+    # None-budget) strata are kept whole via a scan-stage filter and
+    # never shuffle at all
+    unlimited = df.where(
+        ~F.col(stratum_col).isin(listed) if listed else F.lit(True)
+    )
+    capped_in = df.where(F.col(stratum_col).isin(listed))
+    if not listed:
+        return unlimited
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    staged = (
+        capped_in.withColumn("_tb_tok", F.coalesce(toks, F.lit(0)))
+        .withColumn("_tb_h", h)
+        .repartitionByRange(n_parts, stratum_col, "_tb_h", key_col)
+        .withColumn("_tb_pid", F.spark_partition_id())
+    )
+    # one narrow aggregate; its result is the ONLY driver-held state
+    sums = (
+        staged.groupBy(stratum_col, "_tb_pid")
+        .agg(F.sum("_tb_tok").alias("_tb_sum"))
+        .limit(offsets_max_rows + 1)
+        .collect()
+    )
+    if len(sums) > offsets_max_rows:
+        raise ValueError(
+            f"stratified_token_budget: > {offsets_max_rows} "
+            "(stratum, partition) groups — lower num_partitions or "
+            "raise offsets_max_rows consciously"
+        )
+    by_stratum: dict = {}
+    for r in sums:
+        by_stratum.setdefault(r[stratum_col], []).append(
+            (r["_tb_pid"], r["_tb_sum"])
+        )
+    FULL, BOUNDARY = 0, 1  # dropped groups simply aren't in the map
+    classes = []
+    for s, lst in by_stratum.items():
+        budget = budgets[s]
+        running = 0
+        for pid, tok_sum in sorted(lst):
+            if running >= budget:
+                break
+            if running + tok_sum < budget:
+                classes.append((s, pid, FULL, running))
+            else:
+                classes.append((s, pid, BOUNDARY, running))
+            running += tok_sum
+    cls = F.broadcast(
+        spark.createDataFrame(
+            classes, f"{stratum_col} string, _tb_pid int, _tb_cls int, "
+            "_tb_off long"
+        ).withColumn(
+            stratum_col,
+            F.col(stratum_col).cast(
+                dict(df.dtypes)[stratum_col]
+            ),
+        )
+    )
+    joined = staged.join(cls, [stratum_col, "_tb_pid"], "inner")
+    full_rows = joined.where(F.col("_tb_cls") == FULL)
+    w = (
+        Window.partitionBy(stratum_col, "_tb_pid")
+        .orderBy(F.col("_tb_h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget_expr = F.create_map(
+        *[
+            x
+            for s in listed
+            for x in (F.lit(s), F.lit(budgets[s]))
+        ]
+    )[F.col(stratum_col)]
+    boundary_rows = (
+        joined.where(F.col("_tb_cls") == BOUNDARY)
+        .withColumn(
+            "_tb_pre",
+            F.col("_tb_off") + F.coalesce(F.sum("_tb_tok").over(w), F.lit(0)),
+        )
+        .where(F.col("_tb_pre") < budget_expr)
+        .drop("_tb_pre")
+    )
+    helper = ["_tb_tok", "_tb_h", "_tb_pid", "_tb_cls", "_tb_off"]
+    return (
+        full_rows.unionByName(boundary_rows)
+        .drop(*helper)
+        .unionByName(unlimited)
+    )

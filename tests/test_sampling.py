@@ -382,3 +382,135 @@ def test_stratified_fixed_n_phase2_guard(spark):
     got_g = sorted((r.lang, r.doc_id) for r in guarded.collect())
     assert got_p == got_g
     assert len(got_g) == 30
+
+
+# ---------------------------------------------------------------- token budget
+
+
+def _budget_fixture(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    return docs, sorted(langs)
+
+
+def test_token_budget_mass_and_crossing_doc(spark):
+    """Selected token mass per listed stratum is >= budget (the crossing
+    doc is included) and removing the LAST selected doc drops it under —
+    i.e. the selection is minimal for the take-while rule."""
+    from mapreduce_implementation_spark.functions.textstats import (
+        token_count,
+    )
+
+    docs, langs = _budget_fixture(spark)
+    budgets = {langs[0]: 400, langs[1]: 150}
+    out = sp.stratified_token_budget(docs, "lang", budgets)
+    got = (
+        out.where(F.col("lang").isin(list(budgets)))
+        .withColumn("tok", token_count("text"))
+        .withColumn("h", sp.hash_bucket("doc_id", salt="tokbudget"))
+        .collect()
+    )
+    for lang, budget in budgets.items():
+        rows = sorted(
+            (r for r in got if r.lang == lang),
+            key=lambda r: (r.h, r.doc_id),
+        )
+        total = sum(r.tok for r in rows)
+        stratum_total = sum(
+            r.tok
+            for r in docs.withColumn("tok", token_count("text"))
+            .where(F.col("lang") == lang)
+            .collect()
+        )
+        if stratum_total >= budget:
+            assert total >= budget, (lang, total, budget)
+            assert total - rows[-1].tok < budget, (
+                "selection not minimal", lang,
+            )
+        else:
+            assert total == stratum_total
+
+
+def test_token_budget_unlisted_kept_whole_and_zero_drops(spark):
+    docs, langs = _budget_fixture(spark)
+    out = sp.stratified_token_budget(
+        docs, "lang", {langs[0]: 0, langs[1]: 10**12}
+    )
+    per_lang = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert langs[0] not in per_lang  # budget 0 drops the stratum
+    for lang in langs[1:]:
+        assert per_lang[lang] == want[lang]  # huge budget / unlisted: whole
+
+
+def test_token_budget_layout_independent(spark):
+    """The selected id SET is a pure function of keys and token counts:
+    range-partitioner cut placement (which varies with input layout and
+    num_partitions) must not change membership."""
+    docs, langs = _budget_fixture(spark)
+    budgets = {lang: 300 for lang in langs}
+    a = sp.stratified_token_budget(
+        docs.coalesce(2), "lang", budgets, num_partitions=3
+    )
+    b = sp.stratified_token_budget(
+        docs.repartition(17), "lang", budgets, num_partitions=11
+    )
+    ids_a = {r.doc_id for r in a.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b and ids_a
+
+
+def test_token_budget_md5_matches_duckdb_prefix_sum(spark):
+    """method='md5' membership replayed row-for-row in DuckDB: the
+    take-while-prefix-sum-under-budget rule over (md5 bucket, doc_id)
+    order — any md5-capable engine derives the identical corpus mix."""
+    duckdb = pytest.importorskip("duckdb")
+    from mapreduce_implementation_spark.functions.textstats import (
+        token_count,
+    )
+
+    docs, langs = _budget_fixture(spark)
+    budgets = {langs[0]: 500, langs[1]: 200}
+    # hand BOTH engines the same (doc_id, lang, tokens) frame so the
+    # parity pins the SELECTION algebra (token_count has its own oracle)
+    base = docs.select(
+        "doc_id", "lang", token_count("text").alias("tok")
+    )
+    pdf = base.toPandas()
+    out = sp.stratified_token_budget(
+        base, "lang", budgets, token_col="tok", method="md5"
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+
+    con = duckdb.connect()
+    con.register("base", pdf)
+    cases = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in budgets.items()
+    )
+    want = {
+        r[0]
+        for r in con.execute(f"""
+            SELECT doc_id FROM (
+              SELECT doc_id, lang,
+                COALESCE(SUM(tok) OVER (
+                  PARTITION BY lang
+                  ORDER BY CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'tokbudget')), 1, 8)) AS BIGINT) % {sp.BUCKETS},
+                           doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS pre
+              FROM base WHERE lang IN ({','.join(repr(s) for s in budgets)})
+            ) WHERE pre < (CASE lang {cases} END)
+            UNION ALL
+            SELECT doc_id FROM base
+            WHERE lang NOT IN ({','.join(repr(s) for s in budgets)})
+        """).fetchall()
+    }
+    assert got == want and got
