@@ -47,11 +47,26 @@ def assign_contiguous_ids(
     order_by: str | list[str],
     id_name: str = "row_id",
     num_partitions: int | None = None,
+    *,
+    barrier: str = "local",
 ) -> DataFrame:
     """Add ``id_name`` = 0-based dense rank of the row in the global
     ``order_by`` ordering. ``order_by`` must be a unique (composite)
     key — with duplicates the ids are still contiguous and unique but
-    the order among equal keys is partition-dependent."""
+    the order among equal keys is partition-dependent.
+
+    ``barrier`` selects the materialization barrier durability
+    (operators/barrier.py): ``"local"`` = executor block storage —
+    cheapest, but NOT reliable storage (executor loss or
+    memory-pressure eviction of a checkpointed block kills the job,
+    and at corpus scale the blocks compete with shuffle/cache memory);
+    ``"reliable"`` = write-through parquet — one extra ser/de round
+    trip, survives executor loss. Results are identical under both
+    (``_mid`` is materialized BEFORE the barrier, so partition ids and
+    local ranks live in the data, not the physical layout; parity
+    pytest-gated). A 100 TB run should use ``"reliable"`` — an id
+    assignment is a materialization point anyway, so the write is one
+    the pipeline was about to pay."""
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
     if not cols:
         raise ValueError("order_by must name at least one column")
@@ -63,14 +78,19 @@ def assign_contiguous_ids(
     # sorted frame encodes (partition_id << 33) | local_rank — the
     # local rank for free, with NO window (a window partitioned on
     # partition id would re-shuffle the whole dataset on _pid).
-    with_mid = (
+    from mapreduce_implementation_spark.operators.barrier import (
+        materialization_barrier,
+    )
+
+    # materialization barrier: freeze the sampled range bounds and the
+    # per-partition row order so the counts pass and the data pass
+    # cannot diverge (module docstring). _mid is computed BEFORE the
+    # barrier so the reliable (write-through) mode is layout-proof.
+    with_mid = materialization_barrier(
         df.repartitionByRange(p, *key_cols)
         .sortWithinPartitions(*key_cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        # materialization barrier: freeze the sampled range bounds and
-        # the per-partition row order so the counts pass and the data
-        # pass cannot diverge (module docstring)
-        .localCheckpoint(eager=True)
+        .withColumn("_mid", F.monotonically_increasing_id()),
+        mode=barrier,
     )
     pid = F.shiftrightunsigned("_mid", 33)
     local_rank = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))

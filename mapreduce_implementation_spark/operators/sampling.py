@@ -320,6 +320,7 @@ def stratified_token_budget(
     *,
     num_partitions: int | None = None,
     offsets_max_rows: int = 2_000_000,
+    barrier: str = "local",
 ) -> DataFrame:
     """Per-stratum TOKEN-budget selection — "2B tokens of code, 500M of
     German" — the unit real corpus mix specs are written in (doc counts
@@ -356,6 +357,19 @@ def stratified_token_budget(
     DuckDB as ``SUM(tokens) OVER (PARTITION BY stratum ORDER BY h, key
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < budget``
     (pytest-gated).
+
+    The sums pass (step 2) and the data pass (step 3) MUST see the same
+    partition cuts, and ``repartitionByRange`` resamples its bounds per
+    execution — so the staged frame sits behind a materialization
+    barrier (operators/barrier.py; round-9 advisory fix). ``barrier``
+    picks the durability: ``"local"`` block storage (default) or
+    ``"reliable"`` write-through parquet — ``_tb_pid`` is materialized
+    BEFORE the barrier, so both modes classify identical cuts.
+
+    NULL strata always take the unlimited branch (a NULL never matches
+    a listed stratum; dropping such rows silently would violate the
+    "unlisted strata are kept WHOLE" contract) — filter NULLs first if
+    they must be excluded.
     """
     from pyspark.sql.window import Window
 
@@ -374,19 +388,31 @@ def stratified_token_budget(
     listed = [s for s, b in budgets.items() if b is not None]
     # strata with a finite budget pay the exchange; unlisted (and
     # None-budget) strata are kept whole via a scan-stage filter and
-    # never shuffle at all
+    # never shuffle at all. NULL strata go to the unlimited branch
+    # EXPLICITLY: both isin() and ~isin() evaluate to NULL for a NULL
+    # stratum, so without the isNull() arm such rows would appear in
+    # NEITHER branch — silent row loss (round-9 advisory fix).
     unlimited = df.where(
-        ~F.col(stratum_col).isin(listed) if listed else F.lit(True)
+        (~F.col(stratum_col).isin(listed) | F.col(stratum_col).isNull())
+        if listed
+        else F.lit(True)
     )
     capped_in = df.where(F.col(stratum_col).isin(listed))
     if not listed:
         return unlimited
+    from mapreduce_implementation_spark.operators.barrier import (
+        materialization_barrier,
+    )
+
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    staged = (
+    # barrier: pin the sampled range cuts (and the _tb_pid column that
+    # records them) before the sums pass — see docstring
+    staged = materialization_barrier(
         capped_in.withColumn("_tb_tok", F.coalesce(toks, F.lit(0)))
         .withColumn("_tb_h", h)
         .repartitionByRange(n_parts, stratum_col, "_tb_h", key_col)
-        .withColumn("_tb_pid", F.spark_partition_id())
+        .withColumn("_tb_pid", F.spark_partition_id()),
+        mode=barrier,
     )
     # one narrow aggregate; its result is the ONLY driver-held state
     sums = (
@@ -419,15 +445,15 @@ def stratified_token_budget(
             else:
                 classes.append((s, pid, BOUNDARY, running))
             running += tok_sum
+    # schema mirrors the SOURCE stratum dtype (hardcoding string made
+    # createDataFrame's type verification raise for e.g. integer
+    # category ids — round-9 advisory fix)
+    stratum_dtype = dict(df.dtypes)[stratum_col]
     cls = F.broadcast(
         spark.createDataFrame(
-            classes, f"{stratum_col} string, _tb_pid int, _tb_cls int, "
-            "_tb_off long"
-        ).withColumn(
-            stratum_col,
-            F.col(stratum_col).cast(
-                dict(df.dtypes)[stratum_col]
-            ),
+            classes,
+            f"`{stratum_col}` {stratum_dtype}, _tb_pid int, _tb_cls int, "
+            "_tb_off long",
         )
     )
     joined = staged.join(cls, [stratum_col, "_tb_pid"], "inner")

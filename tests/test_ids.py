@@ -79,3 +79,26 @@ def test_ids_plan_has_no_global_sort_or_data_reshuffle(spark):
 def test_ids_rejects_empty_order_by(spark):
     with pytest.raises(ValueError, match="order_by"):
         assign_contiguous_ids(spark.range(1), [])
+
+
+def test_ids_reliable_barrier_parity(spark, sf_dir):
+    """barrier='reliable' (write-through parquet; survives executor
+    loss, no block-storage memory pressure) assigns the same ids as the
+    default local barrier: _mid is materialized before the barrier, so
+    the read-back layout cannot change partition ids or local ranks."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    local = assign_contiguous_ids(orders, "o_orderkey")
+    reliable = assign_contiguous_ids(
+        orders, "o_orderkey", barrier="reliable"
+    )
+    got_l = {(r.o_orderkey, r.row_id) for r in local.collect()}
+    got_r = {(r.o_orderkey, r.row_id) for r in reliable.collect()}
+    assert got_l == got_r and got_l
+
+
+def test_ids_unknown_barrier_raises(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="barrier mode"):
+        assign_contiguous_ids(df, "k", barrier="flaky").collect()

@@ -514,3 +514,69 @@ def test_token_budget_md5_matches_duckdb_prefix_sum(spark):
         """).fetchall()
     }
     assert got == want and got
+
+
+def test_token_budget_null_stratum_kept_whole(spark):
+    """NULL strata match neither isin() nor ~isin(); they must route to
+    the unlimited branch explicitly, not silently vanish (round-9
+    advisory fix)."""
+    docs, langs = _budget_fixture(spark)
+    with_null = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    n_null = with_null.where(F.col("lang").isNull()).count()
+    assert n_null > 0
+    out = sp.stratified_token_budget(with_null, "lang", {langs[0]: 200})
+    assert out.where(F.col("lang").isNull()).count() == n_null
+
+
+def test_token_budget_integer_stratum(spark):
+    """The classification broadcast schema must mirror the source
+    stratum dtype — integer category ids used to raise at
+    createDataFrame type verification (round-9 advisory fix)."""
+    from mapreduce_implementation_spark.functions.textstats import (
+        token_count,
+    )
+
+    docs, _ = _budget_fixture(spark)
+    cat = docs.withColumn("cat", (F.xxhash64("lang") % 4).cast("int"))
+    budgets = {0: 300, 1: 10**12}
+    out = sp.stratified_token_budget(
+        cat, "cat", budgets, num_partitions=4
+    )
+    got = (
+        out.where(F.col("cat") == 0)
+        .withColumn("tok", token_count("text"))
+        .agg(F.sum("tok"))
+        .collect()[0][0]
+    )
+    stratum_total = (
+        cat.where(F.col("cat") == 0)
+        .withColumn("tok", token_count("text"))
+        .agg(F.sum("tok"))
+        .collect()[0][0]
+    )
+    if stratum_total is not None and stratum_total >= 300:
+        assert got >= 300
+    # unlimited-budget stratum stays whole
+    assert (
+        out.where(F.col("cat") == 1).count()
+        == cat.where(F.col("cat") == 1).count()
+    )
+
+
+def test_token_budget_reliable_barrier_parity(spark):
+    """barrier='reliable' (write-through parquet) selects the identical
+    id set as the default block-storage barrier."""
+    docs, langs = _budget_fixture(spark)
+    budgets = {lang: 250 for lang in langs[:2]}
+    a = sp.stratified_token_budget(docs, "lang", budgets)
+    b = sp.stratified_token_budget(
+        docs, "lang", budgets, barrier="reliable"
+    )
+    ids_a = {r.doc_id for r in a.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b and ids_a
