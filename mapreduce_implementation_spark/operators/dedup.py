@@ -248,22 +248,70 @@ DEFAULT_MAX_BUCKET = 1000
 
 
 def cap_buckets(
-    df: DataFrame, part_cols: tuple[str, ...], max_bucket: int | None
+    df: DataFrame,
+    part_cols: tuple[str, ...],
+    max_bucket: int | None,
+    observation=None,
 ) -> DataFrame:
     """Drop rows in LSH buckets larger than ``max_bucket`` — the
     boilerplate-cohort guard shared by every banded pair miner (a band
     value shared by a degenerate cohort would square that bucket).
     No-op when ``max_bucket`` is None (the explicit opt-out; miners
-    default to DEFAULT_MAX_BUCKET)."""
+    default to DEFAULT_MAX_BUCKET).
+
+    Plan shape (round-10 rework, adjudicated in BASELINE.md): a
+    HEAVY-HITTER anti-join, not a window. The round-9 window form
+    (``count() OVER (PARTITION BY bucket)``) shuffled the ENTIRE
+    banded frame — payload columns included (embeddings, in the SRP
+    miners) — and sorted it, a measured 1.33× on the sf0.1 minhash
+    bench row and a full-width exchange of raw payload at 100 TB. Now:
+
+    1. oversized-bucket detection is a ``groupBy(bucket).count()`` on
+       the COLUMN-PRUNED input (Catalyst drops payload columns from
+       this branch) — map-side partial agg, only (bucket, count) rows
+       move;
+    2. the filter is a BROADCAST left-anti join against that list.
+       The list is small by construction: every entry represents >
+       ``max_bucket`` input rows, so it has ≤ rows/max_bucket entries
+       (1000× smaller than the input at the default) — and in real
+       corpora it is the handful of boilerplate cohorts.
+
+    The input is scanned twice (detection + probe), both map-only —
+    the trade that wins at scale, because neither pass moves payload
+    through an exchange. NULL bucket keys are now retained rather than
+    capped (anti-join equality never matches NULL); harmless for every
+    caller, since a NULL key also never matches in the subsequent pair
+    join, so it generates no pairs either way.
+
+    ``observation`` (``pyspark.sql.Observation``, or a string name)
+    makes the recall cost visible as ``capped_rows`` /
+    ``capped_buckets`` metrics. Delivery is via an EAGER
+    materialization of the oversized list (localCheckpoint): leaving
+    the CollectMetrics lazy inside the broadcast subtree is unreliable
+    — AQE's replanning can elide the instrumented copy of the stage
+    when downstream joins collapse to empty, delivering a schema-less
+    row (reproduced on Spark 4.1). The eager action is ONE
+    pruned-column partial agg over the banded frame — paid only when
+    telemetry is requested (default None = fully lazy), and it doubles
+    as a compute saving: the checkpointed list is shared by both sides
+    of the caller's self-join instead of being re-derived."""
     if max_bucket is None:
         return df
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(*part_cols)
-    return (
-        df.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-        .where(F.col("bucket_n") <= max_bucket)
-        .drop("bucket_n")
+    oversized = (
+        df.groupBy(*part_cols)
+        .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        .where(F.col("_bucket_n") > max_bucket)
+    )
+    if observation is not None:
+        oversized = oversized.observe(
+            observation,
+            F.coalesce(F.sum("_bucket_n"), F.lit(0)).alias("capped_rows"),
+            F.count(F.lit(1)).alias("capped_buckets"),
+        ).localCheckpoint(eager=True)
+    return df.join(
+        F.broadcast(oversized.select(*part_cols)),
+        list(part_cols),
+        "left_anti",
     )
 
 
@@ -340,6 +388,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     signatures: DataFrame | None = None,
+    cap_observation=None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
@@ -366,7 +415,9 @@ def minhash_near_dup_pairs(
     # before the optimizer, so the filter lands on the cache scan, not
     # the raw text scan.
     banded = _minhash_banded(sigs, "doc_id", bands, rows)
-    banded = cap_buckets(banded, ("band_id", "band_hash"), max_bucket)
+    banded = cap_buckets(
+        banded, ("band_id", "band_hash"), max_bucket, cap_observation
+    )
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -610,6 +661,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     n_fingerprints: int = 1,
+    cap_observation=None,
     fingerprint=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a winnowing
@@ -688,7 +740,7 @@ def ngram_jaccard_pairs(
             F.array(F.md5(F.concat_ws(" ", F.col("_toks")).cast("binary")))
         )
         f = g.select("doc_id", F.explode(fps).alias("fp"), F.col("sh"))
-    f = cap_buckets(f, ("fp",), max_bucket)
+    f = cap_buckets(f, ("fp",), max_bucket, cap_observation)
     a, b = f.alias("a"), f.alias("b")
     jac = jaccard(F.col("a.sh"), F.col("b.sh"))
     out = (
@@ -803,6 +855,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     signatures: DataFrame | None = None,
+    cap_observation=None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded Hamming-LSH — the
     third pair-mining family next to MinHash (set overlap) and
@@ -837,7 +890,9 @@ def simhash_near_dup_pairs(
     else:
         sigs = signatures
     banded = _simhash_banded(sigs, id_col, "simhash", "doc_id", n_bits, bands)
-    banded = cap_buckets(banded, ("band_id", "band_val"), max_bucket)
+    banded = cap_buckets(
+        banded, ("band_id", "band_val"), max_bucket, cap_observation
+    )
     left = banded.alias("a")
     right = banded.alias("b")
     # verify INSIDE the band join (the signature words ride the band
@@ -916,15 +971,57 @@ def _hamming_words(a: str, b: str, n_bits: int) -> Column:
     ).cast("int")
 
 
+def minhash_banded_frame(
+    sigs: DataFrame, bands: int, rows: int, k: int = 16
+) -> DataFrame:
+    """The COMMITTED-side banded-signature artifact: one row per
+    (doc, band), signature riding — ``DataFrame[doc_id, band_id,
+    band_hash, sig]``.
+
+    Built once per corpus snapshot and written as a bucketed catalog
+    table on the band join key, it is the layout that makes every
+    later cross-set probe shuffle-free on the corpus side::
+
+        write_bucketed_table(
+            minhash_banded_frame(sigs, bands, rows, k),
+            "committed_bands", path,
+            bucket_cols=("band_id", "band_hash"), n_buckets=...)
+
+    then every micro-batch calls ``minhash_cross_near_dup(new_sigs,
+    ref_banded=spark.table("committed_bands"))`` — the band equi-join
+    reads bucket i against the batch's rows hashed to bucket i, and
+    the signature payload rides the banded rows so the verify step
+    needs NO second join against the committed table. Storage trade:
+    the signature is duplicated ``bands`` times (k small ints — cheap
+    vs re-shuffling the corpus every batch)."""
+    _validate_minhash_bands(k, bands, rows)
+    return (
+        sigs.where(F.col("sig").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b"),
+            "sig",
+        )
+        .select(
+            "doc_id",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_hash").alias("band_hash"),
+            "sig",
+        )
+    )
+
+
 def minhash_cross_near_dup(
     new_sigs: DataFrame,
-    ref_sigs: DataFrame,
+    ref_sigs: DataFrame | None = None,
     *,
     k: int = 16,
     bands: int = 4,
     rows: int = 4,
     threshold: float = 0.5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    cap_observation=None,
+    ref_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN two signature sets — the incremental-
     ingest shape: which NEW documents near-duplicate the EXISTING
@@ -941,20 +1038,61 @@ def minhash_cross_near_dup(
 
     ``max_bucket`` caps REFERENCE bucket size (a degenerate reference
     cohort — boilerplate docs — would multiply every matching new doc
-    by the whole cohort)."""
+    by the whole cohort).
+
+    ``ref_banded`` (instead of ``ref_sigs``): a precomputed
+    :func:`minhash_banded_frame` — normally a BUCKETED catalog table
+    on ``(band_id, band_hash)`` (sources/bucketed). The recurring-
+    probe configuration: the committed side then contributes ZERO
+    exchanges per batch (the band join reads its buckets in place;
+    even the ``max_bucket`` detection groupBy rides the bucketing) and
+    the verify reads the riding ``sig`` column with no second join
+    against the committed table — plan-gated in
+    tests/test_streaming_pipeline.py."""
     _validate_minhash_bands(k, bands, rows)
+    if (ref_sigs is None) == (ref_banded is None):
+        raise ValueError("pass exactly one of ref_sigs / ref_banded")
     bn = _minhash_banded(new_sigs, "new_id", bands, rows)
+    sa = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_a"))
+    if ref_banded is not None:
+        br = cap_buckets(
+            ref_banded.select(
+                F.col("doc_id").alias("ref_id"),
+                "band_id",
+                "band_hash",
+                F.col("sig").alias("sig_b"),
+            ),
+            ("band_id", "band_hash"),
+            max_bucket,
+            cap_observation,
+        )
+        cand = (
+            bn.join(br, ["band_id", "band_hash"])
+            .select("new_id", "ref_id", "sig_b")
+            .distinct()
+        )
+        return (
+            cand.join(sa, "new_id")
+            .select(
+                "new_id",
+                "ref_id",
+                estimated_jaccard(F.col("sig_a"), F.col("sig_b"), k).alias(
+                    "est_jaccard"
+                ),
+            )
+            .where(F.col("est_jaccard") >= threshold)
+        )
     br = cap_buckets(
         _minhash_banded(ref_sigs, "ref_id", bands, rows),
         ("band_id", "band_hash"),
         max_bucket,
+        cap_observation,
     )
     cand = (
         bn.join(br, ["band_id", "band_hash"])
         .select("new_id", "ref_id")
         .distinct()
     )
-    sa = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_a"))
     sb = ref_sigs.select(F.col("doc_id").alias("ref_id"), F.col("sig").alias("sig_b"))
     return (
         cand.join(sa, "new_id")
@@ -980,6 +1118,7 @@ def simhash_cross_near_dup(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     id_col: str = "doc_id",
     sig_col: str = "simhash",
+    cap_observation=None,
 ) -> DataFrame:
     """SimHash near-dup pairs BETWEEN two signature sets — the
     incremental-ingest face of the Hamming miner, completing the
@@ -1008,6 +1147,7 @@ def simhash_cross_near_dup(
         _simhash_banded(ref_sigs, id_col, sig_col, "ref_id", n_bits, bands),
         ("band_id", "band_val"),
         max_bucket,
+        cap_observation,
     ).alias("b")
     return (
         bn.join(

@@ -65,6 +65,7 @@ def semantic_dedup(
     iters: int = 3,
     threshold: float = 0.9,
     max_cluster: int | None = DEFAULT_MAX_BUCKET,
+    exemption_observation=None,
 ) -> DataFrame:
     """Semantic dedup: k-means clusters + within-cluster cosine screen.
 
@@ -132,18 +133,41 @@ def semantic_dedup(
         sizes = assigned.groupBy("centroid_id").agg(
             F.count(F.lit(1)).alias("_csize")
         )
-        mineable = (
+
+        if exemption_observation is not None:
+            # Exemption telemetry (round-9 verdict item): the recall
+            # cost of the mega-cluster exemption. Delivered via an
+            # eager materialization of the k-row sizes frame — lazy
+            # CollectMetrics inside a broadcast subtree is unreliable
+            # under AQE replanning (see dedup.cap_buckets); the eager
+            # action is one partial agg over the cached assignment,
+            # paid only when telemetry is requested.
+            sizes = sizes.observe(
+                exemption_observation,
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_csize") > max_cluster, F.col("_csize")
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("exempted_rows"),
+                F.count_if(F.col("_csize") > max_cluster).alias(
+                    "exempted_clusters"
+                ),
+            ).localCheckpoint(eager=True)
+        mineable_a = mineable_b = (
             assigned.join(F.broadcast(sizes), "centroid_id")
             .where(F.col("_csize") <= max_cluster)
             .drop("_csize")
         )
     else:
-        mineable = assigned
+        mineable_a = mineable_b = assigned
     # The score predicate below is deliberately a plain .where():
     # Catalyst pushes it into the self-join condition, fusing scoring
     # with pair generation — zero extra exchange, and parallelism
     # comes from the (spread) probe side, per the note above.
-    a, b = mineable.alias("a"), mineable.alias("b")
+    a, b = mineable_a.alias("a"), mineable_b.alias("b")
     cand = a.join(
         b,
         (F.col("a.centroid_id") == F.col("b.centroid_id"))
@@ -186,6 +210,7 @@ def srp_near_dup_pairs(
     *,
     threshold: float = 0.9,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    cap_observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS blocked by an SRP-LSH bucket —
     the corpus-scale face of semantic dedup (promoted in round 9 from
@@ -220,8 +245,13 @@ def srp_near_dup_pairs(
     bucketed = sim._with_buckets(
         spread(vectors), planes, id_col, emb_col, keep_emb=True
     ).withColumn("_vn", norm(F.col(emb_col)))
-    bucketed = cap_buckets(bucketed, ("bucket",), max_bucket)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    # observation on one self-join side only — a duplicated
+    # CollectMetrics leaves one AQE copy unexecuted, which overwrites
+    # the metrics with an empty row (see dedup.minhash_near_dup_pairs)
+    a = cap_buckets(bucketed, ("bucket",), max_bucket, cap_observation).alias(
+        "a"
+    )
+    b = cap_buckets(bucketed, ("bucket",), max_bucket).alias("b")
     cand = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
@@ -246,15 +276,42 @@ def srp_near_dup_pairs(
     )
 
 
+def srp_bucketed_frame(
+    vectors: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The COMMITTED-side SRP artifact: ``DataFrame[id_col, emb_col,
+    _vn, bucket]`` — bucket bits and the L2 norm precomputed once per
+    corpus snapshot instead of once per probing micro-batch.
+
+    Written as a bucketed catalog table on ``bucket``
+    (sources/bucketed.write_bucketed_table), every later
+    ``srp_cross_near_dup(..., ref_bucketed=spark.table(name))`` probe
+    joins the committed side with ZERO exchanges — the same
+    build-once/probe-many layout as minhash_banded_frame. The planes
+    are the index contract: store them with the table and bucket every
+    probe batch with the SAME planes."""
+    from mapreduce_implementation_spark.functions.vectors import norm
+    from mapreduce_implementation_spark.operators.dedup import spread
+
+    return sim._with_buckets(
+        spread(vectors), planes, id_col, emb_col, keep_emb=True
+    ).withColumn("_vn", norm(F.col(emb_col)))
+
+
 def srp_cross_near_dup(
     new_vectors: DataFrame,
-    ref_vectors: DataFrame,
-    planes: DataFrame,
+    ref_vectors: DataFrame | None = None,
+    planes: DataFrame | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     *,
     threshold: float = 0.9,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    cap_observation=None,
+    ref_bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs BETWEEN two vector sets — the
     incremental-ingest face of ``srp_near_dup_pairs``, completing the
@@ -275,29 +332,49 @@ def srp_cross_near_dup(
     Returns DataFrame[new_id, ref_id, cos_sim double] with quantized
     ``cos_sim >= threshold``; a new vector with NO qualifying row is
     genuinely novel.
+
+    ``ref_bucketed`` (instead of ``ref_vectors``): a precomputed
+    :func:`srp_bucketed_frame` — normally a BUCKETED catalog table on
+    ``bucket``. The recurring-probe configuration: the committed side
+    contributes zero exchanges per batch (bucket join and the
+    ``max_bucket`` detection groupBy both ride the table's bucketing)
+    and its norms are read, not recomputed. Plan-gated in
+    tests/test_streaming_pipeline.py.
     """
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if (ref_vectors is None) == (ref_bucketed is None):
+        raise ValueError("pass exactly one of ref_vectors / ref_bucketed")
+    if planes is None:
+        # always needed: the NEW batch is bucketed here even when the
+        # committed side comes precomputed
+        raise ValueError("planes are required (they bucket the new batch)")
     from mapreduce_implementation_spark.functions.vectors import dot, norm
     from mapreduce_implementation_spark.operators.dedup import (
         cap_buckets,
         spread,
     )
 
-    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            sim._with_buckets(spread(df), planes, id_col, emb_col, keep_emb=True)
-            .withColumn("_vn", norm(F.col(emb_col)))
-            .select(
-                F.col(id_col).alias(out_id),
-                F.col(emb_col).alias(f"_e_{out_id}"),
-                F.col("_vn").alias(f"_vn_{out_id}"),
-                "bucket",
-            )
+    def rename(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(emb_col).alias(f"_e_{out_id}"),
+            F.col("_vn").alias(f"_vn_{out_id}"),
+            "bucket",
         )
 
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        return rename(srp_bucketed_frame(df, planes, id_col, emb_col), out_id)
+
     bn = bucketed(new_vectors, "new_id")
-    br = cap_buckets(bucketed(ref_vectors, "ref_id"), ("bucket",), max_bucket)
+    br = cap_buckets(
+        rename(ref_bucketed, "ref_id")
+        if ref_bucketed is not None
+        else bucketed(ref_vectors, "ref_id"),
+        ("bucket",),
+        max_bucket,
+        cap_observation,
+    )
     cand = bn.join(br, "bucket").select(
         "new_id",
         "ref_id",

@@ -125,11 +125,74 @@ def start_pack_stream(
 streaming_quality_gate = quality_gate
 
 
+def commit_minhash_reference(
+    sigs: DataFrame,
+    name: str,
+    path: str,
+    *,
+    bands: int = 4,
+    rows: int = 4,
+    k: int = 16,
+    n_buckets: int = 32,
+) -> None:
+    """Commit the corpus signature set as the BUCKETED banded reference
+    table the ingest dedup stream probes shuffle-free — the designed
+    payoff of sources/bucketed: the committed side's band join, cap
+    detection, and verify all read the table's buckets in place, every
+    micro-batch, forever (see operators/dedup.minhash_banded_frame).
+    Rebuild + restart the stream at the corpus-absorption cadence."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        minhash_banded_frame,
+    )
+    from mapreduce_implementation_spark.sources.bucketed import (
+        write_bucketed_table,
+    )
+
+    write_bucketed_table(
+        minhash_banded_frame(sigs, bands, rows, k),
+        name,
+        path,
+        bucket_cols=("band_id", "band_hash"),
+        n_buckets=n_buckets,
+    )
+
+
+def commit_srp_reference(
+    vectors: DataFrame,
+    planes: DataFrame,
+    name: str,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_buckets: int = 32,
+) -> None:
+    """Commit the corpus vector set as the BUCKETED SRP reference table
+    (bucket bits + norms precomputed; see
+    operators/semantic.srp_bucketed_frame) for shuffle-free semantic
+    ingest probes. Store ``planes`` alongside — they are the index
+    contract."""
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_bucketed_frame,
+    )
+    from mapreduce_implementation_spark.sources.bucketed import (
+        write_bucketed_table,
+    )
+
+    write_bucketed_table(
+        srp_bucketed_frame(vectors, planes, id_col, emb_col),
+        name,
+        path,
+        bucket_cols=("bucket",),
+        n_buckets=n_buckets,
+    )
+
+
 def start_ingest_dedup_stream(
     docs_stream: DataFrame,
-    ref_sigs_path: str,
-    out_dir: str,
-    checkpoint_dir: str,
+    ref_sigs_path: str | None = None,
+    out_dir: str = None,
+    checkpoint_dir: str = None,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -141,6 +204,7 @@ def start_ingest_dedup_stream(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     trigger: dict | None = None,
     observe_name: str | None = "ingest_quality",
+    ref_table: str | None = None,
 ):
     """Dedup-at-ingest: flag each incoming document that near-duplicates
     the EXISTING corpus; returns the StreamingQuery. ``trigger``
@@ -164,26 +228,40 @@ def start_ingest_dedup_stream(
     stream — they ride each micro-batch (zero extra scans) and land in
     ``progress.observedMetrics[observe_name]``, the feed a production
     ingest monitor alarms on. ``None`` disables.
+
+    ``ref_table`` (instead of ``ref_sigs_path``): the name of a
+    BUCKETED banded reference table committed by
+    :func:`commit_minhash_reference` — the recurring-join
+    configuration: the committed side stops re-shuffling on every
+    micro-batch (zero exchanges; plan-gated in
+    tests/test_streaming_pipeline.py). The path form re-bands and
+    re-shuffles the reference per batch and remains for ad-hoc runs.
     """
     from mapreduce_implementation_spark.operators.dedup import (
         minhash_cross_near_dup,
         minhash_signatures,
     )
 
+    if (ref_sigs_path is None) == (ref_table is None):
+        raise ValueError("pass exactly one of ref_sigs_path / ref_table")
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ref_sigs = spark.read.parquet(ref_sigs_path)
         new_sigs = minhash_signatures(
             batch_df, id_col, text_col, shingle_n=shingle_n, k=k
         )
+        if ref_table is not None:
+            ref_kwargs = {"ref_banded": spark.table(ref_table)}
+        else:
+            ref_kwargs = {"ref_sigs": spark.read.parquet(ref_sigs_path)}
         flags = minhash_cross_near_dup(
             new_sigs,
-            ref_sigs,
             k=k,
             bands=bands,
             rows=rows,
             threshold=threshold,
             max_bucket=max_bucket,
+            **ref_kwargs,
         )
         (
             flags.withColumn("batch_id", F.lit(int(batch_id)))
@@ -218,10 +296,10 @@ def _maybe_observe(
 
 def start_ingest_semantic_dedup_stream(
     docs_stream: DataFrame,
-    ref_vectors_path: str,
-    planes_path: str,
-    out_dir: str,
-    checkpoint_dir: str,
+    ref_vectors_path: str | None = None,
+    planes_path: str = None,
+    out_dir: str = None,
+    checkpoint_dir: str = None,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -231,6 +309,7 @@ def start_ingest_semantic_dedup_stream(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     trigger: dict | None = None,
     observe_name: str | None = "ingest_quality",
+    ref_table: str | None = None,
 ):
     """Semantic dedup-at-ingest: embed each arriving micro-batch and
     flag documents that are semantic near-twins of the COMMITTED
@@ -248,7 +327,14 @@ def start_ingest_semantic_dedup_stream(
     partitioned by batch_id with dynamic overwrite — idempotent under
     at-least-once replay because the encoder and the screen are both
     deterministic. Docs absent from the output are semantically novel
-    vs the reference."""
+    vs the reference.
+
+    ``ref_table`` (instead of ``ref_vectors_path``): the name of a
+    BUCKETED SRP reference table committed by
+    :func:`commit_srp_reference` — the committed side's bucket bits
+    and norms are read in place with zero exchanges per micro-batch
+    (plan-gated in tests/test_streaming_pipeline.py). The path form
+    re-buckets the reference per batch and remains for ad-hoc runs."""
     from mapreduce_implementation_spark.operators.inference import (
         embed_documents,
     )
@@ -256,9 +342,11 @@ def start_ingest_semantic_dedup_stream(
         srp_cross_near_dup,
     )
 
+    if (ref_vectors_path is None) == (ref_table is None):
+        raise ValueError("pass exactly one of ref_vectors_path / ref_table")
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ref_vecs = spark.read.parquet(ref_vectors_path)
         planes = spark.read.parquet(planes_path)
         new_vecs = embed_documents(
             batch_df,
@@ -267,16 +355,23 @@ def start_ingest_semantic_dedup_stream(
             dim=dim,
             model_loader=model_loader,
         ).withColumnRenamed(id_col, "vec_id")
+        if ref_table is not None:
+            ref_kwargs = {"ref_bucketed": spark.table(ref_table)}
+        else:
+            ref_vecs = spark.read.parquet(ref_vectors_path)
+            ref_kwargs = {
+                "ref_vectors": ref_vecs.select(
+                    F.col(id_col).alias("vec_id"), "embedding"
+                )
+                if id_col in ref_vecs.columns
+                else ref_vecs
+            }
         flags = srp_cross_near_dup(
             new_vecs,
-            ref_vecs.select(
-                F.col(id_col).alias("vec_id"), "embedding"
-            )
-            if id_col in ref_vecs.columns
-            else ref_vecs,
-            planes,
+            planes=planes,
             threshold=threshold,
             max_bucket=max_bucket,
+            **ref_kwargs,
         )
         (
             flags.withColumn("batch_id", F.lit(int(batch_id)))

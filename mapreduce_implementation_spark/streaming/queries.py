@@ -21,6 +21,33 @@ from pyspark.sql import functions as F
 from mapreduce_implementation_spark.functions.text import tokens
 
 
+ROCKSDB_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark) -> None:
+    """Switch stateful streaming queries to the RocksDB state store.
+
+    The default (HDFS-backed) provider keeps EVERY live state row in
+    executor memory; at corpus-scale arrival rates that is the next
+    scale ceiling after operator shape — dedup-within-watermark alone
+    held 560k rows in memory at 2M events in the round-9 rehearsal
+    (BASELINE.md), and live state grows with arrival_rate × watermark.
+    RocksDB keeps the working set in memory and spills the rest to
+    executor-local disk, with changelog files in the checkpoint for
+    recovery. Call BEFORE ``.start()`` — the provider binds for the
+    query's lifetime (a checkpoint created under one provider must not
+    be restarted under another). Measured at 256× sf0.1 with the
+    rehearsal's stateful operators: see the BASELINE.md round-10
+    table (`scale_rehearsal.py --streaming --rocksdb`)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        ROCKSDB_STATE_STORE_PROVIDER,
+    )
+
+
 def streaming_wordcount(stream: DataFrame, text_col: str = "text") -> DataFrame:
     """The reference WordCount over an unbounded text stream
     (/root/reference/Worker.cc:143-162 semantics, 'drop' Q1 policy).

@@ -84,3 +84,77 @@ def test_streaming_per_batch_metrics_sum_to_total(spark):
     assert per_batch, "no observed metrics in any batch progress"
     assert sum(m["rows"] for m in per_batch) == docs.count()
     assert all(m["null_text"] == 0 for m in per_batch)
+
+
+def test_cap_buckets_exemption_telemetry_planted_cohort(spark):
+    """cap_buckets' capped_rows/capped_buckets metrics report EXACTLY
+    the planted boilerplate cohort's banded mass (round-9 verdict
+    item: the recall cost of every cap was invisible at runtime).
+    Delivery is an eager materialization of the tiny oversized list —
+    see the cap_buckets docstring for why lazy CollectMetrics under a
+    broadcast subtree is unreliable under AQE."""
+    from pyspark.sql import Observation
+
+    from mapreduce_implementation_spark.operators import dedup as dd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank today"
+    )
+    far = (
+        "completely different content about spark engines and parquet "
+        "files with nothing shared"
+    )
+    cohort_n, bands = 12, 4
+    rows = [(i, base) for i in range(cohort_n)] + [(100, far)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    obs = Observation("cap")
+    out = dd.minhash_near_dup_pairs(
+        df, "doc_id", "text", k=16, bands=bands, rows=4, threshold=0.5,
+        max_bucket=5, cap_observation=obs,
+    )
+    assert out.count() == 0  # the cohort square is dropped
+    got = obs.get
+    # identical docs agree on every band: `bands` oversized buckets,
+    # each holding the full cohort's banded rows
+    assert got["capped_buckets"] == bands
+    assert got["capped_rows"] == cohort_n * bands
+
+
+def test_semantic_dedup_exemption_telemetry(spark):
+    """semantic_dedup's exempted_rows/exempted_clusters metrics report
+    the mega-cluster mass the max_cluster guard retains unmined."""
+    from pyspark.sql import Observation
+
+    from mapreduce_implementation_spark.operators.semantic import (
+        semantic_dedup,
+    )
+
+    import math
+
+    def unit(angle_deg: float) -> list[float]:
+        a = math.radians(angle_deg)
+        return [math.cos(a), math.sin(a)]
+
+    # 7-member cohort at 0 deg (exempt at max_cluster=4), a mineable
+    # pair near 90 deg
+    rows = {i: unit(0) for i in range(1, 8)}
+    rows[20], rows[21] = unit(90), unit(90.5)
+    vecs = spark.createDataFrame(
+        [(i, v) for i, v in rows.items()],
+        "vec_id int, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, unit(0)), (1, unit(90))],
+        "centroid_id int, centroid_emb array<double>",
+    )
+    obs = Observation("exempt")
+    out = semantic_dedup(
+        vecs, centroids=cents, threshold=0.95, max_cluster=4,
+        exemption_observation=obs,
+    ).toPandas()
+    # exempted cohort: every member kept; mineable cluster: one kept
+    assert sorted(out[out["keep"] == 1]["vec_id"]) == [1, 2, 3, 4, 5, 6, 7, 20]
+    got = obs.get
+    assert got["exempted_clusters"] == 1
+    assert got["exempted_rows"] == 7

@@ -313,7 +313,11 @@ def test_ngram_registry_plan_has_no_window_cap(spark, oracle_sf_dir):
     """The registered ngram_jaccard_pairs runs max_bucket=None (oracle
     parity), so cap_buckets must be a plan-level NO-OP — no Window
     operator, no extra exchange beyond the fp self-join. The capped
-    variant (the 100 TB configuration) DOES plan the Window count."""
+    variant (the 100 TB configuration) plans a BROADCAST anti-join
+    against the heavy-hitter bucket list — and, after the round-10
+    rework, NO Window either: the round-9 window form shuffled and
+    sorted the full banded frame (a measured 1.33× on the sf0.1
+    minhash row, payload-width exchange at corpus scale)."""
     df = all_queries()["ngram_jaccard_pairs"].fn(spark, oracle_sf_dir)
     plan = explain_str(df)
     assert "Window" not in plan, plan
@@ -322,8 +326,11 @@ def test_ngram_registry_plan_has_no_window_cap(spark, oracle_sf_dir):
     from mapreduce_implementation_spark.sources.catalog import load_table
 
     docs = load_table(spark, oracle_sf_dir, "documents")
-    capped = dd.ngram_jaccard_pairs(docs, "doc_id", "text", max_bucket=50)
-    assert "Window" in explain_str(capped)
+    capped_plan = explain_str(
+        dd.ngram_jaccard_pairs(docs, "doc_id", "text", max_bucket=50)
+    )
+    assert "Window" not in capped_plan, capped_plan
+    assert "BroadcastHashJoin LeftAnti BuildRight" in capped_plan, capped_plan
 
 
 def test_cross_set_miners_shuffle_only_banded_projections(spark, oracle_sf_dir):

@@ -354,3 +354,173 @@ def test_semantic_dedup_at_ingest_flags_planted_twins(spark, tmp_path):
     assert twins == {
         (int(a), int(b)) for a, b in batch_flags[["new_id", "ref_id"]].values
     }
+
+
+# ------------------------------------------------- bucketed committed side
+
+
+def test_minhash_cross_bucketed_reference_parity_and_no_ref_exchange(
+    spark, tmp_path
+):
+    """The committed banded reference as a bucketed catalog table
+    (commit_minhash_reference): (a) identical flags to the path form;
+    (b) the committed side contributes ZERO exchanges — the band join
+    AND the max_bucket detection groupBy both ride the table's
+    (band_id, band_hash) bucketing, so the only band-key exchange in
+    the plan is the new batch's."""
+    from mapreduce_implementation_spark.operators import dedup as dd
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        commit_minhash_reference,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    ref_docs = docs.where(F.col("doc_id") % 2 == 0)
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    ref_sigs = dd.minhash_signatures(ref_docs, "doc_id", "text", shingle_n=3, k=16)
+    new_sigs = dd.minhash_signatures(new_docs, "doc_id", "text", shingle_n=3, k=16)
+
+    commit_minhash_reference(
+        ref_sigs, "t_ref_bands", str(tmp_path / "bands"),
+        bands=4, rows=4, k=16, n_buckets=8,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bucketed = dd.minhash_cross_near_dup(
+                new_sigs,
+                ref_banded=spark.table("t_ref_bands"),
+                k=16, bands=4, rows=4, threshold=0.5, max_bucket=1000,
+            )
+            plan = bucketed._jdf.queryExecution().executedPlan().toString()
+            got = {(r.new_id, r.ref_id) for r in bucketed.collect()}
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # exactly one band-key exchange: the NEW side. The committed
+        # side (join + cap detection) reads its buckets in place.
+        assert plan.count("Exchange hashpartitioning(band_id") == 1, plan
+
+        want = {
+            (r.new_id, r.ref_id)
+            for r in dd.minhash_cross_near_dup(
+                new_sigs, ref_sigs,
+                k=16, bands=4, rows=4, threshold=0.5, max_bucket=1000,
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ref_bands")
+
+
+def test_srp_cross_bucketed_reference_parity_and_no_ref_exchange(
+    spark, tmp_path
+):
+    """Same contract for the embedding miner: commit_srp_reference's
+    bucketed table joins with zero committed-side exchanges and flags
+    identically to the recompute-per-batch path."""
+    import random
+
+    from mapreduce_implementation_spark.operators.inference import (
+        embed_documents,
+    )
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_cross_near_dup,
+    )
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        commit_srp_reference,
+    )
+
+    texts = [f"reference corpus document number {i} alpha beta" for i in range(40)]
+    ref_docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    ref_vecs = embed_documents(ref_docs, dim=8).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    new_docs = spark.createDataFrame(
+        [(100, texts[0]), (101, texts[7]), (102, "novel text zzz")],
+        "doc_id long, text string",
+    )
+    new_vecs = embed_documents(new_docs, dim=8).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    rnd = random.Random(7)
+    planes = spark.createDataFrame(
+        [(p, [rnd.uniform(-1.0, 1.0) for _ in range(8)]) for p in range(2)],
+        "plane_id int, plane_emb array<double>",
+    )
+
+    commit_srp_reference(
+        ref_vecs, planes, "t_ref_srp", str(tmp_path / "srp"), n_buckets=4
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bucketed = srp_cross_near_dup(
+                new_vecs, planes=planes,
+                ref_bucketed=spark.table("t_ref_srp"),
+                threshold=0.99, max_bucket=1000,
+            )
+            plan = bucketed._jdf.queryExecution().executedPlan().toString()
+            got = {(r.new_id, r.ref_id) for r in bucketed.collect()}
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert plan.count("Exchange hashpartitioning(bucket") == 1, plan
+
+        want = {
+            (r.new_id, r.ref_id)
+            for r in srp_cross_near_dup(
+                new_vecs, ref_vecs, planes,
+                threshold=0.99, max_bucket=1000,
+            ).collect()
+        }
+        assert got == want
+        assert {(100, 0), (101, 7)} <= got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ref_srp")
+
+
+def test_ingest_dedup_stream_with_bucketed_reference_table(spark, tmp_path):
+    """start_ingest_dedup_stream(ref_table=...) flags identically to
+    the path form across micro-batches — the recurring-join wiring."""
+    from mapreduce_implementation_spark.operators import dedup as dd
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        commit_minhash_reference,
+        start_ingest_dedup_stream,
+    )
+
+    stream_dir = str(tmp_path / "in")
+    import os
+
+    os.makedirs(stream_dir)
+    docs = _stage_two_batches(spark, stream_dir)
+    ref_docs = docs  # whole corpus as the committed reference
+    ref_sigs = dd.minhash_signatures(ref_docs, "doc_id", "text", shingle_n=3, k=16)
+    commit_minhash_reference(
+        ref_sigs, "t_ingest_bands", str(tmp_path / "bands"),
+        bands=4, rows=4, k=16, n_buckets=8,
+    )
+    try:
+        out_dir = str(tmp_path / "flags")
+        q = start_ingest_dedup_stream(
+            _docs_stream(spark, stream_dir),
+            out_dir=out_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            shingle_n=3, k=16, bands=4, rows=4, threshold=0.5,
+            ref_table="t_ingest_bands",
+        )
+        q.awaitTermination()
+        got = {
+            (r.new_id, r.ref_id)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        want = {
+            (r.new_id, r.ref_id)
+            for r in dd.minhash_cross_near_dup(
+                dd.minhash_signatures(docs, "doc_id", "text", shingle_n=3, k=16),
+                ref_sigs,
+                k=16, bands=4, rows=4, threshold=0.5,
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ingest_bands")
