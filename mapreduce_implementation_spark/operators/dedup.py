@@ -252,6 +252,7 @@ def cap_buckets(
     part_cols: tuple[str, ...],
     max_bucket: int | None,
     observation=None,
+    strategy: str = "window",
 ) -> DataFrame:
     """Drop rows in LSH buckets larger than ``max_bucket`` — the
     boilerplate-cohort guard shared by every banded pair miner (a band
@@ -259,44 +260,56 @@ def cap_buckets(
     No-op when ``max_bucket`` is None (the explicit opt-out; miners
     default to DEFAULT_MAX_BUCKET).
 
-    Plan shape (round-10 rework, adjudicated in BASELINE.md): a
-    HEAVY-HITTER anti-join, not a window. The round-9 window form
-    (``count() OVER (PARTITION BY bucket)``) shuffled the ENTIRE
-    banded frame — payload columns included (embeddings, in the SRP
-    miners) — and sorted it, a measured 1.33× on the sf0.1 minhash
-    bench row and a full-width exchange of raw payload at 100 TB. Now:
+    Two plan strategies, chosen by the CALLER's join shape (round-10
+    adjudication, measured both ways in BASELINE.md):
 
-    1. oversized-bucket detection is a ``groupBy(bucket).count()`` on
-       the COLUMN-PRUNED input (Catalyst drops payload columns from
-       this branch) — map-side partial agg, only (bucket, count) rows
-       move;
-    2. the filter is a BROADCAST left-anti join against that list.
-       The list is small by construction: every entry represents >
-       ``max_bucket`` input rows, so it has ≤ rows/max_bucket entries
-       (1000× smaller than the input at the default) — and in real
-       corpora it is the handful of boilerplate cohorts.
-
-    The input is scanned twice (detection + probe), both map-only —
-    the trade that wins at scale, because neither pass moves payload
-    through an exchange. NULL bucket keys are now retained rather than
-    capped (anti-join equality never matches NULL); harmless for every
-    caller, since a NULL key also never matches in the subsequent pair
-    join, so it generates no pairs either way.
+    * ``"window"`` (default) — ``count() OVER (PARTITION BY bucket)``
+      then filter. Right for the IN-SET self-join miners: the window
+      needs exactly the exchange+sort on ``part_cols`` that the
+      caller's sort-merge self-join needs anyway, and Spark REUSES it
+      (one exchange feeds the window, the filter, and both join
+      sides), so at corpus scale the cap rides the join's own shuffle
+      for ~free. Interleaved A/B at sf0.1 minhash: window 1.81 s vs
+      anti-join 2.01 s min-of-3 (the anti-join pays a second banded
+      scan and forfeits the reuse).
+    * ``"antijoin"`` — detect oversized buckets with a column-pruned
+      ``groupBy(bucket).count()`` partial agg (only (bucket, count)
+      rows move), then BROADCAST left-anti join the list away. Right
+      for the CROSS-SET miners: the committed/reference side must stay
+      exchange-free per probing micro-batch (the band join broadcasts
+      the small new side, or reads a bucketed catalog table in place —
+      plan-gated in tests/test_streaming_pipeline.py), and the window
+      form would force a full exchange+sort of the reference every
+      batch. The heavy-hitter list is small by construction (≤
+      rows/max_bucket entries — every entry represents > max_bucket
+      rows). NULL bucket keys are retained under this strategy
+      (anti-join equality never matches NULL) — harmless, since a NULL
+      key also never matches in the pair join.
 
     ``observation`` (``pyspark.sql.Observation``, or a string name)
     makes the recall cost visible as ``capped_rows`` /
-    ``capped_buckets`` metrics. Delivery is via an EAGER
-    materialization of the oversized list (localCheckpoint): leaving
-    the CollectMetrics lazy inside the broadcast subtree is unreliable
-    — AQE's replanning can elide the instrumented copy of the stage
-    when downstream joins collapse to empty, delivering a schema-less
-    row (reproduced on Spark 4.1). The eager action is ONE
-    pruned-column partial agg over the banded frame — paid only when
-    telemetry is requested (default None = fully lazy), and it doubles
-    as a compute saving: the checkpointed list is shared by both sides
-    of the caller's self-join instead of being re-derived."""
+    ``capped_buckets`` metrics, under EITHER strategy via the anti-join
+    detection branch, eagerly materialized (localCheckpoint): lazy
+    CollectMetrics inside a broadcast subtree is unreliable — AQE's
+    replanning can elide the instrumented stage copy and deliver a
+    schema-less row (reproduced on Spark 4.1, pinned in
+    tests/test_observability.py). Telemetry therefore implies the
+    anti-join plan; its one extra pruned-column partial-agg action is
+    the price of the number (default None = fully lazy window/antijoin
+    per strategy)."""
     if max_bucket is None:
         return df
+    if strategy not in ("window", "antijoin"):
+        raise ValueError(f"unknown cap strategy {strategy!r}")
+    if observation is None and strategy == "window":
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*part_cols)
+        return (
+            df.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
     oversized = (
         df.groupBy(*part_cols)
         .agg(F.count(F.lit(1)).alias("_bucket_n"))
@@ -1065,6 +1078,7 @@ def minhash_cross_near_dup(
             ("band_id", "band_hash"),
             max_bucket,
             cap_observation,
+            strategy="antijoin",
         )
         cand = (
             bn.join(br, ["band_id", "band_hash"])
@@ -1087,6 +1101,7 @@ def minhash_cross_near_dup(
         ("band_id", "band_hash"),
         max_bucket,
         cap_observation,
+        strategy="antijoin",
     )
     cand = (
         bn.join(br, ["band_id", "band_hash"])
@@ -1148,6 +1163,7 @@ def simhash_cross_near_dup(
         ("band_id", "band_val"),
         max_bucket,
         cap_observation,
+        strategy="antijoin",
     ).alias("b")
     return (
         bn.join(

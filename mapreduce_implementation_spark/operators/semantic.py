@@ -374,6 +374,7 @@ def srp_cross_near_dup(
         ("bucket",),
         max_bucket,
         cap_observation,
+        strategy="antijoin",
     )
     cand = bn.join(br, "bucket").select(
         "new_id",

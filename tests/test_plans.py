@@ -313,11 +313,12 @@ def test_ngram_registry_plan_has_no_window_cap(spark, oracle_sf_dir):
     """The registered ngram_jaccard_pairs runs max_bucket=None (oracle
     parity), so cap_buckets must be a plan-level NO-OP — no Window
     operator, no extra exchange beyond the fp self-join. The capped
-    variant (the 100 TB configuration) plans a BROADCAST anti-join
-    against the heavy-hitter bucket list — and, after the round-10
-    rework, NO Window either: the round-9 window form shuffled and
-    sorted the full banded frame (a measured 1.33× on the sf0.1
-    minhash row, payload-width exchange at corpus scale)."""
+    IN-SET variant (100 TB default) uses the WINDOW strategy — its
+    exchange+sort on the bucket key is exactly what the self-join
+    reuses (round-10 A/B: window 1.81 s vs anti-join 2.01 s at sf0.1
+    minhash). The antijoin strategy — the cross-set/committed-side
+    configuration — plans the broadcast heavy-hitter anti-join with no
+    Window."""
     df = all_queries()["ngram_jaccard_pairs"].fn(spark, oracle_sf_dir)
     plan = explain_str(df)
     assert "Window" not in plan, plan
@@ -329,8 +330,14 @@ def test_ngram_registry_plan_has_no_window_cap(spark, oracle_sf_dir):
     capped_plan = explain_str(
         dd.ngram_jaccard_pairs(docs, "doc_id", "text", max_bucket=50)
     )
-    assert "Window" not in capped_plan, capped_plan
-    assert "BroadcastHashJoin LeftAnti BuildRight" in capped_plan, capped_plan
+    assert "Window" in capped_plan, capped_plan
+
+    staged = docs.selectExpr("doc_id", "pmod(doc_id, 7) as fp")
+    anti_plan = explain_str(
+        dd.cap_buckets(staged, ("fp",), 3, strategy="antijoin")
+    )
+    assert "Window" not in anti_plan, anti_plan
+    assert "BroadcastHashJoin LeftAnti BuildRight" in anti_plan, anti_plan
 
 
 def test_cross_set_miners_shuffle_only_banded_projections(spark, oracle_sf_dir):
