@@ -458,9 +458,13 @@ def run_observe_cost(spark, docs_dir: str) -> dict[str, float]:
         [f for f in os.listdir(docs_dir) if f.endswith(".parquet")]
     )
     out: dict[str, float] = {}
-    for tag, observe_name in (("observe_on", "ingest_quality"), ("observe_off", None)):
-        best = float("inf")
-        for _ in range(2):
+    best: dict[str, float] = {}
+    # INTERLEAVED on/off/on/off so host drift hits both arms equally
+    for _ in range(2):
+        for tag, observe_name in (
+            ("observe_on", "ingest_quality"),
+            ("observe_off", None),
+        ):
             ckpt = tempfile.mkdtemp(prefix="mris_obs_ckpt_")
             flags_dir = tempfile.mkdtemp(prefix="mris_obs_flags_")
             try:
@@ -480,12 +484,85 @@ def run_observe_cost(spark, docs_dir: str) -> dict[str, float]:
                     observe_name=observe_name,
                 )
                 q.awaitTermination()
-                best = min(best, time.perf_counter() - t0)
+                best[tag] = min(
+                    best.get(tag, float("inf")),
+                    time.perf_counter() - t0,
+                )
             finally:
                 shutil.rmtree(ckpt, ignore_errors=True)
                 shutil.rmtree(flags_dir, ignore_errors=True)
-        out[tag] = round(best, 2)
+    out.update({k: round(v, 2) for k, v in best.items()})
     shutil.rmtree(os.path.dirname(ref_path), ignore_errors=True)
+    return out
+
+
+def run_ingest_ref_ab(spark, docs_dir: str) -> dict[str, float]:
+    """Micro-batch latency A/B for the committed reference layout
+    (round-9 verdict item 4): drain the SAME staged document stream
+    through start_ingest_dedup_stream against (a) the plain parquet
+    signature table (re-banded and re-shuffled every batch) and (b)
+    the bucketed banded catalog table (committed side read in place,
+    zero exchanges per batch)."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        commit_minhash_reference,
+        start_ingest_dedup_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="mris_refab_")
+    ref_path = os.path.join(root, "sigs")
+    docs = spark.read.parquet(docs_dir)
+    sigs = minhash_signatures(docs, "doc_id", "text", shingle_n=3, k=16)
+    sigs.write.parquet(ref_path)
+    commit_minhash_reference(
+        spark.read.parquet(ref_path),
+        "t_refab_bands",
+        os.path.join(root, "bands"),
+        bands=4,
+        rows=4,
+        k=16,
+        n_buckets=32,
+    )
+    n_files = len(
+        [f for f in os.listdir(docs_dir) if f.endswith(".parquet")]
+    )
+    out: dict[str, float] = {}
+    try:
+        for tag, kwargs in (
+            ("ref_parquet_path", {"ref_sigs_path": ref_path}),
+            ("ref_bucketed_table", {"ref_table": "t_refab_bands"}),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                ckpt = tempfile.mkdtemp(prefix="mris_refab_ckpt_")
+                flags_dir = tempfile.mkdtemp(prefix="mris_refab_flags_")
+                try:
+                    stream = (
+                        spark.readStream.schema(docs.schema)
+                        .option(
+                            "maxFilesPerTrigger", str(max(1, n_files // 8))
+                        )
+                        .parquet(docs_dir)
+                    )
+                    t0 = time.perf_counter()
+                    q = start_ingest_dedup_stream(
+                        stream,
+                        out_dir=flags_dir,
+                        checkpoint_dir=ckpt,
+                        observe_name=None,
+                        **kwargs,
+                    )
+                    q.awaitTermination()
+                    best = min(best, time.perf_counter() - t0)
+                finally:
+                    shutil.rmtree(ckpt, ignore_errors=True)
+                    shutil.rmtree(flags_dir, ignore_errors=True)
+            out[tag] = round(best, 2)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_refab_bands")
+        shutil.rmtree(root, ignore_errors=True)
     return out
 
 
@@ -508,16 +585,24 @@ def main() -> None:
     streaming_mode = "--streaming" in argv
     rocksdb = "--rocksdb" in argv
     observe_cost = "--observe-cost" in argv
+    ingest_ref_ab = "--ingest-ref-ab" in argv
     argv = [
         a
         for a in argv
-        if a not in ("--vectors", "--streaming", "--rocksdb", "--observe-cost")
+        if a
+        not in (
+            "--vectors",
+            "--streaming",
+            "--rocksdb",
+            "--observe-cost",
+            "--ingest-ref-ab",
+        )
     ]
     sizes = [int(s) for s in argv] or (
         [125_000, 500_000, 2_000_000]
         if (vectors_mode or streaming_mode)
         else [500_000]
-        if observe_cost
+        if (observe_cost or ingest_ref_ab)
         else [250_000, 1_000_000, 4_000_000]
     )
     spark = get_spark(app_name="mris-scale-rehearsal")
@@ -532,7 +617,9 @@ def main() -> None:
 
         use_rocksdb_state_store(spark)
     cal = calibration(spark)
-    if observe_cost:
+    if ingest_ref_ab:
+        synth, run = synth_corpus, run_ingest_ref_ab
+    elif observe_cost:
         synth, run = synth_corpus, run_observe_cost
     elif streaming_mode:
         synth, run = synth_events, run_streaming_ops
