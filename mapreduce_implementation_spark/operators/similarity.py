@@ -571,6 +571,57 @@ def materialize_ivf_index(
     write_partitioned_dataset(assigned, path, ["centroid_id"])
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """INCREMENTAL IVF maintenance: assign only the new batch against
+    the FROZEN centroid set and add it to a materialized index laid
+    out as ``centroid_id=X/batch_id=Y/`` — the ingest-family face of
+    the index (build once, append per batch, probe always).
+
+    Why this shape survives 100 TB:
+
+    * per-batch cost is O(|batch| · k · d) map-only assignment plus a
+      partitioned write — the committed corpus is never re-assigned or
+      re-written (a full ``materialize_ivf_index`` rebuild is
+      O(corpus) per batch);
+    * DYNAMIC partition overwrite on ``(centroid_id, batch_id)`` makes
+      replays idempotent: an at-least-once redelivery of batch ``b``
+      overwrites exactly the ``batch_id=b`` leaf directories it wrote
+      before (the assignment is deterministic, so the rows are
+      byte-identical) — the same exactly-once-at-the-sink contract as
+      every foreachBatch sink in streaming/pipeline.py;
+    * probes are unchanged: ``ivf_topk_from_index`` filters on
+      ``centroid_id``, which prunes every other centroid's directory
+      tree — ``batch_id`` subdirectories are just extra leaves of the
+      probed lists, and the extra partition column rides along
+      harmlessly. Plan-gated in tests/test_similarity.py.
+
+    The centroids are the index contract (as with SRP planes): every
+    append MUST use the snapshot the index was created with — retrain
+    ⇒ rebuild. Use a FRESH path for an incremental index: mixing this
+    two-level layout with materialize_ivf_index's one-level layout in
+    one directory breaks parquet partition discovery (uniform depth
+    required); the initial corpus is simply batch 0."""
+    assigned = (
+        assign_inverted_lists(
+            new_vectors, centroids, 1, id_col, emb_col, keep_cols=(emb_col,)
+        )
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id", "batch_id")
+        .parquet(path)
+    )
+
+
 def ivf_topk_from_index(
     spark,
     index_path: str,

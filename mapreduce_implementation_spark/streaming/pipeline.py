@@ -390,6 +390,64 @@ def start_ingest_semantic_dedup_stream(
     )
 
 
+def start_ingest_index_stream(
+    docs_stream: DataFrame,
+    centroids_path: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+    model_loader=None,
+    trigger: dict | None = None,
+    observe_name: str | None = "ingest_quality",
+):
+    """Index-at-ingest: embed each arriving micro-batch and APPEND it
+    to the materialized IVF index (similarity.append_to_ivf_index) —
+    the corpus becomes similarity-probeable the moment a batch lands,
+    completing the ingest family: dedup-at-ingest flags twins,
+    embed-at-ingest commits vectors, index-at-ingest keeps the ANN
+    index current without ever re-assigning the committed corpus.
+
+    ``centroids_path`` holds the frozen centroid snapshot
+    (DataFrame[centroid_id, centroid_emb]) — the index contract, fixed
+    for the stream's lifetime; retraining centroids means rebuilding
+    the index and restarting the stream (the same bulk-absorption
+    cadence as the reference signature tables). Per micro-batch:
+    deterministic embed (mapInPandas, model-per-partition) → map-only
+    assignment against the centroid literals → dynamic-overwrite write
+    of the batch's ``(centroid_id, batch_id)`` leaves — idempotent
+    under at-least-once replay. Probe anytime with
+    ``ivf_topk_from_index(spark, index_dir, ...)``."""
+    from mapreduce_implementation_spark.operators.inference import (
+        embed_documents,
+    )
+    from mapreduce_implementation_spark.operators.similarity import (
+        append_to_ivf_index,
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        centroids = spark.read.parquet(centroids_path)
+        vecs = embed_documents(
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            dim=dim,
+            model_loader=model_loader,
+        ).withColumnRenamed(id_col, "vec_id")
+        append_to_ivf_index(vecs, centroids, index_dir, batch_id)
+
+    return (
+        _maybe_observe(docs_stream, observe_name, text_col)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def start_ingest_embed_stream(
     docs_stream: DataFrame,
     out_dir: str,

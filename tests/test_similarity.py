@@ -411,3 +411,65 @@ def test_planted_ivf_recall_floor(planted_recalls):
     (measured 1.0): 8 lists on 8 well-separated clusters is the case
     k-means must nail — a training regression shows up here first."""
     assert planted_recalls["ivf"] >= 0.95, planted_recalls
+
+
+def test_append_to_ivf_index_matches_rebuild_and_is_idempotent(
+    spark, vectors, tmp_path
+):
+    """Incremental index maintenance: appending the corpus batch by
+    batch against FROZEN centroids yields a probe-identical index to
+    the one-shot build; replaying a batch (same batch_id) overwrites
+    its own partitions instead of duplicating; and the probe still
+    prunes on centroid_id (PartitionFilters) despite the extra
+    batch_id partition level."""
+    cents = sim.train_centroids(vectors, k=3, iters=3)
+    queries = vectors.where(F.col("vec_id").isin(0, 10, 20))
+
+    full_path = str(tmp_path / "full")
+    sim.materialize_ivf_index(vectors, cents, full_path)
+    want = sorted(
+        map(
+            tuple,
+            sim.ivf_topk_from_index(
+                spark, full_path, queries, cents, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+
+    inc_path = str(tmp_path / "inc")
+    b0 = vectors.where(F.col("vec_id") % 2 == 0)
+    b1 = vectors.where(F.col("vec_id") % 2 == 1)
+    sim.append_to_ivf_index(b0, cents, inc_path, batch_id=0)
+    sim.append_to_ivf_index(b1, cents, inc_path, batch_id=1)
+    got = sorted(
+        map(
+            tuple,
+            sim.ivf_topk_from_index(
+                spark, inc_path, queries, cents, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # replay batch 1: dynamic overwrite -> identical row count + probe
+    n_before = spark.read.parquet(inc_path).count()
+    sim.append_to_ivf_index(b1, cents, inc_path, batch_id=1)
+    assert spark.read.parquet(inc_path).count() == n_before
+    again = sorted(
+        map(
+            tuple,
+            sim.ivf_topk_from_index(
+                spark, inc_path, queries, cents, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    assert again == want
+
+    # partition pruning survives the two-level layout
+    probed = spark.read.parquet(inc_path).where(
+        F.col("centroid_id").isin(0, 1)
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan

@@ -524,3 +524,69 @@ def test_ingest_dedup_stream_with_bucketed_reference_table(spark, tmp_path):
         assert got == want and len(got) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ingest_bands")
+
+
+def test_ingest_index_stream_probe_matches_batch_index(spark, tmp_path):
+    """Index-at-ingest: streaming the corpus through
+    start_ingest_index_stream (embed → assign → append per
+    micro-batch) yields an IVF index whose probe results EXACTLY match
+    appending the batch-embedded corpus against the same frozen
+    centroids."""
+    from mapreduce_implementation_spark.operators import similarity as sim
+    from mapreduce_implementation_spark.operators.inference import (
+        embed_documents,
+    )
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        start_ingest_index_stream,
+    )
+
+    stream_dir = str(tmp_path / "in")
+    import os
+
+    os.makedirs(stream_dir)
+    docs = _stage_two_batches(spark, stream_dir)
+    all_vecs = embed_documents(docs, dim=8).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    cents = sim.train_centroids(all_vecs, k=4, iters=2)
+    cents_path = str(tmp_path / "cents")
+    cents.write.parquet(cents_path)
+
+    index_dir = str(tmp_path / "index")
+    q = start_ingest_index_stream(
+        _docs_stream(spark, stream_dir),
+        cents_path,
+        index_dir,
+        str(tmp_path / "ckpt"),
+        dim=8,
+    )
+    q.awaitTermination()
+
+    queries = all_vecs.limit(3)
+    got = sorted(
+        map(
+            tuple,
+            sim.ivf_topk_from_index(
+                spark, index_dir, queries, cents, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    ref_dir = str(tmp_path / "ref_index")
+    sim.append_to_ivf_index(all_vecs, cents, ref_dir, batch_id=0)
+    want = sorted(
+        map(
+            tuple,
+            sim.ivf_topk_from_index(
+                spark, ref_dir, queries, cents, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    assert got == want and got
+    # two batches landed
+    assert (
+        spark.read.parquet(index_dir)
+        .select("batch_id")
+        .distinct()
+        .count()
+        == 2
+    )
