@@ -83,3 +83,109 @@ def write_reducer_files(
     shutil.rmtree(staging)
     # numeric reducer order (lexicographic dir order would give 1,10,11,2…)
     return [by_rid[rid] for rid in sorted(by_rid)]
+
+
+def compact_partitioned_dataset(
+    spark,
+    path: str,
+    partition_cols: list[str],
+    *,
+    max_files_per_partition: int = 1,
+    files_per_partition: int = 1,
+    split_col: str | None = None,
+) -> dict:
+    """Compact small files inside a hive-partitioned parquet dataset —
+    the operational answer to what every ``batch_id``-partitioned
+    ingest sink in this repo accumulates: one-file-per-task × many
+    micro-batches = thousands of tiny files, and at 100 TB the scan
+    planner pays per FILE (footer reads, task scheduling, open cost),
+    not per byte.
+
+    Shape (one bounded Spark job, no driver data):
+
+    1. discover per-leaf file counts from ``DataFrame.inputFiles()`` —
+       an analyzed-plan listing, no data read, values parsed from the
+       hive ``col=value`` path segments on the driver;
+    2. leaves with more than ``max_files_per_partition`` files are
+       re-read with partition-pruning literal predicates (only those
+       directories are scanned), hashed back together with
+       ``repartition(partition_cols)`` so each leaf's rows land in one
+       task, and rewritten with DYNAMIC partition overwrite — only the
+       compacted leaves are replaced, each atomically at commit;
+       untouched partitions are never read or written.
+
+    ``files_per_partition > 1`` (with ``split_col`` naming a stable id
+    column) spreads a big leaf over N files via a hash salt — use when
+    one file per leaf would exceed a sane file size. Do not run
+    concurrently with a writer into the same partitions (same contract
+    as any dynamic-overwrite maintenance job); replayed ingest batches
+    remain idempotent afterwards because their overwrite replaces the
+    whole leaf either way. NULL-valued (``__HIVE_DEFAULT_PARTITION__``)
+    leaves are left untouched. Returns
+    ``{"partitions_compacted", "files_before", "files_after"}``."""
+    from urllib.parse import unquote
+
+    if files_per_partition > 1 and split_col is None:
+        raise ValueError("files_per_partition > 1 requires split_col")
+    if files_per_partition < 1 or max_files_per_partition < 1:
+        raise ValueError("file counts must be >= 1")
+    df = spark.read.parquet(path)
+    counts: dict[tuple, int] = {}
+    for f in df.inputFiles():
+        parts = {}
+        for seg in f.split("/"):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                if k in partition_cols:
+                    parts[k] = unquote(v)
+        if len(parts) != len(partition_cols) or any(
+            v == "__HIVE_DEFAULT_PARTITION__" for v in parts.values()
+        ):
+            continue
+        key = tuple(parts[c] for c in partition_cols)
+        counts[key] = counts.get(key, 0) + 1
+    targets = [
+        k for k, n in counts.items() if n > max_files_per_partition
+    ]
+    if not targets:
+        return {
+            "partitions_compacted": 0,
+            "files_before": sum(counts.values()),
+            "files_after": sum(counts.values()),
+        }
+    # literal equality against the typed partition column — Spark
+    # coerces the string literal to the column type, so the predicate
+    # stays partition-pruning-eligible (no cast on the COLUMN side)
+    pred = None
+    for key in targets:
+        leaf = None
+        for c, v in zip(partition_cols, key):
+            eq = F.col(c) == F.lit(v)
+            leaf = eq if leaf is None else (leaf & eq)
+        pred = leaf if pred is None else (pred | leaf)
+    selected = df.where(pred)
+    if files_per_partition > 1:
+        salt = F.pmod(
+            F.xxhash64(F.col(split_col)), F.lit(files_per_partition)
+        )
+        packed = selected.repartition(
+            max(len(targets) * files_per_partition, 1),
+            *partition_cols,
+            salt,
+        )
+    else:
+        packed = selected.repartition(
+            max(len(targets), 1), *partition_cols
+        )
+    (
+        packed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    after = len(spark.read.parquet(path).inputFiles())
+    return {
+        "partitions_compacted": len(targets),
+        "files_before": sum(counts.values()),
+        "files_after": after,
+    }

@@ -647,3 +647,31 @@ def test_spread_leaf_probe(spark):
     # unknown no-file sources may be corpus-sized (conservative rule)
     rng = spark.range(10).withColumn("t", F.lit("x"))
     assert dd.spread(rng) is rng
+
+
+def test_cap_strategies_equivalent_on_non_null_buckets(spark):
+    """window and antijoin cap strategies must keep exactly the same
+    rows whenever bucket keys are non-NULL (the only divergence is
+    NULL-keyed buckets, which no pair miner can join on anyway)."""
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("b"), (F.pmod(F.xxhash64("id"), F.lit(7)))).alias(
+            "bucket"
+        ),
+    )
+    for cap in (5, 300, 100_000):
+        w = {
+            r.doc_id
+            for r in dd.cap_buckets(
+                df, ("bucket",), cap, strategy="window"
+            ).collect()
+        }
+        a = {
+            r.doc_id
+            for r in dd.cap_buckets(
+                df, ("bucket",), cap, strategy="antijoin"
+            ).collect()
+        }
+        assert w == a, cap
+    with pytest.raises(ValueError, match="strategy"):
+        dd.cap_buckets(df, ("bucket",), 5, strategy="sideways")

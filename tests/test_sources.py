@@ -204,3 +204,72 @@ def test_long_ts_in_nanos_range_converts_exactly(spark, tmp_path):
         F.unix_micros("ts").alias("us")
     ).collect()
     assert out[0].us == nanos // 1000
+
+
+def test_compact_partitioned_dataset_merges_small_files(spark, tmp_path):
+    """Compaction: batch-partitioned sink with many tiny files per
+    leaf → one file per leaf, byte-identical rows, untouched
+    partitions left alone, and a second run is a no-op."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.sources.sinks import (
+        compact_partitioned_dataset,
+    )
+
+    path = str(tmp_path / "sink")
+    df = spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).alias("batch_id"),
+        (F.col("id") * 7).alias("payload"),
+    )
+    # 8 files per batch partition
+    df.repartition(8).write.partitionBy("batch_id").parquet(path)
+    before = spark.read.parquet(path)
+    want = {(r.doc_id, r.batch_id, r.payload) for r in before.collect()}
+    files0 = len(before.inputFiles())
+    assert files0 >= 3 * 8
+
+    stats = compact_partitioned_dataset(spark, path, ["batch_id"])
+    assert stats["partitions_compacted"] == 3
+    assert stats["files_after"] == 3  # one per leaf
+    after = spark.read.parquet(path)
+    assert {
+        (r.doc_id, r.batch_id, r.payload) for r in after.collect()
+    } == want
+
+    again = compact_partitioned_dataset(spark, path, ["batch_id"])
+    assert again["partitions_compacted"] == 0
+    assert again["files_after"] == 3
+
+
+def test_compact_split_large_partitions(spark, tmp_path):
+    """files_per_partition > 1 spreads each leaf across N salted
+    files (big-leaf control) while preserving rows."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.sources.sinks import (
+        compact_partitioned_dataset,
+    )
+
+    path = str(tmp_path / "sink2")
+    df = spark.range(900).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).alias("batch_id")
+    )
+    df.repartition(6).write.partitionBy("batch_id").parquet(path)
+    want = {(r.doc_id, r.batch_id) for r in spark.read.parquet(path).collect()}
+    stats = compact_partitioned_dataset(
+        spark, path, ["batch_id"],
+        files_per_partition=2, split_col="doc_id",
+    )
+    assert stats["partitions_compacted"] == 2
+    assert 2 <= stats["files_after"] <= 4
+    assert {
+        (r.doc_id, r.batch_id) for r in spark.read.parquet(path).collect()
+    } == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="split_col"):
+        compact_partitioned_dataset(
+            spark, path, ["batch_id"], files_per_partition=3
+        )
