@@ -138,3 +138,80 @@ def test_round8_operators_on_empty_and_degenerate_input(spark):
 
     empty_sigs = spark.createDataFrame([], "doc_id long, simhash string")
     assert dd.simhash_cross_near_dup(empty_sigs, empty_sigs).collect() == []
+
+
+def _ref_token_budget(rows, budgets, salt="tokbudget"):
+    """Literal Python spec of stratified_token_budget (md5 mode): per
+    listed stratum, take docs in (md5-bucket, doc_id) order while the
+    PRE-row running token sum is under budget; unlisted / None-budget /
+    NULL strata kept whole."""
+    import hashlib
+
+    from mapreduce_implementation_spark.operators import sampling as sp
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:8]
+        return int(h, 16) % sp.BUCKETS
+
+    listed = {s for s, b in budgets.items() if b is not None}
+    keep = set()
+    by_stratum = {}
+    for doc_id, stratum, tokens in rows:
+        if stratum is None or stratum not in listed:
+            keep.add(doc_id)
+        else:
+            by_stratum.setdefault(stratum, []).append((doc_id, tokens))
+    for s, docs in by_stratum.items():
+        running = 0
+        for doc_id, tokens in sorted(
+            docs, key=lambda d: (bucket(d[0]), d[0])
+        ):
+            if running < budgets[s]:
+                keep.add(doc_id)
+            running += tokens
+    return keep
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 200),  # doc_id (deduped below)
+            st.sampled_from(["en", "de", "fr", None]),
+            st.integers(0, 50),  # token count
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    budget_en=st.one_of(st.none(), st.integers(0, 300)),
+    budget_de=st.one_of(st.none(), st.integers(0, 300)),
+    num_partitions=st.integers(1, 5),
+)
+def test_token_budget_matches_python_spec(
+    spark, rows, budget_en, budget_de, num_partitions
+):
+    """stratified_token_budget (md5 mode) against an independent
+    Python reference on arbitrary corpora: NULL strata, None budgets,
+    zero budgets, zero-token docs, and arbitrary range-partition cuts
+    must all agree with the literal take-while spec (the round-9
+    advisory fixes — NULL routing + the partition-pin barrier — are
+    load-bearing here)."""
+    from mapreduce_implementation_spark.operators import sampling as sp
+
+    budgets = {"en": budget_en, "de": budget_de}
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, tok long"
+    )
+    got = {
+        r.doc_id
+        for r in sp.stratified_token_budget(
+            df, "lang", budgets, token_col="tok", method="md5",
+            num_partitions=num_partitions,
+        ).collect()
+    }
+    assert got == _ref_token_budget(rows, budgets)
