@@ -191,8 +191,8 @@ def commit_srp_reference(
 def start_ingest_dedup_stream(
     docs_stream: DataFrame,
     ref_sigs_path: str | None = None,
-    out_dir: str = None,
-    checkpoint_dir: str = None,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -297,9 +297,9 @@ def _maybe_observe(
 def start_ingest_semantic_dedup_stream(
     docs_stream: DataFrame,
     ref_vectors_path: str | None = None,
-    planes_path: str = None,
-    out_dir: str = None,
-    checkpoint_dir: str = None,
+    planes_path: str | None = None,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
