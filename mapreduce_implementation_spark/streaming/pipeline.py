@@ -79,9 +79,14 @@ def start_pack_stream(
     n_buckets: int = 8,
     salt: str = "",
     trigger: dict | None = None,
+    compact_every: int | None = None,
 ):
     """Start the per-micro-batch packing sink; returns the
     StreamingQuery (caller awaits/stops it).
+
+    ``compact_every=N`` runs the small-file compactor over the sink
+    after every Nth batch (see _maybe_compact) — long-running streams
+    otherwise accumulate one file per task per batch.
 
     Each batch: pack with the batch operator, stamp ``batch_id``, write
     parquet partitioned by batch_id with dynamic overwrite (idempotent
@@ -106,6 +111,10 @@ def start_pack_stream(
             .partitionBy("batch_id")
             .parquet(out_dir)
         )
+        _maybe_compact(
+            batch_df.sparkSession, out_dir, batch_id, compact_every,
+            ["batch_id"],
+        )
 
     return (
         chunks_stream.writeStream.foreachBatch(handle_batch)
@@ -123,6 +132,28 @@ def start_pack_stream(
 # gate knob can never silently fail to forward. Place BEFORE
 # streaming_chunks so rejected documents never fan out into chunks.
 streaming_quality_gate = quality_gate
+
+
+def _maybe_compact(
+    spark,
+    path: str,
+    batch_id: int,
+    compact_every: int | None,
+    partition_cols: list[str],
+) -> None:
+    """Periodic small-file maintenance for the foreachBatch sinks:
+    every ``compact_every`` batches, fold each oversplit partition
+    back to one file (sinks.compact_partitioned_dataset — prune-read,
+    dynamic overwrite). Safe here by construction: micro-batches
+    execute serially, so no writer races the maintenance job, and a
+    replayed batch overwrites its whole partition either way."""
+    if not compact_every or (int(batch_id) + 1) % compact_every:
+        return
+    from mapreduce_implementation_spark.sources.sinks import (
+        compact_partitioned_dataset,
+    )
+
+    compact_partitioned_dataset(spark, path, partition_cols)
 
 
 def commit_minhash_reference(
@@ -402,6 +433,7 @@ def start_ingest_index_stream(
     model_loader=None,
     trigger: dict | None = None,
     observe_name: str | None = "ingest_quality",
+    compact_every: int | None = None,
 ):
     """Index-at-ingest: embed each arriving micro-batch and APPEND it
     to the materialized IVF index (similarity.append_to_ivf_index) —
@@ -438,6 +470,10 @@ def start_ingest_index_stream(
             model_loader=model_loader,
         ).withColumnRenamed(id_col, "vec_id")
         append_to_ivf_index(vecs, centroids, index_dir, batch_id)
+        _maybe_compact(
+            spark, index_dir, batch_id, compact_every,
+            ["centroid_id", "batch_id"],
+        )
 
     return (
         _maybe_observe(docs_stream, observe_name, text_col)
@@ -459,6 +495,7 @@ def start_ingest_embed_stream(
     model_loader=None,
     trigger: dict | None = None,
     observe_name: str | None = "ingest_quality",
+    compact_every: int | None = None,
 ):
     """Embed-at-ingest: run batch inference over each arriving
     micro-batch and land DataFrame[id_col, embedding, batch_id] as the
@@ -496,6 +533,10 @@ def start_ingest_embed_stream(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(out_dir)
+        )
+        _maybe_compact(
+            batch_df.sparkSession, out_dir, batch_id, compact_every,
+            ["batch_id"],
         )
 
     return (

@@ -590,3 +590,51 @@ def test_ingest_index_stream_probe_matches_batch_index(spark, tmp_path):
         .count()
         == 2
     )
+
+
+def test_pack_stream_auto_compaction(spark, tmp_path):
+    """compact_every folds each batch partition to one file between
+    micro-batches with rows unchanged (serialized micro-batches make
+    the maintenance job race-free by construction)."""
+    stream_dir = str(tmp_path / "in")
+    import os
+
+    os.makedirs(stream_dir)
+    _stage_two_batches(spark, stream_dir)
+
+    def run(out_name, **kw):
+        out = str(tmp_path / out_name)
+        q = start_pack_stream(
+            streaming_chunks(
+                _docs_stream(spark, stream_dir),
+                chunk_tokens=CHUNK_TOKENS,
+                overlap=OVERLAP,
+            ),
+            out,
+            str(tmp_path / f"ckpt_{out_name}"),
+            BUDGET,
+            **kw,
+        )
+        q.awaitTermination()
+        return out
+
+    plain = run("plain")
+    compacted = run("compacted", compact_every=1)
+    want = {
+        (r.chunk_key, r.batch_id)
+        for r in spark.read.parquet(plain).collect()
+    }
+    got_df = spark.read.parquet(compacted)
+    assert {
+        (r.chunk_key, r.batch_id) for r in got_df.collect()
+    } == want and want
+    # one file per batch partition after compaction
+    from collections import Counter
+
+    per_batch = Counter(
+        seg
+        for f in got_df.inputFiles()
+        for seg in f.split("/")
+        if seg.startswith("batch_id=")
+    )
+    assert all(n == 1 for n in per_batch.values()), per_batch
