@@ -638,3 +638,77 @@ def test_pack_stream_auto_compaction(spark, tmp_path):
         if seg.startswith("batch_id=")
     )
     assert all(n == 1 for n in per_batch.values()), per_batch
+
+
+def test_ingest_semantic_stream_with_bucketed_reference_table(
+    spark, tmp_path
+):
+    """start_ingest_semantic_dedup_stream(ref_table=...) flags
+    identically to the path form — the SRP face of the recurring-join
+    wiring."""
+    import random
+
+    from mapreduce_implementation_spark.operators.inference import (
+        embed_documents,
+    )
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        commit_srp_reference,
+        start_ingest_semantic_dedup_stream,
+    )
+
+    ref_texts = [
+        f"reference corpus document number {i} alpha beta" for i in range(10)
+    ]
+    ref_docs = spark.createDataFrame(
+        list(enumerate(ref_texts)), "doc_id long, text string"
+    )
+    ref_vecs = embed_documents(ref_docs, dim=8).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    rnd = random.Random(7)
+    planes = spark.createDataFrame(
+        [(p, [rnd.uniform(-1.0, 1.0) for _ in range(8)]) for p in range(2)],
+        "plane_id int, plane_emb array<double>",
+    )
+    planes_path = str(tmp_path / "planes")
+    planes.write.parquet(planes_path)
+    commit_srp_reference(
+        ref_vecs, planes, "t_sem_ref", str(tmp_path / "srp"), n_buckets=4
+    )
+    try:
+        batches = [
+            [(100, ref_texts[0]), (102, "novel text one zzz")],
+            [(200, ref_texts[7]), (201, "novel text two qqq")],
+        ]
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / f"stage{i}")
+            )
+            import glob as g
+            import shutil
+
+            src = g.glob(str(tmp_path / f"stage{i}" / "part-*.parquet"))[0]
+            shutil.move(src, str(in_dir / f"batch_{i}.parquet"))
+
+        q = start_ingest_semantic_dedup_stream(
+            _docs_stream(spark, str(in_dir)),
+            planes_path=planes_path,
+            out_dir=str(tmp_path / "flags"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            dim=8,
+            threshold=0.99,
+            ref_table="t_sem_ref",
+        )
+        q.awaitTermination()
+        flags = spark.read.parquet(str(tmp_path / "flags")).toPandas()
+        twins = {
+            (int(a), int(b)) for a, b in flags[["new_id", "ref_id"]].values
+        }
+        assert {(100, 0), (200, 7)} <= twins
+        assert not any(a in (102, 201) for a, _ in twins)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_ref")
