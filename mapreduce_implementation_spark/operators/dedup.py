@@ -298,6 +298,13 @@ def cap_buckets(
     the price of the number (default None = fully lazy window/antijoin
     per strategy)."""
     if max_bucket is None:
+        if observation is not None:
+            # fail at call time: a never-attached Observation makes the
+            # caller's later obs.get raise obscurely
+            raise ValueError(
+                "cap observation requires a finite max_bucket "
+                "(max_bucket=None never attaches the metrics)"
+            )
         return df
     if strategy not in ("window", "antijoin"):
         raise ValueError(f"unknown cap strategy {strategy!r}")

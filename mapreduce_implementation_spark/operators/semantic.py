@@ -91,6 +91,11 @@ def semantic_dedup(
     """
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if max_cluster is None and exemption_observation is not None:
+        raise ValueError(
+            "exemption observation requires a finite max_cluster "
+            "(max_cluster=None never attaches the metrics)"
+        )
     from mapreduce_implementation_spark.functions.vectors import dot, norm
     from mapreduce_implementation_spark.operators.dedup import spread
 
@@ -156,18 +161,18 @@ def semantic_dedup(
                     "exempted_clusters"
                 ),
             ).localCheckpoint(eager=True)
-        mineable_a = mineable_b = (
+        mineable = (
             assigned.join(F.broadcast(sizes), "centroid_id")
             .where(F.col("_csize") <= max_cluster)
             .drop("_csize")
         )
     else:
-        mineable_a = mineable_b = assigned
+        mineable = assigned
     # The score predicate below is deliberately a plain .where():
     # Catalyst pushes it into the self-join condition, fusing scoring
     # with pair generation — zero extra exchange, and parallelism
     # comes from the (spread) probe side, per the note above.
-    a, b = mineable_a.alias("a"), mineable_b.alias("b")
+    a, b = mineable.alias("a"), mineable.alias("b")
     cand = a.join(
         b,
         (F.col("a.centroid_id") == F.col("b.centroid_id"))
@@ -245,13 +250,12 @@ def srp_near_dup_pairs(
     bucketed = sim._with_buckets(
         spread(vectors), planes, id_col, emb_col, keep_emb=True
     ).withColumn("_vn", norm(F.col(emb_col)))
-    # observation on one self-join side only — a duplicated
-    # CollectMetrics leaves one AQE copy unexecuted, which overwrites
-    # the metrics with an empty row (see dedup.minhash_near_dup_pairs)
-    a = cap_buckets(bucketed, ("bucket",), max_bucket, cap_observation).alias(
-        "a"
-    )
-    b = cap_buckets(bucketed, ("bucket",), max_bucket).alias("b")
+    # cap ONCE and alias both sides (same shape as the minhash miner):
+    # with an observation the oversized list is eagerly materialized,
+    # so the shared subtree is AQE-safe, and without one the two sides
+    # stay sameResult for exchange reuse
+    bucketed = cap_buckets(bucketed, ("bucket",), max_bucket, cap_observation)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
@@ -392,3 +396,21 @@ def srp_cross_near_dup(
         .where(F.col("cos_sim") >= F.lit(threshold).cast(sim.COS_Q))
         .withColumn("cos_sim", F.col("cos_sim").cast("double"))
     )
+
+
+def planes_fingerprint(planes: DataFrame) -> str:
+    """Deterministic md5 over the (plane_id, values) set — the SRP
+    index-contract check: a committed reference table stores this
+    fingerprint (commit_srp_reference), and every probe that buckets
+    with DIFFERENT planes would silently match nothing, so the ingest
+    starter compares fingerprints up front and refuses loudly."""
+    import hashlib
+
+    rows = sorted(
+        (
+            (int(r.plane_id), [float(x) for x in r.plane_emb])
+            for r in planes.select("plane_id", "plane_emb").collect()
+        ),
+        key=lambda t: t[0],
+    )
+    return hashlib.md5(repr(rows).encode()).hexdigest()

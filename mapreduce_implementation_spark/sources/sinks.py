@@ -129,21 +129,30 @@ def compact_partitioned_dataset(
         raise ValueError("files_per_partition > 1 requires split_col")
     if files_per_partition < 1 or max_files_per_partition < 1:
         raise ValueError("file counts must be >= 1")
+    # a run that spreads each leaf over files_per_partition files must
+    # not re-target those leaves next run — floor the threshold so the
+    # periodic job stays a no-op once compacted
+    max_files_per_partition = max(max_files_per_partition, files_per_partition)
+
+    def leaf_counts() -> dict[tuple, int]:
+        counts: dict[tuple, int] = {}
+        for f in spark.read.parquet(path).inputFiles():
+            parts = {}
+            for seg in f.split("/"):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    if k in partition_cols:
+                        parts[k] = unquote(v)
+            if len(parts) != len(partition_cols) or any(
+                v == "__HIVE_DEFAULT_PARTITION__" for v in parts.values()
+            ):
+                continue
+            key = tuple(parts[c] for c in partition_cols)
+            counts[key] = counts.get(key, 0) + 1
+        return counts
+
     df = spark.read.parquet(path)
-    counts: dict[tuple, int] = {}
-    for f in df.inputFiles():
-        parts = {}
-        for seg in f.split("/"):
-            if "=" in seg:
-                k, _, v = seg.partition("=")
-                if k in partition_cols:
-                    parts[k] = unquote(v)
-        if len(parts) != len(partition_cols) or any(
-            v == "__HIVE_DEFAULT_PARTITION__" for v in parts.values()
-        ):
-            continue
-        key = tuple(parts[c] for c in partition_cols)
-        counts[key] = counts.get(key, 0) + 1
+    counts = leaf_counts()
     targets = [
         k for k, n in counts.items() if n > max_files_per_partition
     ]
@@ -183,9 +192,10 @@ def compact_partitioned_dataset(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
-    after = len(spark.read.parquet(path).inputFiles())
+    # same leaf filter as files_before (NULL/non-conforming leaves
+    # excluded from BOTH) so the two counts are diffable
     return {
         "partitions_compacted": len(targets),
         "files_before": sum(counts.values()),
-        "files_after": after,
+        "files_after": sum(leaf_counts().values()),
     }

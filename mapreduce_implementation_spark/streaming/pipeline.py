@@ -134,6 +134,16 @@ def start_pack_stream(
 streaming_quality_gate = quality_gate
 
 
+def _table_properties(spark, name: str) -> dict:
+    """``SHOW TBLPROPERTIES`` as a dict (empty for tables without
+    any — e.g. externally-committed references, which skip the
+    contract check rather than fail it)."""
+    return {
+        r[0]: r[1]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+    }
+
+
 def _maybe_compact(
     spark,
     path: str,
@@ -186,6 +196,14 @@ def commit_minhash_reference(
         bucket_cols=("band_id", "band_hash"),
         n_buckets=n_buckets,
     )
+    # stamp the build parameters on the table: a probe with different
+    # bands/rows/k computes band hashes over different signature
+    # slices and silently matches NOTHING — the ingest starter reads
+    # these properties and refuses a mismatched probe up front
+    sigs.sparkSession.sql(
+        f"ALTER TABLE {name} SET TBLPROPERTIES "
+        f"('mris.bands'='{bands}', 'mris.rows'='{rows}', 'mris.k'='{k}')"
+    )
 
 
 def commit_srp_reference(
@@ -216,6 +234,16 @@ def commit_srp_reference(
         path,
         bucket_cols=("bucket",),
         n_buckets=n_buckets,
+    )
+    # stamp the plane fingerprint: probing with different planes
+    # buckets into a disjoint code space and silently matches nothing
+    from mapreduce_implementation_spark.operators.semantic import (
+        planes_fingerprint,
+    )
+
+    vectors.sparkSession.sql(
+        f"ALTER TABLE {name} SET TBLPROPERTIES "
+        f"('mris.planes_md5'='{planes_fingerprint(planes)}')"
     )
 
 
@@ -275,6 +303,23 @@ def start_ingest_dedup_stream(
 
     if (ref_sigs_path is None) == (ref_table is None):
         raise ValueError("pass exactly one of ref_sigs_path / ref_table")
+    if out_dir is None or checkpoint_dir is None:
+        raise ValueError("out_dir and checkpoint_dir are required")
+    if ref_table is not None:
+        # index-contract check (fail NOW, not silently per batch): a
+        # probe whose bands/rows/k differ from the table's build
+        # parameters computes band hashes over different signature
+        # slices and matches nothing
+        props = _table_properties(docs_stream.sparkSession, ref_table)
+        want = {"mris.bands": bands, "mris.rows": rows, "mris.k": k}
+        for key, val in want.items():
+            if key in props and props[key] != str(val):
+                raise ValueError(
+                    f"reference table {ref_table} was committed with "
+                    f"{key}={props[key]}, probe uses {val} — the band "
+                    "join would silently match nothing; rebuild the "
+                    "reference or match its parameters"
+                )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -375,6 +420,28 @@ def start_ingest_semantic_dedup_stream(
 
     if (ref_vectors_path is None) == (ref_table is None):
         raise ValueError("pass exactly one of ref_vectors_path / ref_table")
+    if planes_path is None or out_dir is None or checkpoint_dir is None:
+        raise ValueError(
+            "planes_path, out_dir and checkpoint_dir are required"
+        )
+    if ref_table is not None:
+        # index-contract check: different planes bucket into a
+        # disjoint code space — compare fingerprints up front
+        from mapreduce_implementation_spark.operators.semantic import (
+            planes_fingerprint,
+        )
+
+        _spark = docs_stream.sparkSession
+        props = _table_properties(_spark, ref_table)
+        if "mris.planes_md5" in props:
+            got = planes_fingerprint(_spark.read.parquet(planes_path))
+            if props["mris.planes_md5"] != got:
+                raise ValueError(
+                    f"reference table {ref_table} was committed with "
+                    "different SRP planes than planes_path — the "
+                    "bucket join would silently match nothing; use "
+                    "the planes stored with the corpus snapshot"
+                )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

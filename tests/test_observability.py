@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_implementation_spark.operators.observability import (
@@ -158,3 +159,32 @@ def test_semantic_dedup_exemption_telemetry(spark):
     got = obs.get
     assert got["exempted_clusters"] == 1
     assert got["exempted_rows"] == 7
+
+
+def test_observation_with_uncapped_miner_raises(spark):
+    """cap/exemption observations on an uncapped run would never
+    attach (obs.get would hang/raise later) — refused at call time."""
+    from pyspark.sql import Observation
+
+    from mapreduce_implementation_spark.operators import dedup as dd
+    from mapreduce_implementation_spark.operators.semantic import (
+        semantic_dedup,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="finite max_bucket"):
+        dd.minhash_near_dup_pairs(
+            df, "doc_id", "text", max_bucket=None,
+            cap_observation=Observation("x"),
+        )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id int, centroid_emb array<double>"
+    )
+    with pytest.raises(ValueError, match="finite max_cluster"):
+        semantic_dedup(
+            vecs, centroids=cents, max_cluster=None,
+            exemption_observation=Observation("y"),
+        )

@@ -712,3 +712,82 @@ def test_ingest_semantic_stream_with_bucketed_reference_table(
         assert not any(a in (102, 201) for a, _ in twins)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sem_ref")
+
+
+def test_ingest_reference_contract_mismatch_fails_fast(spark, tmp_path):
+    """A probe whose bands/rows/k (or SRP planes) differ from the
+    committed table's build parameters would silently flag nothing —
+    the starters must refuse at start(), not per batch."""
+    import random
+
+    import pytest as _pytest
+
+    from mapreduce_implementation_spark.operators import dedup as dd
+    from mapreduce_implementation_spark.operators.inference import (
+        embed_documents,
+    )
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        commit_minhash_reference,
+        commit_srp_reference,
+        start_ingest_dedup_stream,
+        start_ingest_semantic_dedup_stream,
+    )
+
+    stream_dir = str(tmp_path / "in")
+    import os
+
+    os.makedirs(stream_dir)
+    docs = _stage_two_batches(spark, stream_dir)
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", shingle_n=3, k=16)
+    commit_minhash_reference(
+        sigs, "t_contract_bands", str(tmp_path / "bands"),
+        bands=4, rows=4, k=16, n_buckets=4,
+    )
+    try:
+        with _pytest.raises(ValueError, match="committed with"):
+            start_ingest_dedup_stream(
+                _docs_stream(spark, stream_dir),
+                out_dir=str(tmp_path / "f1"),
+                checkpoint_dir=str(tmp_path / "c1"),
+                k=16, bands=8, rows=2,
+                ref_table="t_contract_bands",
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_contract_bands")
+
+    rnd = random.Random(3)
+
+    def mk_planes(seed):
+        r = random.Random(seed)
+        return spark.createDataFrame(
+            [(p, [r.uniform(-1, 1) for _ in range(8)]) for p in range(2)],
+            "plane_id int, plane_emb array<double>",
+        )
+
+    vecs = embed_documents(docs.limit(20), dim=8).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    commit_srp_reference(
+        vecs, mk_planes(1), "t_contract_srp", str(tmp_path / "srp"),
+        n_buckets=2,
+    )
+    other_planes_path = str(tmp_path / "planes2")
+    mk_planes(2).write.parquet(other_planes_path)
+    try:
+        with _pytest.raises(ValueError, match="different SRP planes"):
+            start_ingest_semantic_dedup_stream(
+                _docs_stream(spark, stream_dir),
+                planes_path=other_planes_path,
+                out_dir=str(tmp_path / "f2"),
+                checkpoint_dir=str(tmp_path / "c2"),
+                dim=8,
+                ref_table="t_contract_srp",
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_contract_srp")
+
+    # missing required args fail eagerly too
+    with _pytest.raises(ValueError, match="required"):
+        start_ingest_dedup_stream(
+            _docs_stream(spark, stream_dir), ref_table="x"
+        )
