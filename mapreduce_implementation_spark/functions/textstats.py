@@ -282,3 +282,42 @@ def frequent_tokens(df, text_col: str = "text", support: float = 0.01):
     return df.sparkSession.createDataFrame(
         [(t,) for t in sorted(hits)], "token string"
     )
+
+
+def quality_threshold_for_retention(
+    df,
+    keep_fraction: float,
+    text_col: str = "text",
+    accuracy: int = 10_000,
+) -> float:
+    """Calibrate a ``quality_gate`` floor from a RETENTION target —
+    the way production corpus specs are actually written ("keep the
+    best 70%"), where a hand-picked absolute score floor drifts with
+    every corpus mix change.
+
+    One distributed pass: ``percentile_approx`` over the quality score
+    (t-digest sketch — mergeable partials, bounded memory per
+    partition, no sort, no collect of scores), returning the score at
+    the (1 - keep_fraction) quantile. Feed it straight back:
+    ``quality_gate(df, min_quality=threshold)`` keeps ≈ keep_fraction
+    of non-NULL documents (approximation error bounded by the sketch
+    ``accuracy``; ties at the threshold keep slightly more, never
+    less, because the gate is >=). At 100 TB this is exactly one scan
+    with a partial-agg shuffle of sketch partials — the naive
+    alternative (global sort + row_number cutoff) is a corpus-wide
+    sort."""
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(
+            f"keep_fraction must be in (0, 1], got {keep_fraction}"
+        )
+    staged = df.where(F.col(text_col).isNotNull()).withColumn(
+        "_qt_toks", _lower_tokens(text_col)
+    )
+    row = staged.select(
+        F.percentile_approx(
+            quality_score(text_col, toks=F.col("_qt_toks")),
+            F.lit(1.0 - keep_fraction),
+            F.lit(accuracy),
+        ).alias("t")
+    ).collect()[0]
+    return float(row["t"]) if row["t"] is not None else 0.0

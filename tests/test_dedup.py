@@ -675,3 +675,59 @@ def test_cap_strategies_equivalent_on_non_null_buckets(spark):
         assert w == a, cap
     with pytest.raises(ValueError, match="strategy"):
         dd.cap_buckets(df, ("bucket",), 5, strategy="sideways")
+
+
+def test_miner_recall_probe_planted_corpus(spark):
+    """The recall probe measures what the design says it should:
+    uncapped 4x4 banding recovers every planted exact-twin pair
+    (recall 1.0), a tiny bucket cap on a planted boilerplate cohort
+    shows up as the measured recall loss (the probe makes the cap's
+    silent cost a number), and the protocol is deterministic."""
+    rows = []
+    vid = 0
+    for i in range(10):  # exact twin pairs, mutually dissimilar
+        t = (
+            f"pairtext{i}a pairtext{i}b pairtext{i}c pairtext{i}d "
+            f"pairtext{i}e pairtext{i}f pairtext{i}g pairtext{i}h"
+        )
+        rows += [(vid, t), (vid + 1, t)]
+        vid += 2
+    boiler = (
+        "boilerplate terms of service text repeated verbatim across "
+        "the whole cohort of scraped pages"
+    )
+    for j in range(12):  # a cohort the cap will drop
+        rows.append((500 + j, boiler))
+    for j in range(20):  # unrelated filler
+        rows.append(
+            (1000 + j, f"unrelated filler {j} about topic{j} widget{j} "
+                       f"sprocket{j} flange{j} gadget{j}")
+        )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def miner(max_bucket):
+        return lambda s: dd.minhash_near_dup_pairs(
+            s, "doc_id", "text", k=16, bands=4, rows=4,
+            threshold=0.5, max_bucket=max_bucket,
+        )
+
+    good = dd.miner_recall_probe(
+        df, miner(None), n_sample=60, threshold=0.5
+    )
+    # truth: 10 twin pairs + the cohort's 66 pairs
+    assert good["true_pairs"] == 10 + 66
+    assert good["recall"] == 1.0
+    assert good["precision"] == 1.0
+
+    capped = dd.miner_recall_probe(
+        df, miner(5), n_sample=60, threshold=0.5
+    )
+    assert capped["recall"] == pytest.approx(10 / 76)
+
+    again = dd.miner_recall_probe(
+        df, miner(None), n_sample=60, threshold=0.5
+    )
+    assert again == good  # deterministic protocol
+
+    with pytest.raises(ValueError, match="n_sample"):
+        dd.miner_recall_probe(df, miner(None), n_sample=10**6)

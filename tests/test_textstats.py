@@ -66,3 +66,31 @@ def test_frequent_tokens_superset_guarantee(spark):
 
     with _pytest.raises(ValueError, match="support"):
         ts.frequent_tokens(df, support=0.0)
+
+
+def test_quality_threshold_for_retention(spark):
+    """The calibrated floor fed back into quality_gate keeps ~the
+    requested fraction (>= target, ties inclusive; within sketch
+    error) and is monotone in the target."""
+    from mapreduce_implementation_spark.functions.textstats import (
+        quality_gate,
+        quality_threshold_for_retention,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    n = docs.where(F.col("text").isNotNull()).count()
+    t70 = quality_threshold_for_retention(docs, 0.7)
+    t30 = quality_threshold_for_retention(docs, 0.3)
+    assert t30 >= t70  # keeping less demands a higher floor
+    kept70 = quality_gate(docs, min_quality=t70).count()
+    kept30 = quality_gate(docs, min_quality=t30).count()
+    assert kept70 >= kept30
+    # >= target (gate is >=, ties kept), and not wildly above unless
+    # the score distribution is tie-heavy at the cutoff
+    assert kept70 >= 0.65 * n, (kept70, n)
+    assert kept30 >= 0.25 * n, (kept30, n)
+    # full retention keeps every non-NULL doc
+    t_all = quality_threshold_for_retention(docs, 1.0)
+    assert quality_gate(docs, min_quality=t_all).count() == n
