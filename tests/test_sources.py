@@ -273,3 +273,44 @@ def test_compact_split_large_partitions(spark, tmp_path):
         compact_partitioned_dataset(
             spark, path, ["batch_id"], files_per_partition=3
         )
+
+
+def test_compact_two_level_partition_layout(spark, tmp_path):
+    """Compaction over the IVF index's (centroid_id, batch_id) layout:
+    only oversplit leaves are rewritten, rows survive byte-identical,
+    and partition pruning still works afterwards."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.sources.sinks import (
+        compact_partitioned_dataset,
+    )
+
+    path = str(tmp_path / "idx")
+    df = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 3).alias("centroid_id"),
+        (F.col("id") % 2).alias("batch_id"),
+    )
+    df.repartition(5).write.partitionBy("centroid_id", "batch_id").parquet(
+        path
+    )
+    want = {
+        (r.vec_id, r.centroid_id, r.batch_id)
+        for r in spark.read.parquet(path).collect()
+    }
+    stats = compact_partitioned_dataset(
+        spark, path, ["centroid_id", "batch_id"]
+    )
+    assert stats["partitions_compacted"] == 6
+    assert stats["files_after"] == 6
+    after = spark.read.parquet(path)
+    assert {
+        (r.vec_id, r.centroid_id, r.batch_id) for r in after.collect()
+    } == want
+    plan = (
+        after.where(F.col("centroid_id") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
