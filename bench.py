@@ -61,6 +61,18 @@ def main() -> None:
         )
         calibration_runs.append(round(time.perf_counter() - t0, 3))
 
+    # First-slot plan warmup (round-10 verdict item 3): the generic
+    # scan+shuffle warmup above doesn't compile the FIRST query's own
+    # plan shape, so slot 1 absorbed 2-3x of cold whole-stage-codegen /
+    # broadcast-thread spin-up for three rounds running and poisoned a
+    # cross-round adjudication. One sacrificial UNTIMED pass of the
+    # first headline query pays that cost outside the clock; min-of-2
+    # then measures the same warm regime every other slot gets.
+    queries = headline_queries()
+    first = next(iter(queries.values()), None)
+    if first is not None:
+        materialize(first.fn(spark, sf_dir))
+
     # Two timed runs per query, report the MIN: the host is a shared
     # microVM where identical plans have varied up to 80× under external
     # contention (see BASELINE.md) — min-of-2 recovers the engine cost,
@@ -68,7 +80,7 @@ def main() -> None:
     # can compute dispersion instead of eyeballing it.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name, q in headline_queries().items():
+    for name, q in queries.items():
         runs[name] = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -88,6 +100,7 @@ def main() -> None:
         "calibration_runs": calibration_runs,
         "warm_queries": warm,
         "runs_per_query": 2,
+        "first_slot_warmup": True,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

