@@ -23,12 +23,29 @@ Engine shape (and why it survives 100 TB):
 * ``max_cluster`` is the skew guard, same spirit as the miners'
   ``max_bucket`` (operators/dedup.py:250): a degenerate mega-cluster
   (all-identical boilerplate embeddings) would square. Oversized
-  clusters are EXEMPTED from pair mining — every member kept — rather
-  than silently squared; exemption (not row-dropping) keeps the
-  output a total function of the input: one row per input vector,
-  always. Cluster sizes are computed with a groupBy (partial agg, k
-  rows) and broadcast back, not a window, so the size count itself
-  has no single-task ceiling.
+  clusters are never silently squared; what happens to them is the
+  ``exempt_strategy`` choice. ``"slice"`` (default) MINES them at
+  bounded cost: sort the cluster by a deterministic pseudo-random
+  projection, assign positions with the no-global-sort contiguous-id
+  machinery (operators/ids.py — one range exchange, never a window
+  over the mega-cluster's single partition key), cut the order into
+  ``max_cluster``-sized slices with a one-row overlap, and self-join
+  WITHIN slices: per-slice cost ≤ (max_cluster+1)², total O(n ·
+  max_cluster), parallel across slices. Near-identical vectors have
+  near-identical projections, so they sort adjacent and land in the
+  same slice; an identical run spanning slices is caught as a CHAIN
+  through the overlap row (each slice's first row is also compared
+  against the previous slice), so a clique of boilerplate collapses
+  to its min id exactly as the unguarded rule would. The restriction
+  to same-slice pairs is the recall trade — the same banding-style
+  trade every capped miner makes. ``"keep"`` is the round-9 behavior:
+  oversized clusters exempted wholesale, every member kept (the
+  conservative failure — measured at 41–46% of the adversarial Zipf
+  corpus, which is why slice is now the default). Either way the
+  output stays a total function of the input: one row per vector.
+  Cluster sizes are computed with a groupBy (partial agg, k rows) and
+  broadcast back, not a window, so the size count itself has no
+  single-task ceiling.
 * Keep rule: within a cluster, drop ``v`` iff some ``u`` with
   ``u < v`` (by id) is within ``threshold`` cosine — the
   deterministic min-id-exemplar rule, applied PAIRWISE (the same
@@ -54,6 +71,24 @@ from mapreduce_implementation_spark.operators import similarity as sim
 from mapreduce_implementation_spark.operators.dedup import DEFAULT_MAX_BUCKET
 
 
+def _slice_projection(emb):
+    """Deterministic pseudo-random 1-D projection of an embedding —
+    the sort key that makes mega-cluster slicing work: near-identical
+    vectors project to near-identical scalars, so they sort adjacent.
+    Weight ``w_j = xxhash64("semslice", j) % 1_000_001 / 1e6`` ∈
+    (-1, 1) is a pure expression (no driver-side d×1 literal needed —
+    the dimensionality never has to be known up front), one O(d) fold
+    per row, map-side."""
+    idx = F.sequence(F.lit(0), F.size(emb) - F.lit(1))
+    return F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.get(emb, j).cast("double")
+        * ((F.xxhash64(F.lit("semslice"), j) % 1_000_001) / 1_000_000.0),
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -65,6 +100,7 @@ def semantic_dedup(
     iters: int = 3,
     threshold: float = 0.9,
     max_cluster: int | None = DEFAULT_MAX_BUCKET,
+    exempt_strategy: str = "slice",
     exemption_observation=None,
 ) -> DataFrame:
     """Semantic dedup: k-means clusters + within-cluster cosine screen.
@@ -85,12 +121,27 @@ def semantic_dedup(
 
     ``max_cluster=None`` opts out of the skew guard (oracle parity
     runs do this); the default keeps a degenerate mega-cluster from
-    squaring in the self-join — its members are all KEPT and the
-    corpus keeps its data, which for a dedup screen is the
-    conservative failure (extra near-dups retained, nothing lost).
+    squaring in the self-join. ``exempt_strategy`` picks what happens
+    to oversized clusters (module docstring): ``"slice"`` (default)
+    mines them through projection-sorted ``max_cluster``-sized slices
+    with a one-row overlap — bounded O(n · max_cluster) cost, chains
+    collapse identical runs, only pairs >1 apart in projection order
+    across a slice boundary are missed; ``"keep"`` exempts them
+    wholesale — every member kept, zero dedup over exactly the
+    densest near-dup mass (the round-10 telemetry measured 41–46% on
+    the adversarial Zipf corpus). With an ``exemption_observation``,
+    ``"keep"`` reports ``exempted_rows``/``exempted_clusters`` and
+    ``"slice"`` reports those as 0 plus ``sliced_rows``/
+    ``sliced_clusters`` (the oversized mass that was mined with the
+    slice-restricted candidate set).
     """
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if exempt_strategy not in ("slice", "keep"):
+        raise ValueError(
+            f"exempt_strategy must be 'slice' or 'keep', got "
+            f"{exempt_strategy!r}"
+        )
     if max_cluster is None and exemption_observation is not None:
         raise ValueError(
             "exemption observation requires a finite max_cluster "
@@ -141,25 +192,39 @@ def semantic_dedup(
 
         if exemption_observation is not None:
             # Exemption telemetry (round-9 verdict item): the recall
-            # cost of the mega-cluster exemption. Delivered via an
-            # eager materialization of the k-row sizes frame — lazy
+            # cost of the mega-cluster guard. Delivered via an eager
+            # materialization of the k-row sizes frame — lazy
             # CollectMetrics inside a broadcast subtree is unreliable
             # under AQE replanning (see dedup.cap_buckets); the eager
             # action is one partial agg over the cached assignment,
-            # paid only when telemetry is requested.
-            sizes = sizes.observe(
-                exemption_observation,
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            F.col("_csize") > max_cluster, F.col("_csize")
-                        )
-                    ),
-                    F.lit(0),
-                ).alias("exempted_rows"),
-                F.count_if(F.col("_csize") > max_cluster).alias(
-                    "exempted_clusters"
+            # paid only when telemetry is requested. Under "slice"
+            # the oversized mass is MINED, not exempted, so
+            # exempted_* report 0 and the mass moves to sliced_*.
+            oversized_mass = F.coalesce(
+                F.sum(
+                    F.when(F.col("_csize") > max_cluster, F.col("_csize"))
                 ),
+                F.lit(0),
+            )
+            oversized_cnt = F.count_if(F.col("_csize") > max_cluster)
+            if exempt_strategy == "slice":
+                metrics = [
+                    F.coalesce(F.sum(F.lit(0)), F.lit(0)).alias(
+                        "exempted_rows"
+                    ),
+                    F.coalesce(F.sum(F.lit(0)), F.lit(0)).alias(
+                        "exempted_clusters"
+                    ),
+                    oversized_mass.alias("sliced_rows"),
+                    oversized_cnt.alias("sliced_clusters"),
+                ]
+            else:
+                metrics = [
+                    oversized_mass.alias("exempted_rows"),
+                    oversized_cnt.alias("exempted_clusters"),
+                ]
+            sizes = sizes.observe(
+                exemption_observation, *metrics
             ).localCheckpoint(eager=True)
         mineable = (
             assigned.join(F.broadcast(sizes), "centroid_id")
@@ -183,6 +248,64 @@ def semantic_dedup(
         F.col(f"b.{emb_col}").alias("_eb"),
         (F.col("a._vn") * F.col("b._vn")).alias("_denom"),
     )
+    if max_cluster is not None and exempt_strategy == "slice":
+        # Mega-cluster mining (round-10 verdict item 1): the oversized
+        # clusters hold exactly the densest near-dup mass — mine them
+        # at bounded cost instead of keeping them wholesale. Sort each
+        # oversized cluster by a deterministic projection, assign
+        # global positions WITHOUT a window over the cluster key (a
+        # mega-cluster is by definition one enormous partition key —
+        # assign_contiguous_ids range-partitions on (cluster, proj,
+        # id) instead, so the sort parallelizes across the cluster),
+        # then cut into max_cluster-sized slices. The one-row overlap
+        # (each slice's first row is re-compared against the previous
+        # slice) turns identical runs into drop CHAINS across slice
+        # boundaries, so a boilerplate clique collapses to its min id
+        # end to end. Self-join key is (centroid_id, _slice): bounded
+        # per-key population, parallel across slices.
+        from mapreduce_implementation_spark.operators.ids import (
+            assign_contiguous_ids,
+        )
+
+        exempt = (
+            assigned.join(F.broadcast(sizes), "centroid_id")
+            .where(F.col("_csize") > max_cluster)
+            .drop("_csize")
+        )
+        positioned = assign_contiguous_ids(
+            exempt.withColumn("_proj", _slice_projection(F.col(emb_col))),
+            ["centroid_id", "_proj", id_col],
+            "_gpos",
+        )
+        # per-cluster base position: ≤ k rows after the partial agg,
+        # broadcast back — same no-window shape as the sizes frame
+        cmin = positioned.groupBy("centroid_id").agg(
+            F.min("_gpos").alias("_cmin")
+        )
+        base = (
+            positioned.join(F.broadcast(cmin), "centroid_id")
+            .withColumn("_rel", F.col("_gpos") - F.col("_cmin"))
+            .withColumn("_slice", F.floor(F.col("_rel") / max_cluster))
+        )
+        overlap = base.where(
+            (F.col("_rel") % max_cluster == 0) & (F.col("_slice") > 0)
+        ).withColumn("_slice", F.col("_slice") - 1)
+        members = base.unionByName(overlap).select(
+            id_col, emb_col, "_vn", "centroid_id", "_slice"
+        )
+        sa, sb = members.alias("a"), members.alias("b")
+        slice_cand = sa.join(
+            sb,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a._slice") == F.col("b._slice"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"b.{id_col}").alias("_dropped_id"),
+            F.col(f"a.{emb_col}").alias("_ea"),
+            F.col(f"b.{emb_col}").alias("_eb"),
+            (F.col("a._vn") * F.col("b._vn")).alias("_denom"),
+        )
+        cand = cand.unionByName(slice_cand)
     score = F.when(
         F.col("_denom") != 0, dot(F.col("_ea"), F.col("_eb")) / F.col("_denom")
     ).cast(sim.COS_Q)

@@ -122,23 +122,15 @@ def test_cap_buckets_exemption_telemetry_planted_cohort(spark):
     assert got["capped_rows"] == cohort_n * bands
 
 
-def test_semantic_dedup_exemption_telemetry(spark):
-    """semantic_dedup's exempted_rows/exempted_clusters metrics report
-    the mega-cluster mass the max_cluster guard retains unmined."""
-    from pyspark.sql import Observation
-
-    from mapreduce_implementation_spark.operators.semantic import (
-        semantic_dedup,
-    )
-
+def _exempt_fixture(spark):
     import math
 
     def unit(angle_deg: float) -> list[float]:
         a = math.radians(angle_deg)
         return [math.cos(a), math.sin(a)]
 
-    # 7-member cohort at 0 deg (exempt at max_cluster=4), a mineable
-    # pair near 90 deg
+    # 7-member cohort at 0 deg (oversized at max_cluster=4), a
+    # mineable pair near 90 deg
     rows = {i: unit(0) for i in range(1, 8)}
     rows[20], rows[21] = unit(90), unit(90.5)
     vecs = spark.createDataFrame(
@@ -149,16 +141,52 @@ def test_semantic_dedup_exemption_telemetry(spark):
         [(0, unit(0)), (1, unit(90))],
         "centroid_id int, centroid_emb array<double>",
     )
+    return vecs, cents
+
+
+def test_semantic_dedup_exemption_telemetry(spark):
+    """Under exempt_strategy="keep", exempted_rows/exempted_clusters
+    report the mega-cluster mass the max_cluster guard retains
+    unmined."""
+    from pyspark.sql import Observation
+
+    from mapreduce_implementation_spark.operators.semantic import (
+        semantic_dedup,
+    )
+
+    vecs, cents = _exempt_fixture(spark)
     obs = Observation("exempt")
     out = semantic_dedup(
         vecs, centroids=cents, threshold=0.95, max_cluster=4,
-        exemption_observation=obs,
+        exempt_strategy="keep", exemption_observation=obs,
     ).toPandas()
     # exempted cohort: every member kept; mineable cluster: one kept
     assert sorted(out[out["keep"] == 1]["vec_id"]) == [1, 2, 3, 4, 5, 6, 7, 20]
     got = obs.get
     assert got["exempted_clusters"] == 1
     assert got["exempted_rows"] == 7
+
+
+def test_semantic_dedup_slice_telemetry(spark):
+    """Under exempt_strategy="slice" (default) the oversized mass is
+    MINED: telemetry reports it as sliced_*, exempted_* report 0, and
+    the cohort actually collapses to its min id."""
+    from pyspark.sql import Observation
+
+    from mapreduce_implementation_spark.operators.semantic import (
+        semantic_dedup,
+    )
+
+    vecs, cents = _exempt_fixture(spark)
+    obs = Observation("slice")
+    out = semantic_dedup(
+        vecs, centroids=cents, threshold=0.95, max_cluster=4,
+        exemption_observation=obs,
+    ).toPandas()
+    assert sorted(out[out["keep"] == 1]["vec_id"]) == [1, 20]
+    got = obs.get
+    assert got["exempted_clusters"] == 0 and got["exempted_rows"] == 0
+    assert got["sliced_clusters"] == 1 and got["sliced_rows"] == 7
 
 
 def test_observation_with_uncapped_miner_raises(spark):

@@ -61,16 +61,17 @@ def test_chain_drop_rule_is_pairwise(spark):
 def test_mega_cluster_exempted_not_squared(spark):
     # cluster 0: six identical vectors (a degenerate boilerplate
     # cohort); cluster 1: one near-identical pair. With max_cluster=5
-    # the cohort is EXEMPT (all kept — conservative failure), while the
-    # small cluster still dedups; with the guard off the cohort
-    # collapses to its min id.
+    # and exempt_strategy="keep" the cohort is EXEMPT (all kept —
+    # conservative failure), while the small cluster still dedups;
+    # with the guard off the cohort collapses to its min id.
     rows = {i: _unit(0) for i in range(1, 7)}
     rows[10], rows[11] = _unit(170), _unit(171)
     vecs = _vectors(spark, rows)
     cents = _centroids(spark, {0: _unit(0), 1: _unit(170)})
 
     guarded = semantic_dedup(
-        vecs, centroids=cents, threshold=0.95, max_cluster=5
+        vecs, centroids=cents, threshold=0.95, max_cluster=5,
+        exempt_strategy="keep",
     ).toPandas()
     cohort = guarded[guarded["vec_id"] <= 6]
     assert (cohort["keep"] == 1).all()
@@ -82,6 +83,43 @@ def test_mega_cluster_exempted_not_squared(spark):
     ).toPandas()
     kept = sorted(unguarded[unguarded["keep"] == 1]["vec_id"])
     assert kept == [1, 10]
+
+
+def test_mega_cluster_slice_mines_planted_twins(spark):
+    """Round-10 verdict item 1: exempt_strategy="slice" (the default)
+    MINES oversized clusters instead of keeping them wholesale. An
+    identical 12-member boilerplate clique in a max_cluster=4 cluster
+    must collapse to its min id — the slice overlap row chains the
+    drop across every slice boundary — and match the unguarded result
+    exactly on this corpus (identical vectors sort adjacent, so the
+    slice restriction loses nothing). The small cluster dedups as
+    before, and the output stays one row per input vector."""
+    rows = {i: _unit(0) for i in range(1, 13)}
+    rows[20], rows[21] = _unit(170), _unit(171)
+    vecs = _vectors(spark, rows)
+    cents = _centroids(spark, {0: _unit(0), 1: _unit(170)})
+
+    sliced = semantic_dedup(
+        vecs, centroids=cents, threshold=0.95, max_cluster=4
+    ).toPandas()
+    assert len(sliced) == 14 and sliced["vec_id"].is_unique
+    kept = sorted(sliced[sliced["keep"] == 1]["vec_id"])
+    assert kept == [1, 20]
+
+    unguarded = semantic_dedup(
+        vecs, centroids=cents, threshold=0.95, max_cluster=None
+    ).toPandas()
+    kept_un = sorted(unguarded[unguarded["keep"] == 1]["vec_id"])
+    assert kept == kept_un
+
+
+def test_exempt_strategy_validated(spark):
+    vecs = _vectors(spark, {1: _unit(0)})
+    cents = _centroids(spark, {0: _unit(0)})
+    with pytest.raises(ValueError, match="exempt_strategy"):
+        semantic_dedup(
+            vecs, centroids=cents, max_cluster=5, exempt_strategy="mine"
+        )
 
 
 def test_pretrained_centroids_and_empty_input(spark):
