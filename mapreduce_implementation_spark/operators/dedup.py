@@ -1268,3 +1268,91 @@ def miner_recall_probe(
         "recall": (found_true / len(true_pairs)) if true_pairs else None,
         "precision": (found_true / len(found)) if found else None,
     }
+
+
+def cross_miner_recall_probe(
+    df: DataFrame,
+    cross_miner,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_sample: int = 1_000,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    salt: str = "recallprobe",
+    split_salt: str = "crossplit",
+    max_sample: int = 5_000,
+) -> dict:
+    """Measure a CROSS-SET pair miner's recall across the committed /
+    new boundary — the ingest-path counterpart of
+    :func:`miner_recall_probe` (round-10 verdict item 2: the in-set
+    miner had a measured recall number, the cross-set family that
+    guards INGEST had only equivalence gates).
+
+    Protocol: the same frozen deterministic sample (smallest
+    ``xxhash64(id, salt)``, capped at ``max_sample`` because truth is
+    O(n²)), split into a committed REFERENCE half and a NEW-batch half
+    by ``xxhash64(id, split_salt)`` parity — a hash split, so cluster
+    mates straddle the boundary the way a real corpus's do when new
+    crawls re-collect old boilerplate. GROUND TRUTH is the exact
+    shingle-set Jaccard over the ref × new pairs ONLY (the straddling
+    pairs — in-set pairs on either side are the in-set probe's job,
+    and a real ingest batch has already self-deduped). ``cross_miner``
+    is a callable ``(new_sample_df, ref_sample_df) ->
+    DataFrame[new_id, ref_id, ...]`` — the caller composes the real
+    production chain (signatures → banding → ``minhash_cross_near_dup``
+    / ``simhash_cross_near_dup`` / ``srp_cross_near_dup``, caps on,
+    optionally through a written bucketed reference table) so the
+    number prices the WHOLE path, not one stage. Returns::
+
+        {"sample_n", "ref_n", "new_n", "true_pairs", "found_pairs",
+         "found_true", "recall", "precision"}
+    """
+    if n_sample > max_sample:
+        raise ValueError(
+            f"n_sample={n_sample} exceeds max_sample={max_sample}: "
+            "ground truth is O(n^2); raise max_sample consciously"
+        )
+    sample = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(salt)), F.col(id_col))
+        .limit(n_sample)
+        .localCheckpoint(eager=True)  # one frozen sample for all passes
+    )
+    is_ref = F.pmod(F.xxhash64(F.col(id_col), F.lit(split_salt)), F.lit(2)) == 0
+    ref, new = sample.where(is_ref), sample.where(~is_ref)
+
+    def _sh(side: DataFrame, out: str) -> DataFrame:
+        return side.select(
+            F.col(id_col).alias(out),
+            shingles(F.col(text_col), shingle_n).alias(f"_sh_{out}"),
+        )
+
+    true_pairs = {
+        (r.new_id, r.ref_id)
+        for r in _sh(new, "new_id")
+        .crossJoin(_sh(ref, "ref_id"))
+        .select(
+            "new_id",
+            "ref_id",
+            jaccard(F.col("_sh_new_id"), F.col("_sh_ref_id")).alias("_j"),
+        )
+        .where(F.col("_j") >= threshold)
+        .collect()
+    }
+    found = {
+        (r.new_id, r.ref_id)
+        for r in cross_miner(new, ref).select("new_id", "ref_id").collect()
+    }
+    found_true = len(found & true_pairs)
+    return {
+        "sample_n": sample.count(),
+        "ref_n": ref.count(),
+        "new_n": new.count(),
+        "true_pairs": len(true_pairs),
+        "found_pairs": len(found),
+        "found_true": found_true,
+        "recall": (found_true / len(true_pairs)) if true_pairs else None,
+        "precision": (found_true / len(found)) if found else None,
+    }

@@ -731,3 +731,67 @@ def test_miner_recall_probe_planted_corpus(spark):
 
     with pytest.raises(ValueError, match="n_sample"):
         dd.miner_recall_probe(df, miner(None), n_sample=10**6)
+
+
+def test_cross_miner_recall_probe_planted_corpus(spark):
+    """The cross-set probe measures recall on exactly the STRADDLING
+    pairs: truth is ref x new only, an uncapped production chain
+    (signatures -> minhash_cross_near_dup) recovers every straddling
+    exact-twin pair, a tiny reference-bucket cap on a planted
+    boilerplate cohort shows up as measured recall loss, and the
+    protocol is deterministic."""
+    rows = []
+    vid = 0
+    for i in range(10):  # exact twin pairs, mutually dissimilar
+        t = (
+            f"pairtext{i}a pairtext{i}b pairtext{i}c pairtext{i}d "
+            f"pairtext{i}e pairtext{i}f pairtext{i}g pairtext{i}h"
+        )
+        rows += [(vid, t), (vid + 1, t)]
+        vid += 2
+    boiler = (
+        "boilerplate terms of service text repeated verbatim across "
+        "the whole cohort of scraped pages"
+    )
+    for j in range(12):  # a cohort the reference cap will drop
+        rows.append((500 + j, boiler))
+    for j in range(20):  # unrelated filler
+        rows.append(
+            (1000 + j, f"unrelated filler {j} about topic{j} widget{j} "
+                       f"sprocket{j} flange{j} gadget{j}")
+        )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def miner(max_bucket):
+        def run(new_df, ref_df):
+            new_sigs = dd.minhash_signatures(new_df, k=16)
+            ref_sigs = dd.minhash_signatures(ref_df, k=16)
+            return dd.minhash_cross_near_dup(
+                new_sigs, ref_sigs, k=16, bands=4, rows=4,
+                threshold=0.5, max_bucket=max_bucket,
+            )
+        return run
+
+    good = dd.cross_miner_recall_probe(
+        df, miner(None), n_sample=60, threshold=0.5
+    )
+    # every pair in truth straddles the split by construction of the
+    # probe's ground-truth join; exact twins and the boilerplate
+    # cohort have J=1.0, so the uncapped chain must find them all
+    assert good["sample_n"] == good["ref_n"] + good["new_n"]
+    assert good["true_pairs"] > 0
+    assert good["recall"] == 1.0
+    assert good["precision"] == 1.0
+
+    capped = dd.cross_miner_recall_probe(
+        df, miner(1), n_sample=60, threshold=0.5
+    )
+    # max_bucket=1 drops every reference band bucket with >1 member:
+    # the boilerplate cohort's straddling pairs vanish from found
+    assert capped["found_pairs"] < good["found_pairs"]
+    assert capped["recall"] < 1.0
+
+    again = dd.cross_miner_recall_probe(
+        df, miner(None), n_sample=60, threshold=0.5
+    )
+    assert again == good  # deterministic protocol
