@@ -103,9 +103,16 @@ def compact_partitioned_dataset(
 
     Shape (one bounded Spark job, no driver data):
 
-    1. discover per-leaf file counts from ``DataFrame.inputFiles()`` —
-       an analyzed-plan listing, no data read, values parsed from the
-       hive ``col=value`` path segments on the driver;
+    1. discover per-leaf file counts with a PAGED filesystem walk —
+       ``FileSystem.listStatusIterator`` one directory at a time, so
+       the driver holds one directory page plus one int per leaf,
+       never the full file-path list (round-10 verdict item 5: the
+       previous ``DataFrame.inputFiles()`` listing returned every
+       file path to the driver — metadata-only, but at a 100 TB
+       sink with millions of files the maintenance job's own listing
+       became a driver-memory/latency ceiling). Partition values are
+       parsed from the hive ``col=value`` directory names; no data
+       is read;
     2. leaves with more than ``max_files_per_partition`` files are
        re-read with partition-pruning literal predicates (only those
        directories are scanned), hashed back together with
@@ -135,20 +142,36 @@ def compact_partitioned_dataset(
     max_files_per_partition = max(max_files_per_partition, files_per_partition)
 
     def leaf_counts() -> dict[tuple, int]:
+        # Paged walk: one listStatusIterator page in memory at a time,
+        # pending-directory stack bounded by the directory (leaf)
+        # count, never the file count. Hidden/_-prefixed entries
+        # (_SUCCESS, _metadata, .crc) are not data files.
+        sc = spark.sparkContext
+        jpath_cls = sc._jvm.org.apache.hadoop.fs.Path
+        root = jpath_cls(path)
+        fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
         counts: dict[tuple, int] = {}
-        for f in spark.read.parquet(path).inputFiles():
-            parts = {}
-            for seg in f.split("/"):
-                if "=" in seg:
-                    k, _, v = seg.partition("=")
-                    if k in partition_cols:
-                        parts[k] = unquote(v)
-            if len(parts) != len(partition_cols) or any(
+        stack: list[tuple] = [(root, {})]
+        while stack:
+            d, parts = stack.pop()
+            it = fs.listStatusIterator(d)
+            nfiles = 0
+            while it.hasNext():
+                st = it.next()
+                name = st.getPath().getName()
+                if st.isDirectory():
+                    k, sep, v = name.partition("=")
+                    sub = dict(parts)
+                    if sep and k in partition_cols:
+                        sub[k] = unquote(v)
+                    stack.append((st.getPath(), sub))
+                elif not name.startswith(("_", ".")):
+                    nfiles += 1
+            if nfiles and len(parts) == len(partition_cols) and not any(
                 v == "__HIVE_DEFAULT_PARTITION__" for v in parts.values()
             ):
-                continue
-            key = tuple(parts[c] for c in partition_cols)
-            counts[key] = counts.get(key, 0) + 1
+                key = tuple(parts[c] for c in partition_cols)
+                counts[key] = counts.get(key, 0) + nfiles
         return counts
 
     df = spark.read.parquet(path)
