@@ -134,6 +134,8 @@ def train_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    *,
+    sample_n: int | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) producing REAL trained IVF centroids,
     deterministically and engine-reproducibly:
@@ -155,6 +157,18 @@ def train_centroids(
     DataFrame[centroid_id int, centroid_emb array<long>] in micro-unit
     scale (cosine downstream is scale-invariant).
 
+    ``sample_n`` trains Lloyd on a deterministic bounded sample — the
+    ``sample_n`` rows ranked first by ``md5(vec_id)``, the SAME
+    ordering the init draw already uses, so the init is unchanged and
+    the protocol stays engine-reproducible. This is the standard IVF
+    quantizer practice (FAISS trains coarse quantizers on bounded
+    samples): per-iteration Lloyd cost drops from O(N·k·d) to
+    O(sample_n·k·d) while assignment quality at probe time is driven
+    by centroid POSITIONS, which converge long before the full corpus
+    is seen — probe recall parity is pinned on the planted-neighbor
+    fixture (tests/test_similarity.py). None (default) trains on the
+    full corpus — the oracle-replayed exact protocol.
+
     The DuckDB twin (plans/similarity_queries.py) unrolls these exact
     iterations as chained CTEs."""
     import math
@@ -162,12 +176,22 @@ def train_centroids(
     from mapreduce_implementation_spark.caching import track_cache
     from mapreduce_implementation_spark.operators.dedup import spread
 
+    if sample_n is not None and sample_n < k:
+        raise ValueError(f"sample_n={sample_n} must be >= k={k}")
     # widened (single-file scans serialize otherwise) and cached: the
     # quantized vectors are read 2×iters+1 times across the Lloyd jobs
-    vq = track_cache(
-        spread(vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col)))
-        .select("vec_id", quantize_micro(emb_col).alias("ev"))
-    )
+    vq = spread(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col))
+    ).select("vec_id", quantize_micro(emb_col).alias("ev"))
+    if sample_n is not None:
+        # TakeOrdered (no global sort), then re-widen: the limit
+        # collapses to one partition and the Lloyd jobs would
+        # serialize on it otherwise
+        vq = spread(
+            vq.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(sample_n)
+        )
+    vq = track_cache(vq)
     spark = vectors.sparkSession
     init_rows = (
         vq.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -224,6 +248,8 @@ def train_two_level_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    *,
+    sample_n: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Two-level (coarse → fine) centroid hierarchy — the IMI-style
     answer to the flat assignment's O(N · k · d) per-corpus cost: with
@@ -254,8 +280,11 @@ def train_two_level_centroids(
     if k_fine < 1 or k_coarse < 1:
         raise ValueError("k_coarse and k_fine must be >= 1")
     spark = vectors.sparkSession
+    # sample_n bounds the COARSE Lloyd pass (see train_centroids);
+    # the fine level is already a bounded per-cell top-N selection
     coarse = train_centroids(
-        vectors, k=k_coarse, iters=iters, id_col=id_col, emb_col=emb_col
+        vectors, k=k_coarse, iters=iters, id_col=id_col, emb_col=emb_col,
+        sample_n=sample_n,
     )
     assigned = assign_inverted_lists(
         vectors, coarse, 1, id_col=id_col, emb_col=emb_col,

@@ -162,6 +162,7 @@ N_ANN_QUERIES = 8
 ANN_K = 10
 IVF_K = 64
 IVF_NPROBE = 4
+IVF_TRAIN_SAMPLE = 100_000  # bounded quantizer-training sample
 
 
 def synth_vectors(spark, n_vecs: int, out_dir: str, n_files: int = 64) -> float:
@@ -214,7 +215,14 @@ def run_vector_ops(spark, vec_dir: str) -> dict[str, float]:
     idx_root = tempfile.mkdtemp(prefix="mris_vec_idx_")
     try:
         t0 = time.perf_counter()
-        cents = sim.train_centroids(vecs, k=IVF_K, iters=2)
+        # round-11: quantizer trained on a bounded deterministic
+        # sample (the FAISS-style practice) — the flat full-corpus
+        # Lloyd was the biggest number on this curve (77-144 s at
+        # 800k, exponent ~1.07); probe recall parity is pinned in
+        # tests/test_similarity.py::test_sampled_training_probe_recall_parity
+        cents = sim.train_centroids(
+            vecs, k=IVF_K, iters=2, sample_n=IVF_TRAIN_SAMPLE
+        )
         index_path = os.path.join(idx_root, "index")
         ensure_table(
             spark,
@@ -296,8 +304,12 @@ def run_vector_ops(spark, vec_dir: str) -> dict[str, float]:
         )
         out["semantic_dedup_e2e"] = round(time.perf_counter() - t0, 2)
         got = obs.get
+        # slice default (round-11): the oversized mass is MINED with
+        # the slice-restricted candidate set — exempted_rows must be 0
         out["semantic_exempted_rows"] = int(got["exempted_rows"])
         out["semantic_exempted_clusters"] = int(got["exempted_clusters"])
+        out["semantic_sliced_rows"] = int(got["sliced_rows"])
+        out["semantic_sliced_clusters"] = int(got["sliced_clusters"])
         out["semantic_k"] = k_side * k_side
         release_caches()
     finally:
@@ -432,6 +444,101 @@ def run_streaming_ops(spark, events_dir: str) -> dict[str, float]:
             out[f"{name}_peak_state"] = peak
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def run_restart_rehearsal(spark, events_dir: str) -> dict[str, float]:
+    """Kill-and-resume (round-10 verdict item 8): sessionize the staged
+    stream into a parquet sink, STOP the query mid-drain, restart from
+    the same checkpoint, and measure what the idempotent-sink tests
+    assert but never timed — (a) restore wall (restart → first batch
+    committed), (b) interrupted-total vs uninterrupted-control wall,
+    and (c) output parity (row count + order-insensitive xxhash64
+    digest of the closed sessions). Run with/without --rocksdb for the
+    two state-store providers. The deterministic correctness twin is
+    tests/test_streaming_restart.py; this is the wall-clock number."""
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    n_files = len(
+        [f for f in os.listdir(events_dir) if f.endswith(".parquet")]
+    )
+    per_trigger = str(max(1, n_files // N_MICRO_BATCHES))
+
+    def start(ckpt: str, out_dir: str):
+        return (
+            sessionize_stream(
+                spark.readStream.schema(
+                    "event_id long, user_id long, ts timestamp, "
+                    "event_type string, value double"
+                )
+                .option("maxFilesPerTrigger", per_trigger)
+                .parquet(events_dir),
+                gap_s=SESSION_GAP_S,
+                timeout_mode="event",
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def digest(out_dir: str) -> tuple[int, int]:
+        df = spark.read.parquet(out_dir)
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64(*sorted(df.columns))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    out: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="mris_restart_")
+    try:
+        # control: uninterrupted drain
+        t0 = time.perf_counter()
+        q = start(os.path.join(root, "ckpt_c"), os.path.join(root, "out_c"))
+        q.awaitTermination()
+        out["control_wall"] = round(time.perf_counter() - t0, 2)
+        n_c, h_c = digest(os.path.join(root, "out_c"))
+
+        # interrupted: stop after ~half the micro-batches. q.stop() is
+        # a mid-drain abort — the in-flight batch is abandoned and NOT
+        # committed; recovery replays it from the checkpoint, which is
+        # the same path a crash takes.
+        ckpt_i = os.path.join(root, "ckpt_i")
+        out_i = os.path.join(root, "out_i")
+        t0 = time.perf_counter()
+        q = start(ckpt_i, out_i)
+        target = N_MICRO_BATCHES // 2
+        while q.isActive:
+            p = q.lastProgress
+            if p is not None and p.get("batchId", -1) >= target:
+                break
+            time.sleep(0.1)
+        out["killed_while_active"] = bool(q.isActive)
+        q.stop()
+        out["first_leg_wall"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        q = start(ckpt_i, out_i)
+        while q.isActive and q.lastProgress is None:
+            time.sleep(0.05)
+        # restore wall: restart() -> first post-restore progress event
+        # (offset-log read + state-store reload + first batch)
+        out["restore_first_batch_wall"] = round(time.perf_counter() - t0, 2)
+        q.awaitTermination()
+        out["resume_wall"] = round(time.perf_counter() - t0, 2)
+        n_i, h_i = digest(out_i)
+        out["rows_match"] = bool(n_c == n_i)
+        out["digest_match"] = bool(h_c == h_i)
+        out["closed_sessions"] = n_c
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return out
 
 
@@ -583,6 +690,7 @@ def main() -> None:
     argv = sys.argv[1:]
     vectors_mode = "--vectors" in argv
     streaming_mode = "--streaming" in argv
+    restart_mode = "--streaming-restart" in argv
     rocksdb = "--rocksdb" in argv
     observe_cost = "--observe-cost" in argv
     ingest_ref_ab = "--ingest-ref-ab" in argv
@@ -593,13 +701,16 @@ def main() -> None:
         not in (
             "--vectors",
             "--streaming",
+            "--streaming-restart",
             "--rocksdb",
             "--observe-cost",
             "--ingest-ref-ab",
         )
     ]
     sizes = [int(s) for s in argv] or (
-        [125_000, 500_000, 2_000_000]
+        [2_000_000]
+        if restart_mode
+        else [125_000, 500_000, 2_000_000]
         if (vectors_mode or streaming_mode)
         else [500_000]
         if (observe_cost or ingest_ref_ab)
@@ -621,6 +732,8 @@ def main() -> None:
         synth, run = synth_corpus, run_ingest_ref_ab
     elif observe_cost:
         synth, run = synth_corpus, run_observe_cost
+    elif restart_mode:
+        synth, run = synth_events, run_restart_rehearsal
     elif streaming_mode:
         synth, run = synth_events, run_streaming_ops
     elif vectors_mode:
@@ -651,6 +764,8 @@ def main() -> None:
                 "srp_planes",
                 "semantic_exempted_rows",
                 "semantic_exempted_clusters",
+                "semantic_sliced_rows",
+                "semantic_sliced_clusters",
                 "semantic_k",
             )
             or op.endswith("_peak_state")
