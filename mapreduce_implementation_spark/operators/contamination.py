@@ -84,6 +84,8 @@ def duplicate_span_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 20,
+    *,
+    sample_rate: int | None = None,
 ) -> DataFrame:
     """Substring-level SELF-duplication: per document, the fraction of
     its distinct word-``n``-grams that appear verbatim in at least one
@@ -128,14 +130,34 @@ def duplicate_span_stats(
     Collision note: a 64-bit hash pairs unrelated spans with ~n²/2⁶⁵
     probability — at 10¹² spans that is a handful of FALSE dup marks,
     the right trade against shuffling span strings (tighten to the
-    md5 hex the other miners use if exactness ever matters)."""
+    md5 hex the other miners use if exactness ever matters).
+
+    ``sample_rate=m`` (round-10 verdict item 7) keeps only spans with
+    ``pmod(span_hash, m) == 0`` — ~1/m of spans, sampled by CONTENT
+    hash, so every holder of a kept span keeps it: the dup/unique
+    classification of each sampled span is EXACT and only the per-doc
+    totals are estimates (``n_spans``/``n_dup_spans`` scaled by m;
+    ``dup_span_frac`` is the unscaled sampled ratio — unbiased, with
+    binomial noise over the doc's own span count). Both shuffles and
+    both explodes shrink ×m (the filter sits directly on the span
+    hash at scan stage); the two tokenize passes remain — they are
+    the irreducible read of the text. This is the corpus-REPORT mode:
+    a doc whose every span is sampled out yields no row, so per-doc
+    retention decisions should use the exact mode. Output gains a
+    literal ``span_sample_rate`` column so downstream readers can't
+    mistake estimates for exact counts."""
     if n < 2:
         raise ValueError(f"n must be >= 2 for span stats, got {n}")
+    if sample_rate is not None and sample_rate < 1:
+        raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
     sp = shingles(text_col, n)
     base = spread(docs)
     spans = base.select(
         F.col(id_col), F.explode(sp).alias("span")
     ).select(F.col(id_col), F.xxhash64("span").alias("h"))
+    scale = 1 if sample_rate is None else sample_rate
+    if sample_rate is not None and sample_rate > 1:
+        spans = spans.where(F.pmod(F.col("h"), F.lit(sample_rate)) == 0)
     per_span = spans.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("only_doc")
     )
@@ -147,7 +169,7 @@ def duplicate_span_stats(
     doc_sizes = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans")
     )
-    return (
+    out = (
         doc_sizes.join(uniq_per_doc, id_col, "left")
         .select(
             F.col(id_col),
@@ -157,4 +179,15 @@ def duplicate_span_stats(
             ).alias("n_dup_spans"),
         )
         .withColumn("dup_span_frac", F.col("n_dup_spans") / F.col("n_spans"))
+    )
+    if sample_rate is None:
+        return out
+    # estimates: totals scaled back by the rate; the frac is the
+    # sampled ratio (scaling cancels); rate stamped into the output
+    return out.select(
+        F.col(id_col),
+        (F.col("n_spans") * scale).alias("n_spans"),
+        (F.col("n_dup_spans") * scale).alias("n_dup_spans"),
+        "dup_span_frac",
+        F.lit(scale).alias("span_sample_rate"),
     )

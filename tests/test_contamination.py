@@ -144,3 +144,40 @@ def test_duplicate_span_stats_planted_hot_span(spark):
         assert r.n_spans == 21, r
         assert r.n_dup_spans == 1, r
         assert abs(r.dup_span_frac - 1 / 21) < 1e-12
+
+
+def test_duplicate_span_stats_sampled_mode_error_bound(spark, sf_dir):
+    """Round-10 verdict item 7: the hash-sampled span mode. Per kept
+    span the dup classification is EXACT (sampling keys on content,
+    so all holders agree) — gated by comparing the corpus-level dup
+    mass estimate against the exact run on real documents — and the
+    protocol is deterministic, stamps its rate, and refuses rate < 1.
+    """
+    from mapreduce_implementation_spark.operators.contamination import (
+        duplicate_span_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = duplicate_span_stats(docs, n=5).toPandas()
+    est = duplicate_span_stats(docs, n=5, sample_rate=4).toPandas()
+
+    assert "span_sample_rate" not in exact.columns
+    assert (est["span_sample_rate"] == 4).all()
+    # totals are scaled-back estimates of the exact totals: corpus
+    # aggregate within binomial-noise tolerance (30% at this SF)
+    t_exact, t_est = exact["n_spans"].sum(), est["n_spans"].sum()
+    assert abs(t_est - t_exact) / t_exact < 0.3, (t_est, t_exact)
+    d_exact, d_est = exact["n_dup_spans"].sum(), est["n_dup_spans"].sum()
+    if d_exact:
+        assert abs(d_est - d_exact) / max(d_exact, 1) < 0.5, (d_est, d_exact)
+    # per-doc frac is a ratio in [0, 1]
+    assert est["dup_span_frac"].between(0, 1).all()
+
+    again = duplicate_span_stats(docs, n=5, sample_rate=4).toPandas()
+    assert est.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sample_rate"):
+        duplicate_span_stats(docs, n=5, sample_rate=0)
