@@ -1,0 +1,129 @@
+"""Checkpoint restart/restore (round-10 verdict item 8): a stateful
+streaming query stopped and restarted from the same checkpoint must
+restore its state and produce exactly the output an uninterrupted run
+produces — including sessions whose open tail STRADDLES the restart
+(the case that proves state actually came back from the checkpoint,
+not from reprocessing). The parquet sink's exactly-once manifest makes
+the two-run composition idempotent; the wall-clock restore cost at 2M
+events is measured by ``scale_rehearsal.py --streaming-restart``
+(BASELINE.md)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.streaming.sessionize import (
+    sessionize_stream,
+)
+
+SCHEMA = "event_id long, user_id long, ts timestamp"
+GAP_S = 300
+
+
+def _write_batch(path, rows, order: int) -> None:
+    """rows: (event_id, ts_seconds, user_id). ``order`` pins the file
+    source's oldest-first mtime ordering (rapid writes tie on mtime
+    and would replay out of order, jumping the watermark)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+            }
+        ),
+        path,
+    )
+    mtime = 1_000_000_000 + order * 60
+    os.utime(path, (mtime, mtime))
+
+
+# four micro-batch files; user 1's session spans files 0-2 (so its
+# open tail must survive the restart between file 1 and file 2), and
+# file 3's time jump advances the watermark far enough to close
+# everything before it. Times start at 1000s, NOT 0: the engine's
+# late-row filter drops rows exactly at the initial epoch-0 watermark.
+FILES = [
+    [(0, 1000, 1), (1, 1000, 2)],
+    [(2, 1100, 1)],
+    [(3, 1200, 1), (4, 6000, 2)],
+    [(5, 11_000, 1)],
+]
+
+
+def _drain(spark, in_dir, out_dir, ckpt) -> None:
+    q = (
+        sessionize_stream(
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir),
+            gap_s=GAP_S,
+            timeout_mode="event",
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _sessions(spark, out_dir):
+    return sorted(
+        map(
+            tuple,
+            spark.read.parquet(out_dir)
+            .select("user_id", "session_start_s", "session_end_s", "n_events")
+            .collect(),
+        )
+    )
+
+
+def test_sessionize_restart_from_checkpoint_matches_control(spark, tmp_path):
+    control_in = tmp_path / "control_in"
+    restart_in = tmp_path / "restart_in"
+    control_in.mkdir()
+    restart_in.mkdir()
+    for i, rows in enumerate(FILES):
+        _write_batch(str(control_in / f"b{i}.parquet"), rows, i)
+
+    control_out = str(tmp_path / "control_out")
+    _drain(spark, str(control_in), control_out, str(tmp_path / "ckpt_c"))
+    control = _sessions(spark, control_out)
+    # the fixture's planted truth: u1 [1000..1200]x3, u2 [1000]x1 and
+    # [6000]x1 are closed by file 3's watermark advance; the tail
+    # (u1@11000) stays open
+    assert control == [
+        (1, 1000, 1200, 3),
+        (2, 1000, 1000, 1),
+        (2, 6000, 6000, 1),
+    ]
+
+    # interrupted run: drain files 0-1, STOP (query terminates with
+    # u1's session open in state), stage files 2-3, restart from the
+    # SAME checkpoint into the SAME sink
+    for i in (0, 1):
+        _write_batch(str(restart_in / f"b{i}.parquet"), FILES[i], i)
+    restart_out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "ckpt_r")
+    _drain(spark, str(restart_in), restart_out, ckpt)
+    # nothing closable yet — watermark after file 1 is 1100-300 = 800,
+    # before any session's end+gap
+    assert not [
+        f
+        for f in os.listdir(restart_out)
+        if f.endswith(".parquet")
+    ] or _sessions(spark, restart_out) == []
+
+    for i in (2, 3):
+        _write_batch(str(restart_in / f"b{i}.parquet"), FILES[i], i)
+    _drain(spark, str(restart_in), restart_out, ckpt)
+    assert _sessions(spark, restart_out) == control
