@@ -335,6 +335,100 @@ def cap_buckets(
     )
 
 
+def slice_buckets(
+    df: DataFrame,
+    part_cols: tuple[str, ...],
+    max_bucket: int | None,
+    id_col: str,
+    observation=None,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Bounded-slice alternative to :func:`cap_buckets`' drop
+    semantics (round 11 — the same recall repair semantic_dedup's
+    ``exempt_strategy="slice"`` got): rows in oversized buckets are
+    KEPT and assigned a ``_slice`` id so the caller's pair join —
+    which must add ``_slice`` equality to its condition — mines them
+    within ``max_bucket``-sized windows instead of skipping them.
+
+    Mechanics: oversized keys detected with a partial agg and
+    broadcast back (≤ rows/max_bucket entries, same bound as the
+    anti-join heavy-hitter list); their rows are positioned by
+    ``assign_contiguous_ids`` over (part_cols…, id) — a range
+    exchange, never a window on the bucket key (an oversized bucket
+    is by definition one enormous partition key) — and cut into
+    slices of ``max_bucket`` rows with a ONE-ROW overlap (each
+    slice's first row also joins the previous slice). Rows in small
+    buckets get ``_slice = 0`` untouched.
+
+    Guarantee: within a HOMOGENEOUS cohort (mutually near-dup
+    boilerplate — the case the cap exists for) every within-slice
+    pair verifies, and the overlap row chains adjacent slices, so
+    the cohort stays ONE connected component and collapses to its
+    min id under the drop rule — at O(n · max_bucket) candidate cost
+    instead of the square. The trade vs uncapped is PAIR
+    completeness in heterogeneous buckets: id order carries no
+    similarity signal, so a mixed bucket's groups scatter across
+    slices and only same-slice pairs surface (measure with
+    miner_recall_probe). ``order_cols`` inserts similarity-carrying
+    sort keys between the bucket key and the id tiebreak (e.g. the
+    SRP miner passes a deterministic projection so near-identical
+    vectors sort adjacent). Note exact byte-identical cohorts are
+    already collapsed by exact_dedup regardless — the slice arm's
+    marginal value is the near-identical-but-not-byte-identical
+    mega-cohort.
+
+    ``observation`` reports ``sliced_rows``/``sliced_buckets`` (the
+    oversized mass now mined in slices), eagerly materialized for
+    the same AQE reason as cap_buckets."""
+    if max_bucket is None:
+        if observation is not None:
+            raise ValueError(
+                "slice observation requires a finite max_bucket"
+            )
+        return df.withColumn("_slice", F.lit(0).cast("long"))
+    from mapreduce_implementation_spark.operators.ids import (
+        assign_contiguous_ids,
+    )
+
+    sizes = df.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    if observation is not None:
+        sizes = sizes.observe(
+            observation,
+            F.coalesce(
+                F.sum(F.when(F.col("_bn") > max_bucket, F.col("_bn"))),
+                F.lit(0),
+            ).alias("sliced_rows"),
+            F.count_if(F.col("_bn") > max_bucket).alias("sliced_buckets"),
+        ).localCheckpoint(eager=True)
+    oversized_keys = sizes.where(F.col("_bn") > max_bucket).select(
+        *part_cols
+    ).withColumn("_ovs", F.lit(1))
+    flagged = df.join(F.broadcast(oversized_keys), list(part_cols), "left")
+    small = (
+        flagged.where(F.col("_ovs").isNull())
+        .drop("_ovs")
+        .withColumn("_slice", F.lit(0).cast("long"))
+    )
+    big = flagged.where(F.col("_ovs") == 1).drop("_ovs")
+    positioned = assign_contiguous_ids(
+        big, [*part_cols, *order_cols, id_col], "_gpos"
+    )
+    gmin = positioned.groupBy(*part_cols).agg(F.min("_gpos").alias("_gmin"))
+    base = (
+        positioned.join(F.broadcast(gmin), list(part_cols))
+        .withColumn("_rel", F.col("_gpos") - F.col("_gmin"))
+        .withColumn("_slice", F.floor(F.col("_rel") / max_bucket))
+    )
+    overlap = base.where(
+        (F.col("_rel") % max_bucket == 0) & (F.col("_slice") > 0)
+    ).withColumn("_slice", F.col("_slice") - 1)
+    sliced = (
+        base.unionByName(overlap)
+        .drop("_gpos", "_gmin", "_rel")
+    )
+    return small.unionByName(sliced)
+
+
 def estimated_jaccard(sig_a: Column, sig_b: Column, k: int) -> Column:
     """Fraction of equal signature components (double in [0,1])."""
     return F.size(
@@ -409,13 +503,26 @@ def minhash_near_dup_pairs(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     signatures: DataFrame | None = None,
     cap_observation=None,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
     Pipeline: shingle → signature (scan-side) → band explode → bucket
     self-join (the single shuffle) → signature-agreement filter.
-    ``max_bucket`` drops LSH buckets larger than the cap (boilerplate
-    guard at scale; None keeps all for oracle parity).
+    ``max_bucket`` guards oversized LSH buckets (boilerplate cohorts
+    that would square; None keeps all for oracle parity), with the
+    treatment chosen by ``cap_strategy``: ``"window"`` (default) or
+    ``"antijoin"`` DROP the oversized buckets' rows from mining
+    (cap_buckets — recall cost measured by miner_recall_probe);
+    ``"slice"`` MINES them within max_bucket-sized id-ordered slices
+    (slice_buckets — a homogeneous cohort still collapses to one
+    component via the slice-overlap chain, at O(n·max_bucket) cost).
+    Window stays the production default because exact_dedup already
+    collapses byte-identical cohorts and the sf-scale probe shows the
+    cap's pair loss is negligible on natural corpora; reach for slice
+    when the corpus has near-identical-but-not-identical mega-cohorts
+    (the telemetry says when: capped_rows under window/antijoin vs
+    sliced_rows under slice).
 
     ``signatures``: a precomputed DataFrame[doc_id, sig] — normally the
     materialized signature TABLE (sources/materialize) — consumed by all
@@ -435,9 +542,18 @@ def minhash_near_dup_pairs(
     # before the optimizer, so the filter lands on the cache scan, not
     # the raw text scan.
     banded = _minhash_banded(sigs, "doc_id", bands, rows)
-    banded = cap_buckets(
-        banded, ("band_id", "band_hash"), max_bucket, cap_observation
-    )
+    if cap_strategy == "slice":
+        banded = slice_buckets(
+            banded, ("band_id", "band_hash"), max_bucket, "doc_id",
+            cap_observation,
+        )
+        extra = F.col("a._slice") == F.col("b._slice")
+    else:
+        banded = cap_buckets(
+            banded, ("band_id", "band_hash"), max_bucket, cap_observation,
+            strategy=cap_strategy,
+        )
+        extra = F.lit(True)
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -445,7 +561,8 @@ def minhash_near_dup_pairs(
             right,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & extra,
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -876,6 +993,7 @@ def simhash_near_dup_pairs(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     signatures: DataFrame | None = None,
     cap_observation=None,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded Hamming-LSH — the
     third pair-mining family next to MinHash (set overlap) and
@@ -891,7 +1009,10 @@ def simhash_near_dup_pairs(
     the join touches only same-band buckets, never the cross product.
     The exact Hamming verify runs on candidates only. ``max_bucket``
     mirrors the MinHash boilerplate guard (a band value shared by a
-    degenerate cohort — e.g. near-empty docs — would square a bucket).
+    degenerate cohort — e.g. near-empty docs — would square a bucket);
+    ``cap_strategy`` mirrors minhash_near_dup_pairs: "window"/
+    "antijoin" drop oversized buckets, "slice" mines them within
+    max_bucket-sized id-ordered slices (slice_buckets).
 
     Returns DataFrame[doc_a, doc_b, hamming] with doc_a < doc_b.
     One shuffle (the band self-join); signatures are scan-side or a
@@ -910,9 +1031,18 @@ def simhash_near_dup_pairs(
     else:
         sigs = signatures
     banded = _simhash_banded(sigs, id_col, "simhash", "doc_id", n_bits, bands)
-    banded = cap_buckets(
-        banded, ("band_id", "band_val"), max_bucket, cap_observation
-    )
+    if cap_strategy == "slice":
+        banded = slice_buckets(
+            banded, ("band_id", "band_val"), max_bucket, "doc_id",
+            cap_observation,
+        )
+        slice_eq = F.col("a._slice") == F.col("b._slice")
+    else:
+        banded = cap_buckets(
+            banded, ("band_id", "band_val"), max_bucket, cap_observation,
+            strategy=cap_strategy,
+        )
+        slice_eq = F.lit(True)
     left = banded.alias("a")
     right = banded.alias("b")
     # verify INSIDE the band join (the signature words ride the band
@@ -925,7 +1055,8 @@ def simhash_near_dup_pairs(
             right,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & slice_eq,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

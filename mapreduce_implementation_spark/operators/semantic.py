@@ -339,6 +339,7 @@ def srp_near_dup_pairs(
     threshold: float = 0.9,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     cap_observation=None,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS blocked by an SRP-LSH bucket —
     the corpus-scale face of semantic dedup (promoted in round 9 from
@@ -376,13 +377,39 @@ def srp_near_dup_pairs(
     # cap ONCE and alias both sides (same shape as the minhash miner):
     # with an observation the oversized list is eagerly materialized,
     # so the shared subtree is AQE-safe, and without one the two sides
-    # stay sameResult for exchange reuse
-    bucketed = cap_buckets(bucketed, ("bucket",), max_bucket, cap_observation)
+    # stay sameResult for exchange reuse. cap_strategy="slice" mines
+    # oversized buckets within max_bucket-sized slices instead of
+    # dropping them (dedup.slice_buckets) — here ordered by the same
+    # deterministic projection semantic_dedup's slice arm uses, so
+    # near-identical vectors sort adjacent within their bucket.
+    if cap_strategy == "slice":
+        from mapreduce_implementation_spark.operators.dedup import (
+            slice_buckets,
+        )
+
+        bucketed = slice_buckets(
+            bucketed.withColumn(
+                "_proj", _slice_projection(F.col(emb_col))
+            ),
+            ("bucket",),
+            max_bucket,
+            id_col,
+            cap_observation,
+            order_cols=("_proj",),
+        ).drop("_proj")
+        slice_eq = F.col("a._slice") == F.col("b._slice")
+    else:
+        bucketed = cap_buckets(
+            bucketed, ("bucket",), max_bucket, cap_observation,
+            strategy=cap_strategy,
+        )
+        slice_eq = F.lit(True)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & slice_eq,
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),

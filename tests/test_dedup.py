@@ -795,3 +795,64 @@ def test_cross_miner_recall_probe_planted_corpus(spark):
         df, miner(None), n_sample=60, threshold=0.5
     )
     assert again == good  # deterministic protocol
+
+
+def test_minhash_slice_strategy_mines_capped_cohort(spark):
+    """cap_strategy="slice" (round 11): an oversized boilerplate
+    cohort is MINED within max_bucket-sized slices instead of dropped.
+    Gates: (a) the 12-member identical cohort — dropped entirely by
+    the window strategy at max_bucket=4 — stays ONE connected
+    component via the slice-overlap chain and collapses to its min
+    id; (b) candidate volume stays bounded (far under the cohort
+    square); (c) small buckets are untouched (same pairs as window
+    for the disjoint twin pair); (d) telemetry reports the sliced
+    mass."""
+    from pyspark.sql import Observation
+
+    boiler = (
+        "boilerplate terms of service text repeated verbatim across "
+        "the whole cohort of scraped pages"
+    )
+    rows = [(j, boiler) for j in range(1, 13)]
+    rows += [(100, "unique twin pairtext alpha beta gamma delta epsilon"),
+             (101, "unique twin pairtext alpha beta gamma delta epsilon")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairs(strategy, obs=None):
+        return dd.minhash_near_dup_pairs(
+            df, "doc_id", "text", k=16, bands=4, rows=4, threshold=0.5,
+            max_bucket=4, cap_strategy=strategy, cap_observation=obs,
+        )
+
+    dropped = pairs("window").toPandas()
+    assert sorted(map(tuple, dropped[["doc_a", "doc_b"]].values)) == [
+        (100, 101)
+    ]
+
+    obs = Observation("slice")
+    sliced = pairs("slice", obs).toPandas()
+    got = {
+        (int(a), int(b)) for a, b in sliced[["doc_a", "doc_b"]].values
+    }
+    assert (100, 101) in got
+    cohort_pairs = {p for p in got if p[0] < 100}
+    # bounded: full square is C(12,2)=66; slices of 4 with overlap
+    # give far fewer while keeping the chain connected
+    assert 0 < len(cohort_pairs) < 66
+    # the chain property: connected components over the sliced pairs
+    # collapse the cohort to min id 1
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(
+            spark.createDataFrame(
+                sorted(cohort_pairs), ["doc_a", "doc_b"]
+            ),
+            "doc_a",
+            "doc_b",
+        ).collect()
+    }
+    assert set(cc) == set(range(1, 13)) and set(cc.values()) == {1}
+    telemetry = obs.get
+    # 12 cohort members x 4 bands of identical sigs = 48 banded rows
+    assert telemetry["sliced_rows"] == 48
+    assert telemetry["sliced_buckets"] == 4

@@ -203,3 +203,31 @@ def test_threshold_validated(spark):
     vecs = _vectors(spark, {1: _unit(0)})
     with pytest.raises(ValueError, match="threshold"):
         semantic_dedup(vecs, centroids=cents, threshold=1.5)
+
+
+def test_srp_slice_strategy_mines_capped_bucket(spark):
+    """cap_strategy="slice" on the SRP in-set miner: the 8-member
+    identical cohort that max_bucket=4 drops entirely under the
+    window strategy is mined within projection-ordered slices — every
+    member except the min id acquires a smaller-id match through the
+    slice chain — while the small bucket's pair is untouched."""
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_near_dup_pairs,
+    )
+
+    rows = {i: _unit(10) for i in range(1, 9)}
+    rows[20], rows[21] = _unit(200), _unit(201)
+    vecs = _vectors(spark, rows)
+    planes = spark.createDataFrame(
+        [(0, _unit(100))], "plane_id int, plane_emb array<double>"
+    )
+    sliced = srp_near_dup_pairs(
+        vecs, planes, threshold=0.9, max_bucket=4, cap_strategy="slice"
+    ).toPandas()
+    got = {(int(a), int(b)) for a, b in sliced[["id_a", "id_b"]].values}
+    assert (20, 21) in got
+    cohort = {p for p in got if p[0] < 9}
+    assert 0 < len(cohort) < 28  # bounded under the C(8,2) square
+    # chain property: every cohort member except 1 is droppable
+    droppable = {b for _, b in cohort}
+    assert droppable == set(range(2, 9))
