@@ -157,17 +157,25 @@ def train_centroids(
     DataFrame[centroid_id int, centroid_emb array<long>] in micro-unit
     scale (cosine downstream is scale-invariant).
 
-    ``sample_n`` trains Lloyd on a deterministic bounded sample — the
-    ``sample_n`` rows ranked first by ``md5(vec_id)``, the SAME
-    ordering the init draw already uses, so the init is unchanged and
-    the protocol stays engine-reproducible. This is the standard IVF
-    quantizer practice (FAISS trains coarse quantizers on bounded
-    samples): per-iteration Lloyd cost drops from O(N·k·d) to
-    O(sample_n·k·d) while assignment quality at probe time is driven
-    by centroid POSITIONS, which converge long before the full corpus
-    is seen — probe recall parity is pinned on the planted-neighbor
-    fixture (tests/test_similarity.py). None (default) trains on the
-    full corpus — the oracle-replayed exact protocol.
+    ``sample_n`` trains Lloyd on a deterministic bounded sample of
+    ~``sample_n`` rows, selected by a HASH THRESHOLD
+    (``xxhash64(vec_id, "trainsample") % 2³⁰ < 2³⁰·sample_n/N`` after
+    one column-pruned counting pass): a map-side filter, no sort. An
+    exact-N ``orderBy().limit()`` was tried first and measured 4×
+    WORSE than full-corpus training at 200k vectors — TakeOrdered
+    merges every partition's top-sample_n list in one task, which at
+    sample_n=10⁵ is a multi-million-row single-threaded merge; the
+    threshold filter trades exact size (binomial, ±√sample_n) for
+    zero movement. This is the standard IVF quantizer practice (FAISS
+    trains coarse quantizers on bounded samples): per-iteration Lloyd
+    cost drops from O(N·k·d) to O(sample_n·k·d) while assignment
+    quality at probe time is driven by centroid POSITIONS, which
+    converge long before the full corpus is seen — probe recall
+    parity is pinned on the planted-neighbor fixture
+    (tests/test_similarity.py). The init draw is the md5-ranked top-k
+    WITHIN the sample — deterministic for a fixed input set. None
+    (default) trains on the full corpus — the oracle-replayed exact
+    protocol.
 
     The DuckDB twin (plans/similarity_queries.py) unrolls these exact
     iterations as chained CTEs."""
@@ -184,13 +192,20 @@ def train_centroids(
         vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col))
     ).select("vec_id", quantize_micro(emb_col).alias("ev"))
     if sample_n is not None:
-        # TakeOrdered (no global sort), then re-widen: the limit
-        # collapses to one partition and the Lloyd jobs would
-        # serialize on it otherwise
-        vq = spread(
-            vq.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-            .limit(sample_n)
-        )
+        # column-pruned count (the quantize expression is not needed
+        # for a count), then a map-side hash-threshold filter — see
+        # the docstring for why NOT orderBy().limit()
+        n = vq.count()
+        if n > sample_n:
+            denom = 1 << 30
+            thresh = max(1, int(denom * (sample_n / n)))
+            vq = vq.where(
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), F.lit("trainsample")),
+                    F.lit(denom),
+                )
+                < thresh
+            )
     vq = track_cache(vq)
     spark = vectors.sparkSession
     init_rows = (
