@@ -800,9 +800,15 @@ def ngram_jaccard_pairs(
     n_fingerprints: int = 1,
     cap_observation=None,
     fingerprint=None,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a winnowing
-    fingerprint (cheap bucket join, never all-pairs).
+    fingerprint (cheap bucket join, never all-pairs). ``cap_strategy``
+    mirrors minhash_near_dup_pairs ("window"/"antijoin" drop oversized
+    fingerprint buckets, "slice" mines them within bounded id-ordered
+    slices — note the shingle arrays ride the sliced rows through the
+    positioning exchange, so slice here moves heavier rows than the
+    hash-only miners).
 
     ``max_bucket`` routes the fingerprint-blocked self-join through
     ``cap_buckets`` — the same boilerplate-cohort guard as the MinHash/
@@ -877,14 +883,22 @@ def ngram_jaccard_pairs(
             F.array(F.md5(F.concat_ws(" ", F.col("_toks")).cast("binary")))
         )
         f = g.select("doc_id", F.explode(fps).alias("fp"), F.col("sh"))
-    f = cap_buckets(f, ("fp",), max_bucket, cap_observation)
+    if cap_strategy == "slice":
+        f = slice_buckets(f, ("fp",), max_bucket, "doc_id", cap_observation)
+        slice_eq = F.col("a._slice") == F.col("b._slice")
+    else:
+        f = cap_buckets(
+            f, ("fp",), max_bucket, cap_observation, strategy=cap_strategy
+        )
+        slice_eq = F.lit(True)
     a, b = f.alias("a"), f.alias("b")
     jac = jaccard(F.col("a.sh"), F.col("b.sh"))
     out = (
         a.join(
             b,
             (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & slice_eq,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

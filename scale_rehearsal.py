@@ -456,10 +456,18 @@ def run_restart_rehearsal(spark, events_dir: str) -> dict[str, float]:
     and (c) output parity (row count + order-insensitive xxhash64
     digest of the closed sessions). Run with/without --rocksdb for the
     two state-store providers. The deterministic correctness twin is
-    tests/test_streaming_restart.py; this is the wall-clock number."""
+    tests/test_streaming_restart.py; this is the wall-clock number.
+
+    gap_s here is 150, NOT the suite's 1800: the staged corpus's
+    inter-event gap law is 300±600 s, so at 1800 every user is one
+    never-closable session (zero output — parity would be vacuous);
+    at 150 ~70% of consecutive events close a session, so the digest
+    compares ~millions of rows across the restart boundary."""
     from mapreduce_implementation_spark.streaming.sessionize import (
         sessionize_stream,
     )
+
+    restart_gap_s = 150
 
     n_files = len(
         [f for f in os.listdir(events_dir) if f.endswith(".parquet")]
@@ -475,7 +483,7 @@ def run_restart_rehearsal(spark, events_dir: str) -> dict[str, float]:
                 )
                 .option("maxFilesPerTrigger", per_trigger)
                 .parquet(events_dir),
-                gap_s=SESSION_GAP_S,
+                gap_s=restart_gap_s,
                 timeout_mode="event",
             )
             .writeStream.format("parquet")
@@ -491,7 +499,12 @@ def run_restart_rehearsal(spark, events_dir: str) -> dict[str, float]:
         row = df.select(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
-                F.sum(F.xxhash64(*sorted(df.columns))), F.lit(0)
+                # decimal accumulator: a long sum of millions of
+                # xxhash64 values overflows int64 under ANSI mode
+                F.sum(
+                    F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
             ).alias("h"),
         ).collect()[0]
         return int(row["n"]), int(row["h"])
@@ -537,6 +550,7 @@ def run_restart_rehearsal(spark, events_dir: str) -> dict[str, float]:
         out["rows_match"] = bool(n_c == n_i)
         out["digest_match"] = bool(h_c == h_i)
         out["closed_sessions"] = n_c
+        out["closed_sessions_interrupted"] = n_i
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

@@ -856,3 +856,33 @@ def test_minhash_slice_strategy_mines_capped_cohort(spark):
     # 12 cohort members x 4 bands of identical sigs = 48 banded rows
     assert telemetry["sliced_rows"] == 48
     assert telemetry["sliced_buckets"] == 4
+
+
+def test_simhash_and_ngram_slice_strategy(spark):
+    """cap_strategy="slice" on the SimHash and n-gram miners: the
+    oversized identical cohort mines within slices (every member but
+    the min id droppable through the chain) instead of vanishing."""
+    boiler = (
+        "boilerplate terms of service text repeated verbatim across "
+        "the whole cohort of scraped pages"
+    )
+    rows = [(j, boiler) for j in range(1, 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sim_pairs = dd.simhash_near_dup_pairs(
+        df, "doc_id", "text", max_bucket=4, cap_strategy="slice"
+    ).toPandas()
+    jac_pairs = dd.ngram_jaccard_pairs(
+        df, "doc_id", "text", max_bucket=4, cap_strategy="slice"
+    ).toPandas()
+    for got in (sim_pairs, jac_pairs):
+        pairs = {(int(a), int(b)) for a, b in got[["doc_a", "doc_b"]].values}
+        assert 0 < len(pairs) < 36  # bounded under C(9,2)
+        assert {b for _, b in pairs} == set(range(2, 10))
+    # dropped entirely under the default window strategy
+    assert dd.simhash_near_dup_pairs(
+        df, "doc_id", "text", max_bucket=4
+    ).count() == 0
+    assert dd.ngram_jaccard_pairs(
+        df, "doc_id", "text", max_bucket=4
+    ).count() == 0
