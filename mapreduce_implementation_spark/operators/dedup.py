@@ -253,6 +253,7 @@ def cap_buckets(
     max_bucket: int | None,
     observation=None,
     strategy: str = "window",
+    rep_id_col: str | None = None,
 ) -> DataFrame:
     """Drop rows in LSH buckets larger than ``max_bucket`` — the
     boilerplate-cohort guard shared by every banded pair miner (a band
@@ -285,6 +286,23 @@ def cap_buckets(
       rows). NULL bucket keys are retained under this strategy
       (anti-join equality never matches NULL) — harmless, since a NULL
       key also never matches in the pair join.
+    * ``"representative"`` (requires ``rep_id_col``) — keep the
+      min-``rep_id_col`` row of each oversized bucket instead of
+      dropping the bucket entirely. The cross-set recall repair
+      (round 11): a probing NEW doc only needs ONE reference match to
+      be FLAGGED as a duplicate of the committed corpus, so one
+      representative per boilerplate cohort preserves flag recall for
+      cohort matches at one row per cohort — where the anti-join
+      silently un-flags every new doc that matches a capped cohort
+      (exactly the most-duplicated content). The verify step still
+      runs against the representative's real signature, so precision
+      is untouched; recall within HETEROGENEOUS oversized buckets is
+      partial (the representative may not resemble every cohort
+      member — measure with cross_miner_recall_probe). Same plan
+      shape as antijoin plus one bounded broadcast inner join: the
+      min-id list is ≤ the heavy-hitter list, and on a bucketed
+      catalog table both the detection groupBy and the min groupBy
+      ride the bucketing — the committed side stays exchange-free.
 
     ``observation`` (``pyspark.sql.Observation``, or a string name)
     makes the recall cost visible as ``capped_rows`` /
@@ -306,8 +324,10 @@ def cap_buckets(
                 "(max_bucket=None never attaches the metrics)"
             )
         return df
-    if strategy not in ("window", "antijoin"):
+    if strategy not in ("window", "antijoin", "representative"):
         raise ValueError(f"unknown cap strategy {strategy!r}")
+    if strategy == "representative" and rep_id_col is None:
+        raise ValueError("strategy='representative' requires rep_id_col")
     if observation is None and strategy == "window":
         from pyspark.sql.window import Window
 
@@ -323,15 +343,45 @@ def cap_buckets(
         .where(F.col("_bucket_n") > max_bucket)
     )
     if observation is not None:
+        # capped_rows = rows REMOVED from mining: the whole oversized
+        # mass under drop strategies, mass minus one representative
+        # per bucket under "representative"
+        removed = (
+            F.sum(F.col("_bucket_n") - F.lit(1))
+            if strategy == "representative"
+            else F.sum("_bucket_n")
+        )
         oversized = oversized.observe(
             observation,
-            F.coalesce(F.sum("_bucket_n"), F.lit(0)).alias("capped_rows"),
+            F.coalesce(removed, F.lit(0)).alias("capped_rows"),
             F.count(F.lit(1)).alias("capped_buckets"),
         ).localCheckpoint(eager=True)
-    return df.join(
-        F.broadcast(oversized.select(*part_cols)),
-        list(part_cols),
-        "left_anti",
+    if strategy != "representative":
+        return df.join(
+            F.broadcast(oversized.select(*part_cols)),
+            list(part_cols),
+            "left_anti",
+        )
+    # representative as ONE broadcast left join + filter (kept iff the
+    # bucket is not oversized, or this row IS its min-id row) — NOT a
+    # union of kept∪reps: Union discards the child's output
+    # partitioning, which on a bucketed committed reference would
+    # re-introduce the per-batch exchange the anti-join strategy
+    # exists to avoid. A broadcast join preserves the streamed side's
+    # (bucketed) partitioning, so the committed side stays
+    # exchange-free — plan-gated in tests/test_streaming_pipeline.py.
+    mins = (
+        df.join(F.broadcast(oversized.select(*part_cols)), list(part_cols))
+        .groupBy(*part_cols)
+        .agg(F.min(rep_id_col).alias("_rep_id"))
+    )
+    return (
+        df.join(F.broadcast(mins), list(part_cols), "left")
+        .where(
+            F.col("_rep_id").isNull()
+            | (F.col(rep_id_col) == F.col("_rep_id"))
+        )
+        .drop("_rep_id")
     )
 
 
@@ -1187,6 +1237,7 @@ def minhash_cross_near_dup(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     cap_observation=None,
     ref_banded: DataFrame | None = None,
+    cap_strategy: str = "representative",
 ) -> DataFrame:
     """Near-dup pairs BETWEEN two signature sets — the incremental-
     ingest shape: which NEW documents near-duplicate the EXISTING
@@ -1203,7 +1254,12 @@ def minhash_cross_near_dup(
 
     ``max_bucket`` caps REFERENCE bucket size (a degenerate reference
     cohort — boilerplate docs — would multiply every matching new doc
-    by the whole cohort).
+    by the whole cohort). ``cap_strategy``: ``"antijoin"`` (default)
+    drops oversized reference buckets — a new doc matching ONLY a
+    capped cohort is silently NOT flagged; ``"representative"`` keeps
+    the min-id row per oversized bucket, so cohort matches still flag
+    (against the representative) at one reference row per cohort —
+    see cap_buckets.
 
     ``ref_banded`` (instead of ``ref_sigs``): a precomputed
     :func:`minhash_banded_frame` — normally a BUCKETED catalog table
@@ -1230,7 +1286,8 @@ def minhash_cross_near_dup(
             ("band_id", "band_hash"),
             max_bucket,
             cap_observation,
-            strategy="antijoin",
+            strategy=cap_strategy,
+            rep_id_col="ref_id",
         )
         cand = (
             bn.join(br, ["band_id", "band_hash"])
@@ -1253,7 +1310,8 @@ def minhash_cross_near_dup(
         ("band_id", "band_hash"),
         max_bucket,
         cap_observation,
-        strategy="antijoin",
+        strategy=cap_strategy,
+        rep_id_col="ref_id",
     )
     cand = (
         bn.join(br, ["band_id", "band_hash"])
@@ -1286,6 +1344,7 @@ def simhash_cross_near_dup(
     id_col: str = "doc_id",
     sig_col: str = "simhash",
     cap_observation=None,
+    cap_strategy: str = "representative",
 ) -> DataFrame:
     """SimHash near-dup pairs BETWEEN two signature sets — the
     incremental-ingest face of the Hamming miner, completing the
@@ -1315,7 +1374,8 @@ def simhash_cross_near_dup(
         ("band_id", "band_val"),
         max_bucket,
         cap_observation,
-        strategy="antijoin",
+        strategy=cap_strategy,
+        rep_id_col="ref_id",
     ).alias("b")
     return (
         bn.join(
@@ -1491,6 +1551,12 @@ def cross_miner_recall_probe(
         for r in cross_miner(new, ref).select("new_id", "ref_id").collect()
     }
     found_true = len(found & true_pairs)
+    # FLAG recall — the ingest decision metric: of the new docs that
+    # SHOULD be flagged (>=1 true committed near-twin), how many got
+    # >=1 true hit. Pair recall under-credits the representative cap
+    # strategy, which deliberately returns one pair per cohort.
+    should_flag = {n for n, _ in true_pairs}
+    flagged = {n for n, _ in found & true_pairs}
     return {
         "sample_n": sample.count(),
         "ref_n": ref.count(),
@@ -1500,4 +1566,9 @@ def cross_miner_recall_probe(
         "found_true": found_true,
         "recall": (found_true / len(true_pairs)) if true_pairs else None,
         "precision": (found_true / len(found)) if found else None,
+        "flag_recall": (
+            len(flagged & should_flag) / len(should_flag)
+            if should_flag
+            else None
+        ),
     }

@@ -466,6 +466,7 @@ def srp_cross_near_dup(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     cap_observation=None,
     ref_bucketed: DataFrame | None = None,
+    cap_strategy: str = "representative",
 ) -> DataFrame:
     """Embedding near-dup pairs BETWEEN two vector sets — the
     incremental-ingest face of ``srp_near_dup_pairs``, completing the
@@ -528,7 +529,8 @@ def srp_cross_near_dup(
         ("bucket",),
         max_bucket,
         cap_observation,
-        strategy="antijoin",
+        strategy=cap_strategy,
+        rep_id_col="ref_id",
     )
     cand = bn.join(br, "bucket").select(
         "new_id",

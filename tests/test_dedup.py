@@ -886,3 +886,58 @@ def test_simhash_and_ngram_slice_strategy(spark):
     assert dd.ngram_jaccard_pairs(
         df, "doc_id", "text", max_bucket=4
     ).count() == 0
+
+
+def test_cross_representative_strategy_flags_capped_cohort(spark):
+    """cap_strategy="representative" (round 11): a NEW doc whose only
+    committed near-twins form an over-max_bucket cohort is silently
+    NOT flagged under the antijoin drop, but IS flagged against the
+    cohort's min-id representative — one reference row per cohort, so
+    the candidate volume stays bounded. Telemetry reports the removed
+    mass minus the kept representatives."""
+    from pyspark.sql import Observation
+
+    boiler = (
+        "boilerplate terms of service text repeated verbatim across "
+        "the whole cohort of scraped pages"
+    )
+    ref = spark.createDataFrame(
+        [(j, boiler) for j in range(1, 13)]
+        + [(50, "unrelated committed doc about flange sprocket widget "
+                "assembly manuals and gasket torque tables")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame([(1000, boiler)], ["doc_id", "text"])
+    new_sigs = dd.minhash_signatures(new, k=16)
+    ref_sigs = dd.minhash_signatures(ref, k=16)
+
+    dropped = dd.minhash_cross_near_dup(
+        new_sigs, ref_sigs, k=16, bands=4, rows=4, threshold=0.5,
+        max_bucket=4, cap_strategy="antijoin",
+    ).toPandas()
+    assert len(dropped) == 0  # the antijoin un-flags the cohort match
+
+    obs = Observation("rep")
+    rep = dd.minhash_cross_near_dup(  # representative is the default
+        new_sigs, ref_sigs, k=16, bands=4, rows=4, threshold=0.5,
+        max_bucket=4, cap_observation=obs,
+    ).toPandas()
+    assert list(map(tuple, rep[["new_id", "ref_id"]].values)) == [(1000, 1)]
+    got = obs.get
+    # 12 banded rows per band over cap; one representative kept per
+    # band bucket: removed = 4 bands x (12 - 1)
+    assert got["capped_buckets"] == 4
+    assert got["capped_rows"] == 4 * 11
+
+    # uncapped flags the whole cohort — representative is the bounded
+    # middle ground between that and zero
+    full = dd.minhash_cross_near_dup(
+        new_sigs, ref_sigs, k=16, bands=4, rows=4, threshold=0.5,
+        max_bucket=None,
+    ).toPandas()
+    assert len(full) == 12
+
+    with pytest.raises(ValueError, match="rep_id_col"):
+        dd.cap_buckets(
+            ref_sigs, ("sig",), 4, strategy="representative"
+        )

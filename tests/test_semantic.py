@@ -231,3 +231,27 @@ def test_srp_slice_strategy_mines_capped_bucket(spark):
     # chain property: every cohort member except 1 is droppable
     droppable = {b for _, b in cohort}
     assert droppable == set(range(2, 9))
+
+
+def test_srp_cross_representative_flags_capped_cohort(spark):
+    """cap_strategy="representative" threaded through the SRP cross
+    miner: a new vector matching only an oversized committed cohort
+    flags against the cohort's min id instead of vanishing."""
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_cross_near_dup,
+    )
+
+    ref = _vectors(spark, {i: _unit(10) for i in range(1, 9)})
+    new = _vectors(spark, {1000: _unit(10)})
+    planes = spark.createDataFrame(
+        [(0, _unit(100))], "plane_id int, plane_emb array<double>"
+    )
+    dropped = srp_cross_near_dup(
+        new, ref, planes, threshold=0.9, max_bucket=4,
+        cap_strategy="antijoin",
+    ).toPandas()
+    assert len(dropped) == 0
+    rep = srp_cross_near_dup(  # representative is the default
+        new, ref, planes, threshold=0.9, max_bucket=4,
+    ).toPandas()
+    assert list(map(tuple, rep[["new_id", "ref_id"]].values)) == [(1000, 1)]
