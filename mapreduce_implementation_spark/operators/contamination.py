@@ -137,15 +137,25 @@ def duplicate_span_stats(
     hash, so every holder of a kept span keeps it: the dup/unique
     classification of each sampled span is EXACT and only the per-doc
     totals are estimates (``n_spans``/``n_dup_spans`` scaled by m;
-    ``dup_span_frac`` is the unscaled sampled ratio — unbiased, with
-    binomial noise over the doc's own span count). Both shuffles and
-    both explodes shrink ×m (the filter sits directly on the span
+    ``dup_span_frac`` is the unscaled sampled ratio). Both shuffles
+    and both explodes shrink ×m (the filter sits directly on the span
     hash at scan stage); the two tokenize passes remain — they are
-    the irreducible read of the text. This is the corpus-REPORT mode:
-    a doc whose every span is sampled out yields no row, so per-doc
-    retention decisions should use the exact mode. Output gains a
-    literal ``span_sample_rate`` column so downstream readers can't
-    mistake estimates for exact counts."""
+    the irreducible read of the text, so the LOCAL wall gain is
+    modest (measured ~15% at rate 16 on the 4M-doc rehearsal where
+    CPU dominates) while the SHUFFLE-volume gain is the full ×m (the
+    term that matters on a real cluster at 100 TB). Estimator
+    variance profile, measured honestly (BASELINE.md round-11):
+    unbiased over the hash-function choice, but content-hash sampling
+    includes or excludes each DISTINCT span's whole multiplicity, so
+    when duplicate mass concentrates in few distinct spans (the
+    adversarial Zipf corpus: 26% dup-total deviation at rate 16,
+    size-independent because it is deterministic given the hash) the
+    realized error is that concentration, not √n noise — use small
+    rates on boilerplate-heavy corpora, and treat this as the
+    corpus-REPORT mode: a doc whose every span is sampled out yields
+    no row, so per-doc retention decisions should use the exact mode.
+    Output gains a literal ``span_sample_rate`` column so downstream
+    readers can't mistake estimates for exact counts."""
     if n < 2:
         raise ValueError(f"n must be >= 2 for span stats, got {n}")
     if sample_rate is not None and sample_rate < 1:

@@ -285,7 +285,8 @@ def run_vector_ops(spark, vec_dir: str) -> dict[str, float]:
         k_side = max(4, int(math.ceil(math.sqrt(k_sem))))
         t0 = time.perf_counter()
         coarse, fine = sim.train_two_level_centroids(
-            vecs, k_coarse=k_side, k_fine=k_side, iters=2
+            vecs, k_coarse=k_side, k_fine=k_side, iters=2,
+            sample_n=IVF_TRAIN_SAMPLE,
         )
         out["semantic_hier_build"] = round(time.perf_counter() - t0, 2)
         obs = Observation(f"exempt_{n}")
