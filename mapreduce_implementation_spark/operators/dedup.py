@@ -298,11 +298,13 @@ def cap_buckets(
       runs against the representative's real signature, so precision
       is untouched; recall within HETEROGENEOUS oversized buckets is
       partial (the representative may not resemble every cohort
-      member — measure with cross_miner_recall_probe). Same plan
-      shape as antijoin plus one bounded broadcast inner join: the
-      min-id list is ≤ the heavy-hitter list, and on a bucketed
-      catalog table both the detection groupBy and the min groupBy
-      ride the bucketing — the committed side stays exchange-free.
+      member — measure with cross_miner_recall_probe). Same scan and
+      exchange count as antijoin: the bucket min rides the detection
+      agg itself (one partial-agg pass), the keep decision is one
+      broadcast LEFT join + filter (deliberately not a union — Union
+      discards bucketed output partitioning), and on a bucketed
+      catalog table everything rides the bucketing — the committed
+      side stays exchange-free, plan-gated.
 
     ``observation`` (``pyspark.sql.Observation``, or a string name)
     makes the recall cost visible as ``capped_rows`` /
@@ -337,9 +339,15 @@ def cap_buckets(
             .where(F.col("_bucket_n") <= max_bucket)
             .drop("_bucket_n")
         )
+    # under "representative" the bucket min rides the SAME detection
+    # agg — one partial-agg pass over df, not a second full read of
+    # the (possibly corpus-scale committed) frame per probing batch
+    detect_aggs = [F.count(F.lit(1)).alias("_bucket_n")]
+    if strategy == "representative":
+        detect_aggs.append(F.min(rep_id_col).alias("_rep_id"))
     oversized = (
         df.groupBy(*part_cols)
-        .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        .agg(*detect_aggs)
         .where(F.col("_bucket_n") > max_bucket)
     )
     if observation is not None:
@@ -370,11 +378,7 @@ def cap_buckets(
     # exists to avoid. A broadcast join preserves the streamed side's
     # (bucketed) partitioning, so the committed side stays
     # exchange-free — plan-gated in tests/test_streaming_pipeline.py.
-    mins = (
-        df.join(F.broadcast(oversized.select(*part_cols)), list(part_cols))
-        .groupBy(*part_cols)
-        .agg(F.min(rep_id_col).alias("_rep_id"))
-    )
+    mins = oversized.select(*part_cols, "_rep_id")
     return (
         df.join(F.broadcast(mins), list(part_cols), "left")
         .where(
