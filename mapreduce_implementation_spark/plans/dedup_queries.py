@@ -447,3 +447,133 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=SEMANTIC_THRESHOLD,
         max_cluster=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Slice-path parity twin (round-12 verdict item 2, pytest-gated in
+# tests/test_demoted_oracles.py): the DEFAULT semantic_dedup path is
+# exempt_strategy="slice", but the registry row above runs
+# max_cluster=None, so the slice arm was guarded only by the
+# planted-twin pytest. The slice semantics are deterministic and
+# SQL-expressible — this oracle replays them end to end on a FORCED
+# oversized cluster: a fixed vec_id-derived assignment puts 450 of the
+# 500 fixture vectors in one cluster (oversized at max_cluster=64, 8
+# slices) and the rest in five small clusters (the normal arm).
+#
+# _SLICE_W pins the slice projection's per-dimension weights —
+# Spark-side they are `xxhash64("semslice", j) % 1_000_001` (see
+# operators/semantic._slice_projection); DuckDB has no xxhash64, so the
+# 64 integers for the fixture's d=64 are inlined as literals and a
+# drift test (test_demoted_oracles.test_slice_projection_weights_pinned)
+# re-evaluates the Spark expression against this list. The projection
+# fold is replayed bit-for-bit: both engines left-fold
+# emb[j]::DOUBLE * (w_j / 1e6) in index order from 0.0.
+_SLICE_W = [
+    61582, 508309, -756124, 719317, -80810, -859033, -622044, -617338,
+    -966593, 629759, 74867, -664791, -955556, 136320, 439803, -47251,
+    374116, -909988, -166263, 667287, 571922, -604689, -931350, 691254,
+    260167, 483235, -236408, -350089, -670538, -47809, 79028, -316346,
+    -975480, 25527, 857620, -762861, 261475, 611509, 286422, -8098,
+    790013, -694285, -463729, 655176, -992669, -326691, 720112, -923116,
+    422060, 269663, -914010, 236413, 831100, 139122, -618515, -982013,
+    -588628, 27868, -790250, -317341, -310793, 563918, 274244, -950543,
+]
+
+SEMANTIC_SLICE_MAX_CLUSTER = 64
+
+SEMANTIC_SLICE_ORACLE = f"""
+    WITH w AS (
+        SELECT {list(_SLICE_W)}::BIGINT[] AS wv
+    ),
+    va AS (
+        SELECT vec_id, embedding,
+               CAST(CASE WHEN vec_id < 450 THEN 0
+                         ELSE vec_id % 5 + 1 END AS INT) AS centroid_id
+        FROM embeddings
+    ),
+    sizes AS (
+        SELECT centroid_id, COUNT(*) AS csize FROM va GROUP BY centroid_id
+    ),
+    small AS (
+        SELECT va.vec_id, va.embedding, va.centroid_id
+        FROM va JOIN sizes USING (centroid_id)
+        WHERE csize <= {SEMANTIC_SLICE_MAX_CLUSTER}
+    ),
+    small_dropped AS (
+        SELECT DISTINCT b.vec_id AS db
+        FROM small a
+        JOIN small b ON a.centroid_id = b.centroid_id
+                    AND a.vec_id < b.vec_id
+        WHERE {_sq._cos("a.embedding", "b.embedding")}
+              >= {SEMANTIC_THRESHOLD}
+    ),
+    big AS (
+        SELECT va.vec_id, va.embedding, va.centroid_id,
+               list_sum(list_transform(
+                   range(1, len(va.embedding) + 1),
+                   i -> va.embedding[i]::DOUBLE * (w.wv[i] / 1000000.0)
+               )) AS proj
+        FROM va JOIN sizes USING (centroid_id) CROSS JOIN w
+        WHERE csize > {SEMANTIC_SLICE_MAX_CLUSTER}
+    ),
+    positioned AS (
+        SELECT vec_id, embedding, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                  ORDER BY proj, vec_id) - 1 AS rel
+        FROM big
+    ),
+    members AS (
+        SELECT vec_id, embedding, centroid_id,
+               rel // {SEMANTIC_SLICE_MAX_CLUSTER} AS sl
+        FROM positioned
+        UNION ALL
+        SELECT vec_id, embedding, centroid_id,
+               rel // {SEMANTIC_SLICE_MAX_CLUSTER} - 1 AS sl
+        FROM positioned
+        WHERE rel % {SEMANTIC_SLICE_MAX_CLUSTER} = 0
+          AND rel // {SEMANTIC_SLICE_MAX_CLUSTER} > 0
+    ),
+    big_dropped AS (
+        SELECT DISTINCT b.vec_id AS db
+        FROM members a
+        JOIN members b ON a.centroid_id = b.centroid_id
+                      AND a.sl = b.sl
+                      AND a.vec_id < b.vec_id
+        WHERE {_sq._cos("a.embedding", "b.embedding")}
+              >= {SEMANTIC_THRESHOLD}
+    ),
+    dropped AS (
+        SELECT db FROM small_dropped UNION SELECT db FROM big_dropped
+    )
+    SELECT v.vec_id, v.centroid_id,
+           CAST(CASE WHEN d.db IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+    FROM va v LEFT JOIN dropped d ON v.vec_id = d.db
+    """
+
+
+def semantic_dedup_slice_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slice arm of operators/semantic.semantic_dedup under a
+    FORCED oversized cluster: assignment is precomputed (the vec_id
+    rule above — 450-row cluster 0 plus five 10-row clusters), so the
+    twin isolates exactly the machinery the oracle replays: size
+    detection, projection sort, contiguous positioning, floor-division
+    slices, the one-row overlap, the within-slice screen, and the
+    normal arm on the small clusters."""
+    from mapreduce_implementation_spark.operators import semantic as sem
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignment = dd.spread(emb.select("vec_id", "embedding")).withColumn(
+        "centroid_id",
+        F.when(F.col("vec_id") < 450, F.lit(0))
+        .otherwise(F.col("vec_id") % 5 + 1)
+        .cast("int"),
+    )
+    return sem.semantic_dedup(
+        assignment,
+        "vec_id",
+        "embedding",
+        assignment=assignment,
+        threshold=SEMANTIC_THRESHOLD,
+        max_cluster=SEMANTIC_SLICE_MAX_CLUSTER,
+        exempt_strategy="slice",
+    )

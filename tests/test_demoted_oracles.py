@@ -37,6 +37,7 @@ DEMOTED = [
     (rq.tpch_q10_returned_items, rq.TPCH_Q10_ORACLE),
     (rq.tpch_q13_customer_distribution, rq.TPCH_Q13_ORACLE),
     (rq.contiguous_row_ids_orders, rq.CONTIGUOUS_IDS_ORACLE),
+    (dq.semantic_dedup_slice_parity, dq.SEMANTIC_SLICE_ORACLE),
 ]
 
 
@@ -46,3 +47,25 @@ def test_demoted_query_matches_oracle(spark, sf_dir, fn, oracle):
     oracle_pdf = run_oracle(sf_dir, oracle)
     problems = compare(spark_pdf, oracle_pdf)
     assert not problems, f"{fn.__name__}: " + " | ".join(map(str, problems))
+
+
+def test_slice_projection_weights_pinned(spark):
+    """SEMANTIC_SLICE_ORACLE inlines the slice projection's
+    per-dimension weights as literals (DuckDB has no xxhash64); this
+    re-evaluates the Spark expression the operator actually uses
+    (operators/semantic._slice_projection) so any drift in the hash,
+    the seed string, or the modulus breaks HERE, not silently in the
+    parity compare."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(dq._SLICE_W) - 1)),
+                lambda j: F.xxhash64(F.lit("semslice"), j) % 1_000_001,
+            ).alias("w")
+        )
+        .head()
+    )
+    assert [int(x) for x in row.w] == dq._SLICE_W
