@@ -89,6 +89,59 @@ def _slice_projection(emb):
     )
 
 
+def _blas_screen(id_col: str, emb_col: str, threshold: float):
+    """Per-group pairwise cosine screen as ONE numpy matmul — the
+    Arrow-batched replacement for enumerating (c²/2) join rows each
+    carrying two float arrays through a per-pair HOF dot fold. Groups
+    are bounded by construction (≤ max_cluster+1 rows: small clusters
+    or slices), so the (c, d) @ (d, c) Gram matrix is a few MB and the
+    whole screen is BLAS, not row enumeration — the round-11 negative
+    result showed the join's pair ENUMERATION, not the dot arithmetic,
+    is the binding cost, so the fix is to stop enumerating.
+
+    Parity with the join screen: ``_vn`` (Spark's left-fold L2 norm)
+    rides in, so denominators are bit-identical; only the dot's
+    summation ORDER differs (BLAS vs left fold), inside the ~1e-15
+    band the DECIMAL(10,4) quantization exists to absorb. HALF_UP
+    quantization is replicated as sign·floor(|c|·10⁴ + 0.5) — no
+    double is exactly representable at a .00005 decimal boundary
+    (such boundaries carry a factor 5⁻⁵, never dyadic), so the two
+    roundings agree outside that same 1e-13 band. Gated hash-equal by
+    the demoted slice-parity oracle (tests/test_demoted_oracles.py)
+    and the planted-twin pytests."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    thr_i = int(
+        Decimal(repr(float(threshold)))
+        .quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        .scaleb(4)
+    )
+
+    def screen(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf[pdf[emb_col].notna() & pdf["_vn"].notna()]
+        if len(pdf) < 2:
+            return pd.DataFrame({"_dropped_id": pdf[id_col].iloc[0:0]})
+        pdf = pdf.sort_values(id_col)
+        m = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        vn = pdf["_vn"].to_numpy(dtype=np.float64)
+        denom = np.outer(vn, vn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom != 0.0, (m @ m.T) / denom, -np.inf)
+        qi = np.sign(cos) * np.floor(np.abs(cos) * 10_000.0 + 0.5)
+        # drop j iff ANY i < j (id order) qualifies — the pairwise
+        # min-id rule, same strict-upper-triangle the join's
+        # a.id < b.id condition walks
+        hit = np.triu(qi >= thr_i, k=1)
+        return pd.DataFrame(
+            {"_dropped_id": pdf[id_col].to_numpy()[hit.any(axis=0)]}
+        )
+
+    return screen
+
+
 def semantic_dedup(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -102,6 +155,7 @@ def semantic_dedup(
     max_cluster: int | None = DEFAULT_MAX_BUCKET,
     exempt_strategy: str = "slice",
     exemption_observation=None,
+    pair_screen: str = "blas",
 ) -> DataFrame:
     """Semantic dedup: k-means clusters + within-cluster cosine screen.
 
@@ -141,6 +195,16 @@ def semantic_dedup(
     positioning barrier included — when no cluster is oversized, the
     common case. ``"keep"`` and ``max_cluster=None`` build fully lazy
     plans.
+
+    ``pair_screen`` picks how within-group pairs are screened when
+    ``max_cluster`` is finite (groups then bounded at max_cluster+1
+    rows): ``"blas"`` (default) runs one Gram matmul per group via
+    applyInPandas — no pair enumeration, Arrow-batched, the round-12
+    fix for the join screen's binding cost; ``"join"`` is the
+    enumerate-and-fold self-join (the A/B arm, and the only legal
+    screen under ``max_cluster=None``, where a group is an unbounded
+    whole cluster). Results are parity-gated equal (demoted slice
+    oracle + planted twins).
     """
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
@@ -148,6 +212,10 @@ def semantic_dedup(
         raise ValueError(
             f"exempt_strategy must be 'slice' or 'keep', got "
             f"{exempt_strategy!r}"
+        )
+    if pair_screen not in ("blas", "join"):
+        raise ValueError(
+            f"pair_screen must be 'blas' or 'join', got {pair_screen!r}"
         )
     if max_cluster is None and exemption_observation is not None:
         raise ValueError(
@@ -240,21 +308,7 @@ def semantic_dedup(
         )
     else:
         mineable = assigned
-    # The score predicate below is deliberately a plain .where():
-    # Catalyst pushes it into the self-join condition, fusing scoring
-    # with pair generation — zero extra exchange, and parallelism
-    # comes from the (spread) probe side, per the note above.
-    a, b = mineable.alias("a"), mineable.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.centroid_id") == F.col("b.centroid_id"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"b.{id_col}").alias("_dropped_id"),
-        F.col(f"a.{emb_col}").alias("_ea"),
-        F.col(f"b.{emb_col}").alias("_eb"),
-        (F.col("a._vn") * F.col("b._vn")).alias("_denom"),
-    )
+    slice_members = None
     if max_cluster is not None and exempt_strategy == "slice" and bool(
         # Any-oversized existence probe (round-11 verdict item 1): the
         # slice subtree's positioning barrier (assign_contiguous_ids'
@@ -313,14 +367,47 @@ def semantic_dedup(
         overlap = base.where(
             (F.col("_rel") % max_cluster == 0) & (F.col("_slice") > 0)
         ).withColumn("_slice", F.col("_slice") - 1)
-        members = base.unionByName(overlap).select(
+        slice_members = base.unionByName(overlap).select(
             id_col, emb_col, "_vn", "centroid_id", "_slice"
         )
-        sa, sb = members.alias("a"), members.alias("b")
-        slice_cand = sa.join(
-            sb,
+    if pair_screen == "blas" and max_cluster is not None:
+        # Bounded-group regime: every screen group is ≤ max_cluster+1
+        # rows (a small cluster, or a slice of an oversized one), so
+        # the pairwise screen collapses into one Gram matmul per group
+        # via applyInPandas (_blas_screen) — one exchange on
+        # (centroid_id, _slice), the same data movement the self-join's
+        # sort-merge exchange paid, with ZERO pair enumeration.
+        # max_cluster=None keeps the join screen: a group is then a
+        # whole cluster, unbounded by construction, and a mega-cluster
+        # group would not fit a Python worker.
+        from pyspark.sql import types as T
+
+        members = mineable.select(
+            id_col, emb_col, "_vn", "centroid_id",
+            F.lit(0).cast("long").alias("_slice"),
+        )
+        if slice_members is not None:
+            members = members.unionByName(slice_members)
+        out_schema = T.StructType(
+            [T.StructField("_dropped_id", assigned.schema[id_col].dataType)]
+        )
+        dropped = (
+            members.groupBy("centroid_id", "_slice")
+            .applyInPandas(
+                _blas_screen(id_col, emb_col, threshold), out_schema
+            )
+            .distinct()
+        )
+    else:
+        # The score predicate below is deliberately a plain .where():
+        # Catalyst pushes it into the self-join condition, fusing
+        # scoring with pair generation — zero extra exchange, and
+        # parallelism comes from the (spread) probe side, per the note
+        # above.
+        a, b = mineable.alias("a"), mineable.alias("b")
+        cand = a.join(
+            b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a._slice") == F.col("b._slice"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         ).select(
             F.col(f"b.{id_col}").alias("_dropped_id"),
@@ -328,15 +415,29 @@ def semantic_dedup(
             F.col(f"b.{emb_col}").alias("_eb"),
             (F.col("a._vn") * F.col("b._vn")).alias("_denom"),
         )
-        cand = cand.unionByName(slice_cand)
-    score = F.when(
-        F.col("_denom") != 0, dot(F.col("_ea"), F.col("_eb")) / F.col("_denom")
-    ).cast(sim.COS_Q)
-    dropped = (
-        cand.where(score >= F.lit(threshold).cast(sim.COS_Q))
-        .select("_dropped_id")
-        .distinct()
-    )
+        if slice_members is not None:
+            sa, sb = slice_members.alias("a"), slice_members.alias("b")
+            slice_cand = sa.join(
+                sb,
+                (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                & (F.col("a._slice") == F.col("b._slice"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            ).select(
+                F.col(f"b.{id_col}").alias("_dropped_id"),
+                F.col(f"a.{emb_col}").alias("_ea"),
+                F.col(f"b.{emb_col}").alias("_eb"),
+                (F.col("a._vn") * F.col("b._vn")).alias("_denom"),
+            )
+            cand = cand.unionByName(slice_cand)
+        score = F.when(
+            F.col("_denom") != 0,
+            dot(F.col("_ea"), F.col("_eb")) / F.col("_denom"),
+        ).cast(sim.COS_Q)
+        dropped = (
+            cand.where(score >= F.lit(threshold).cast(sim.COS_Q))
+            .select("_dropped_id")
+            .distinct()
+        )
     return (
         assigned.select(id_col, "centroid_id")
         .join(
