@@ -86,6 +86,7 @@ def duplicate_span_stats(
     n: int = 20,
     *,
     sample_rate: int | None = None,
+    heavy_hitter_support: float | None = 0.001,
 ) -> DataFrame:
     """Substring-level SELF-duplication: per document, the fraction of
     its distinct word-``n``-grams that appear verbatim in at least one
@@ -155,30 +156,79 @@ def duplicate_span_stats(
     corpus-REPORT mode: a doc whose every span is sampled out yields
     no row, so per-doc retention decisions should use the exact mode.
     Output gains a literal ``span_sample_rate`` column so downstream
-    readers can't mistake estimates for exact counts."""
+    readers can't mistake estimates for exact counts.
+
+    ``heavy_hitter_support`` (round-12, the concentration repair): in
+    sampled mode, spans whose frequency exceeds this fraction of the
+    total span stream are detected with a single-pass Misra-Gries
+    sketch (``DataFrame.freqItems`` — no shuffle, one bounded
+    ≤1/support list merged on the driver, NO false negatives above
+    the support) and counted EXACTLY: they bypass the hash filter and
+    carry weight 1 while tail spans carry weight m — a stratified
+    estimator removing exactly the error mode the round-11 honesty
+    note measured (a heavy span's whole multiplicity swinging in or
+    out with one hash bit: 26% dup-total deviation at rate 16 on the
+    Zipf corpus, now pytest-bounded ≤10%). Residual tail
+    concentration is bounded by the support (every un-sketched span
+    holds < support of the stream). Costs one extra tokenize+explode
+    pass (sketch-only: zero shuffle rows, one driver-merged list) and
+    makes the builder eager by that one job;
+    ``heavy_hitter_support=None`` restores the round-11
+    single-stratum estimator and full laziness. Ignored in exact
+    mode."""
     if n < 2:
         raise ValueError(f"n must be >= 2 for span stats, got {n}")
     if sample_rate is not None and sample_rate < 1:
         raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
+    if heavy_hitter_support is not None and not (
+        0.0 < heavy_hitter_support < 1.0
+    ):
+        raise ValueError(
+            f"heavy_hitter_support must be in (0, 1) or None, got "
+            f"{heavy_hitter_support}"
+        )
     sp = shingles(text_col, n)
     base = spread(docs)
     spans = base.select(
         F.col(id_col), F.explode(sp).alias("span")
     ).select(F.col(id_col), F.xxhash64("span").alias("h"))
     scale = 1 if sample_rate is None else sample_rate
+    # weight of a kept span in the per-doc totals: 1 in exact mode,
+    # the rate in single-stratum sampled mode, per-stratum (1 heavy /
+    # m tail) in hybrid mode — the weighted sums below replace the
+    # old count-then-scale form (identical when the weight is
+    # constant)
+    weight = F.lit(1).cast("long")
     if sample_rate is not None and sample_rate > 1:
-        spans = spans.where(F.pmod(F.col("h"), F.lit(sample_rate)) == 0)
+        sampled = F.pmod(F.col("h"), F.lit(sample_rate)) == 0
+        heavy_set: list[int] = []
+        if heavy_hitter_support is not None:
+            heavy_set = [
+                int(x)
+                for x in spans.freqItems(
+                    ["h"], support=heavy_hitter_support
+                ).head()[0]
+            ]
+        if heavy_set:
+            is_heavy = F.col("h").isin(heavy_set)
+            spans = spans.where(sampled | is_heavy)
+            weight = (
+                F.when(is_heavy, F.lit(1))
+                .otherwise(F.lit(sample_rate))
+                .cast("long")
+            )
+        else:
+            spans = spans.where(sampled)
+            weight = F.lit(sample_rate).cast("long")
     per_span = spans.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("only_doc")
     )
     uniq_per_doc = (
         per_span.filter(F.col("cnt") == 1)
         .groupBy(F.col("only_doc").alias(id_col))
-        .agg(F.count(F.lit(1)).alias("n_uniq"))
+        .agg(F.sum(weight).alias("n_uniq"))
     )
-    doc_sizes = spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans")
-    )
+    doc_sizes = spans.groupBy(id_col).agg(F.sum(weight).alias("n_spans"))
     out = (
         doc_sizes.join(uniq_per_doc, id_col, "left")
         .select(
@@ -192,12 +242,12 @@ def duplicate_span_stats(
     )
     if sample_rate is None:
         return out
-    # estimates: totals scaled back by the rate; the frac is the
-    # sampled ratio (scaling cancels); rate stamped into the output
+    # the weights already scale the totals; the frac is the weighted
+    # sampled ratio; rate stamped into the output
     return out.select(
         F.col(id_col),
-        (F.col("n_spans") * scale).alias("n_spans"),
-        (F.col("n_dup_spans") * scale).alias("n_dup_spans"),
+        "n_spans",
+        "n_dup_spans",
         "dup_span_frac",
         F.lit(scale).alias("span_sample_rate"),
     )

@@ -85,6 +85,52 @@ def write_reducer_files(
     return [by_rid[rid] for rid in sorted(by_rid)]
 
 
+def paged_leaf_counts(
+    spark, path: str, partition_cols: list[str]
+) -> dict[tuple, int]:
+    """Per-leaf data-file counts of a hive-partitioned dataset via a
+    PAGED filesystem walk — ``FileSystem.listStatusIterator`` one
+    directory at a time, so the driver holds one directory page plus
+    one int per leaf, never the full file-path list (the old
+    ``DataFrame.inputFiles()`` form returned every path: at a 100 TB
+    sink with millions of files the maintenance job's own listing
+    became a driver-memory/latency ceiling; many-leaf wall/residency
+    A/B in BASELINE.md round 12). Hidden/_-prefixed files AND
+    directories (_SUCCESS, _temporary, .spark-staging-*) are skipped —
+    a concurrent writer's staging files are not data files."""
+    from urllib.parse import unquote
+
+    sc = spark.sparkContext
+    jpath_cls = sc._jvm.org.apache.hadoop.fs.Path
+    root = jpath_cls(path)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    counts: dict[tuple, int] = {}
+    stack: list[tuple] = [(root, {})]
+    while stack:
+        d, parts = stack.pop()
+        it = fs.listStatusIterator(d)
+        nfiles = 0
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if st.isDirectory():
+                if name.startswith(("_", ".")):
+                    continue
+                k, sep, v = name.partition("=")
+                sub = dict(parts)
+                if sep and k in partition_cols:
+                    sub[k] = unquote(v)
+                stack.append((st.getPath(), sub))
+            elif not name.startswith(("_", ".")):
+                nfiles += 1
+        if nfiles and len(parts) == len(partition_cols) and not any(
+            v == "__HIVE_DEFAULT_PARTITION__" for v in parts.values()
+        ):
+            key = tuple(parts[c] for c in partition_cols)
+            counts[key] = counts.get(key, 0) + nfiles
+    return counts
+
+
 def compact_partitioned_dataset(
     spark,
     path: str,
@@ -130,8 +176,6 @@ def compact_partitioned_dataset(
     whole leaf either way. NULL-valued (``__HIVE_DEFAULT_PARTITION__``)
     leaves are left untouched. Returns
     ``{"partitions_compacted", "files_before", "files_after"}``."""
-    from urllib.parse import unquote
-
     if files_per_partition > 1 and split_col is None:
         raise ValueError("files_per_partition > 1 requires split_col")
     if files_per_partition < 1 or max_files_per_partition < 1:
@@ -141,48 +185,8 @@ def compact_partitioned_dataset(
     # periodic job stays a no-op once compacted
     max_files_per_partition = max(max_files_per_partition, files_per_partition)
 
-    def leaf_counts() -> dict[tuple, int]:
-        # Paged walk: one listStatusIterator page in memory at a time,
-        # pending-directory stack bounded by the directory (leaf)
-        # count, never the file count. Hidden/_-prefixed entries
-        # (_SUCCESS, _metadata, .crc) are not data files.
-        sc = spark.sparkContext
-        jpath_cls = sc._jvm.org.apache.hadoop.fs.Path
-        root = jpath_cls(path)
-        fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
-        counts: dict[tuple, int] = {}
-        stack: list[tuple] = [(root, {})]
-        while stack:
-            d, parts = stack.pop()
-            it = fs.listStatusIterator(d)
-            nfiles = 0
-            while it.hasNext():
-                st = it.next()
-                name = st.getPath().getName()
-                if st.isDirectory():
-                    # hidden directories too, not just hidden files:
-                    # _temporary / .spark-staging-* / .hive-staging
-                    # hold a CONCURRENT writer's in-flight files, which
-                    # the old inputFiles() listing never surfaced —
-                    # counting them would trigger spurious compaction
-                    if name.startswith(("_", ".")):
-                        continue
-                    k, sep, v = name.partition("=")
-                    sub = dict(parts)
-                    if sep and k in partition_cols:
-                        sub[k] = unquote(v)
-                    stack.append((st.getPath(), sub))
-                elif not name.startswith(("_", ".")):
-                    nfiles += 1
-            if nfiles and len(parts) == len(partition_cols) and not any(
-                v == "__HIVE_DEFAULT_PARTITION__" for v in parts.values()
-            ):
-                key = tuple(parts[c] for c in partition_cols)
-                counts[key] = counts.get(key, 0) + nfiles
-        return counts
-
     df = spark.read.parquet(path)
-    counts = leaf_counts()
+    counts = paged_leaf_counts(spark, path, partition_cols)
     targets = [
         k for k, n in counts.items() if n > max_files_per_partition
     ]
@@ -227,5 +231,7 @@ def compact_partitioned_dataset(
     return {
         "partitions_compacted": len(targets),
         "files_before": sum(counts.values()),
-        "files_after": sum(leaf_counts().values()),
+        "files_after": sum(
+            paged_leaf_counts(spark, path, partition_cols).values()
+        ),
     }

@@ -557,6 +557,71 @@ def run_restart_rehearsal(spark, events_dir: str) -> dict[str, float]:
     return out
 
 
+def synth_leaves(spark, n_leaves: int, out_dir: str) -> float:
+    """Many-leaf hive-partitioned fixture for the compactor-listing
+    A/B: ``n_leaves`` ``batch_id=N`` directories x 2 data files each,
+    hardlinked from one template parquet so fixture creation is
+    filesystem metadata work, not 2*n_leaves Spark write tasks."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = time.perf_counter()
+    os.makedirs(out_dir, exist_ok=True)
+    template = os.path.join(out_dir, "_template.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"doc_id": [1, 2], "v": [0.5, 1.5]})),
+        template,
+    )
+    for i in range(n_leaves):
+        leaf = os.path.join(out_dir, f"batch_id={i}")
+        os.makedirs(leaf, exist_ok=True)
+        os.link(template, os.path.join(leaf, "part-0000.parquet"))
+        os.link(template, os.path.join(leaf, "part-0001.parquet"))
+    os.remove(template)  # underscore-prefixed, but keep the root clean
+    return time.perf_counter() - t0
+
+
+def run_listing_ab(spark, data_dir: str) -> dict[str, float]:
+    """Round-11 verdict item 4 (the unmeasured half of round-10 item
+    5): the compactor's paged listStatusIterator walk vs the old
+    ``DataFrame.inputFiles()`` form at many leaves — wall time and
+    PYTHON-SIDE retained bytes (the old form ships and retains every
+    file path in the driver's Python heap; the paged walk retains one
+    int per leaf; JVM-side, the old form additionally materializes an
+    InMemoryFileIndex over every FileStatus while the walk holds one
+    listing page)."""
+    from mapreduce_implementation_spark.sources.sinks import (
+        paged_leaf_counts,
+    )
+
+    out: dict[str, float] = {}
+    walls: dict[str, list[float]] = {"paged_walk": [], "input_files": []}
+    for _ in range(2):
+        t0 = time.perf_counter()
+        counts = paged_leaf_counts(spark, data_dir, ["batch_id"])
+        walls["paged_walk"].append(round(time.perf_counter() - t0, 2))
+        t0 = time.perf_counter()
+        files = spark.read.parquet(data_dir).inputFiles()
+        walls["input_files"].append(round(time.perf_counter() - t0, 2))
+    assert sum(counts.values()) == len(files), (
+        sum(counts.values()),
+        len(files),
+    )
+    out["paged_walk_sec"] = min(walls["paged_walk"])
+    out["input_files_sec"] = min(walls["input_files"])
+    out["walls"] = walls  # type: ignore[assignment]
+    out["n_leaves"] = len(counts)
+    out["n_files"] = sum(counts.values())
+    out["paged_retained_bytes"] = sys.getsizeof(counts) + sum(
+        sys.getsizeof(k) + sys.getsizeof(v) for k, v in counts.items()
+    )
+    out["input_files_retained_bytes"] = sys.getsizeof(files) + sum(
+        sys.getsizeof(f) for f in files
+    )
+    return out
+
+
 def run_observe_cost(spark, docs_dir: str) -> dict[str, float]:
     """Measure the observe-telemetry zero-cost claim (round-9 verdict
     item 7): drain the SAME staged document stream through
@@ -709,6 +774,7 @@ def main() -> None:
     rocksdb = "--rocksdb" in argv
     observe_cost = "--observe-cost" in argv
     ingest_ref_ab = "--ingest-ref-ab" in argv
+    compactor_listing = "--compactor-listing" in argv
     argv = [
         a
         for a in argv
@@ -720,6 +786,7 @@ def main() -> None:
             "--rocksdb",
             "--observe-cost",
             "--ingest-ref-ab",
+            "--compactor-listing",
         )
     ]
     sizes = [int(s) for s in argv] or (
@@ -729,6 +796,8 @@ def main() -> None:
         if (vectors_mode or streaming_mode)
         else [500_000]
         if (observe_cost or ingest_ref_ab)
+        else [10_000, 40_000]
+        if compactor_listing
         else [250_000, 1_000_000, 4_000_000]
     )
     spark = get_spark(app_name="mris-scale-rehearsal")
@@ -743,7 +812,9 @@ def main() -> None:
 
         use_rocksdb_state_store(spark)
     cal = calibration(spark)
-    if ingest_ref_ab:
+    if compactor_listing:
+        synth, run = synth_leaves, run_listing_ab
+    elif ingest_ref_ab:
         synth, run = synth_corpus, run_ingest_ref_ab
     elif observe_cost:
         synth, run = synth_corpus, run_observe_cost
@@ -785,6 +856,8 @@ def main() -> None:
             )
             or op.endswith("_peak_state")
             or len(results) < 2
+            or not isinstance(results[0][op], (int, float))
+            or not results[0][op]
         ):
             continue
         exponents[op] = [

@@ -181,3 +181,63 @@ def test_duplicate_span_stats_sampled_mode_error_bound(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sample_rate"):
         duplicate_span_stats(docs, n=5, sample_rate=0)
+
+
+def test_duplicate_span_stats_hybrid_bounds_zipf_error(spark):
+    """Round-11 verdict item 7: content-hash sampling carries each
+    distinct span's whole multiplicity, so concentrated (Zipfian)
+    corpora measured 26% dup-total error at rate 16. The hybrid
+    estimator (heavy_hitter_support) exact-counts every sketched
+    heavy span and samples only the tail — on the same cluster law
+    the rehearsal corpus uses, the corpus dup-mass estimate must land
+    within 10% at rate 16."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.operators.contamination import (
+        duplicate_span_stats,
+    )
+
+    # the rehearsal's floor(1/u) Zipf cluster law in miniature:
+    # cluster 1 alone holds ~15% of the corpus as one shared base
+    # text — exactly the concentration that breaks single-stratum
+    # content sampling
+    h = F.abs(F.xxhash64(F.col("id"), F.lit("scatter")))
+    u = ((h % 1_000_000) + 1) / 1_000_000.0
+    cluster = F.floor(1.0 / u).cast("long")
+    base_seed = F.when((h % 10) < 3, cluster).otherwise(
+        F.col("id") + F.lit(1_000_000_000)
+    )
+
+    def word(seed, tag, j):
+        return F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(seed, F.lit(tag), F.lit(j)), F.lit(5000)),
+        )
+
+    text = F.concat_ws(
+        " ",
+        *[word(base_seed, "b", j) for j in range(30)],
+        *[word(F.col("id"), "t", j) for j in range(8)],
+    )
+    docs = spark.range(30_000).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+
+    exact = duplicate_span_stats(docs, n=20).toPandas()
+    hybrid = duplicate_span_stats(
+        docs, n=20, sample_rate=16
+    ).toPandas()
+
+    d_exact = exact["n_dup_spans"].sum()
+    d_hybrid = hybrid["n_dup_spans"].sum()
+    assert d_exact > 0
+    assert abs(d_hybrid - d_exact) / d_exact < 0.10, (d_hybrid, d_exact)
+    # totals estimate holds too, and the rate is stamped
+    t_exact, t_hybrid = exact["n_spans"].sum(), hybrid["n_spans"].sum()
+    assert abs(t_hybrid - t_exact) / t_exact < 0.10, (t_hybrid, t_exact)
+    assert (hybrid["span_sample_rate"] == 16).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="heavy_hitter_support"):
+        duplicate_span_stats(docs, n=20, sample_rate=16, heavy_hitter_support=1.5)
