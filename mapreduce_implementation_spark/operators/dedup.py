@@ -254,6 +254,8 @@ def cap_buckets(
     observation=None,
     strategy: str = "window",
     rep_id_col: str | None = None,
+    n_representatives: int = 1,
+    rep_stratum_col: str | None = None,
 ) -> DataFrame:
     """Drop rows in LSH buckets larger than ``max_bucket`` — the
     boilerplate-cohort guard shared by every banded pair miner (a band
@@ -330,6 +332,10 @@ def cap_buckets(
         raise ValueError(f"unknown cap strategy {strategy!r}")
     if strategy == "representative" and rep_id_col is None:
         raise ValueError("strategy='representative' requires rep_id_col")
+    if n_representatives < 1:
+        raise ValueError(
+            f"n_representatives must be >= 1, got {n_representatives}"
+        )
     if observation is None and strategy == "window":
         from pyspark.sql.window import Window
 
@@ -341,10 +347,39 @@ def cap_buckets(
         )
     # under "representative" the bucket min rides the SAME detection
     # agg — one partial-agg pass over df, not a second full read of
-    # the (possibly corpus-scale committed) frame per probing batch
+    # the (possibly corpus-scale committed) frame per probing batch.
+    # n_representatives > 1 (round-12: heterogeneous-cohort repair)
+    # keeps ONE row per hash STRATUM within the bucket — strata keyed
+    # by xxhash64(rep_stratum_col or rep_id_col), and the per-stratum
+    # pick is the min of a SALTED id hash, not the min id: n
+    # deterministic pseudo-UNIFORM draws from the cohort. (A min-id
+    # pick would let an id-ordered sub-family monopolize every
+    # stratum — any stratum containing one small-id member of family
+    # A yields A — whereas uniform draws miss a sub-family holding
+    # fraction p with probability (1-p)^n. A content stratum column
+    # additionally makes the split deterministic BY sub-family when
+    # the content hash separates them.) Still the same one agg pass:
+    # n conditional struct-mins ride the detection groupBy.
+    if strategy == "representative" and n_representatives > 1:
+        stratum = F.pmod(
+            F.xxhash64(F.col(rep_stratum_col or rep_id_col)),
+            F.lit(n_representatives),
+        )
+        sel = F.struct(
+            F.xxhash64(F.col(rep_id_col), F.lit("repsel")).alias("h"),
+            F.col(rep_id_col).alias("i"),
+        )
     detect_aggs = [F.count(F.lit(1)).alias("_bucket_n")]
     if strategy == "representative":
-        detect_aggs.append(F.min(rep_id_col).alias("_rep_id"))
+        if n_representatives == 1:
+            detect_aggs.append(F.min(rep_id_col).alias("_rep_id"))
+        else:
+            detect_aggs.extend(
+                F.min(F.when(stratum == s, sel))
+                .getField("i")
+                .alias(f"_rep_{s}")
+                for s in range(n_representatives)
+            )
     oversized = (
         df.groupBy(*part_cols)
         .agg(*detect_aggs)
@@ -352,13 +387,20 @@ def cap_buckets(
     )
     if observation is not None:
         # capped_rows = rows REMOVED from mining: the whole oversized
-        # mass under drop strategies, mass minus one representative
-        # per bucket under "representative"
-        removed = (
-            F.sum(F.col("_bucket_n") - F.lit(1))
-            if strategy == "representative"
-            else F.sum("_bucket_n")
-        )
+        # mass under drop strategies, mass minus the kept
+        # representatives per bucket under "representative"
+        if strategy == "representative":
+            kept = (
+                F.lit(1)
+                if n_representatives == 1
+                else sum(
+                    F.when(F.col(f"_rep_{s}").isNotNull(), 1).otherwise(0)
+                    for s in range(n_representatives)
+                )
+            )
+            removed = F.sum(F.col("_bucket_n") - kept)
+        else:
+            removed = F.sum("_bucket_n")
         oversized = oversized.observe(
             observation,
             F.coalesce(removed, F.lit(0)).alias("capped_rows"),
@@ -371,21 +413,36 @@ def cap_buckets(
             "left_anti",
         )
     # representative as ONE broadcast left join + filter (kept iff the
-    # bucket is not oversized, or this row IS its min-id row) — NOT a
-    # union of kept∪reps: Union discards the child's output
-    # partitioning, which on a bucketed committed reference would
-    # re-introduce the per-batch exchange the anti-join strategy
-    # exists to avoid. A broadcast join preserves the streamed side's
-    # (bucketed) partitioning, so the committed side stays
-    # exchange-free — plan-gated in tests/test_streaming_pipeline.py.
-    mins = oversized.select(*part_cols, "_rep_id")
+    # bucket is not oversized, or this row IS one of its per-stratum
+    # min-id rows) — NOT a union of kept∪reps: Union discards the
+    # child's output partitioning, which on a bucketed committed
+    # reference would re-introduce the per-batch exchange the
+    # anti-join strategy exists to avoid. A broadcast join preserves
+    # the streamed side's (bucketed) partitioning, so the committed
+    # side stays exchange-free — plan-gated in
+    # tests/test_streaming_pipeline.py.
+    if n_representatives == 1:
+        mins = oversized.select(*part_cols, "_rep_id")
+        return (
+            df.join(F.broadcast(mins), list(part_cols), "left")
+            .where(
+                F.col("_rep_id").isNull()
+                | (F.col(rep_id_col) == F.col("_rep_id"))
+            )
+            .drop("_rep_id")
+        )
+    rep_cols = [f"_rep_{s}" for s in range(n_representatives)]
+    mins = oversized.select(*part_cols, *rep_cols).withColumn(
+        "_ovs", F.lit(1)
+    )
+    is_rep = None
+    for c in rep_cols:
+        eq = F.col(rep_id_col) == F.col(c)
+        is_rep = eq if is_rep is None else (is_rep | eq)
     return (
         df.join(F.broadcast(mins), list(part_cols), "left")
-        .where(
-            F.col("_rep_id").isNull()
-            | (F.col(rep_id_col) == F.col("_rep_id"))
-        )
-        .drop("_rep_id")
+        .where(F.col("_ovs").isNull() | is_rep)
+        .drop("_ovs", *rep_cols)
     )
 
 
@@ -1253,6 +1310,7 @@ def minhash_cross_near_dup(
     cap_observation=None,
     ref_banded: DataFrame | None = None,
     cap_strategy: str = "representative",
+    n_representatives: int = 1,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN two signature sets — the incremental-
     ingest shape: which NEW documents near-duplicate the EXISTING
@@ -1305,6 +1363,8 @@ def minhash_cross_near_dup(
             cap_observation,
             strategy=cap_strategy,
             rep_id_col="ref_id",
+            n_representatives=n_representatives,
+            rep_stratum_col="sig_b",
         )
         cand = (
             bn.join(br, ["band_id", "band_hash"])
@@ -1329,6 +1389,9 @@ def minhash_cross_near_dup(
         cap_observation,
         strategy=cap_strategy,
         rep_id_col="ref_id",
+        # the slim banded frame carries no signature column; strata
+        # fall back to the id hash (diversity by draw, not by content)
+        n_representatives=n_representatives,
     )
     cand = (
         bn.join(br, ["band_id", "band_hash"])
@@ -1362,6 +1425,7 @@ def simhash_cross_near_dup(
     sig_col: str = "simhash",
     cap_observation=None,
     cap_strategy: str = "representative",
+    n_representatives: int = 1,
 ) -> DataFrame:
     """SimHash near-dup pairs BETWEEN two signature sets — the
     incremental-ingest face of the Hamming miner, completing the
@@ -1393,6 +1457,8 @@ def simhash_cross_near_dup(
         cap_observation,
         strategy=cap_strategy,
         rep_id_col="ref_id",
+        n_representatives=n_representatives,
+        rep_stratum_col=sig_col,
     ).alias("b")
     return (
         bn.join(

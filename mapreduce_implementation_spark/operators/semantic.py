@@ -591,6 +591,7 @@ def srp_cross_near_dup(
     cap_observation=None,
     ref_bucketed: DataFrame | None = None,
     cap_strategy: str = "representative",
+    n_representatives: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs BETWEEN two vector sets — the
     incremental-ingest face of ``srp_near_dup_pairs``, completing the
@@ -655,6 +656,8 @@ def srp_cross_near_dup(
         cap_observation,
         strategy=cap_strategy,
         rep_id_col="ref_id",
+        n_representatives=n_representatives,
+        rep_stratum_col="_e_ref_id",
     )
     cand = bn.join(br, "bucket").select(
         "new_id",

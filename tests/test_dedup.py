@@ -941,3 +941,171 @@ def test_cross_representative_strategy_flags_capped_cohort(spark):
         dd.cap_buckets(
             ref_sigs, ("sig",), 4, strategy="representative"
         )
+
+
+def test_cap_representative_strata_keep_mixed_cohort(spark):
+    """Round-12: n_representatives=k keeps one min-id row per hash
+    STRATUM of an oversized bucket. On a bucket holding TWO distinct
+    content families (ids arranged so the global min — the k=1
+    representative — is family A), k=4 stratified on the signature
+    column must retain representatives from BOTH families, at most 4
+    rows, while small buckets pass untouched and k=1 reproduces the
+    round-11 single-representative behavior."""
+    rows = []
+    for i in range(20):
+        rows.append((i * 2, "B0", "famA"))       # family A: even ids
+        rows.append((i * 2 + 1, "B0", "famB"))   # family B: odd ids
+    rows += [(900, "B1", "x"), (901, "B1", "y")]  # small bucket
+    df = spark.createDataFrame(rows, ["doc_id", "bucket", "sig"])
+
+    one = dd.cap_buckets(
+        df, ("bucket",), 4, strategy="representative",
+        rep_id_col="doc_id",
+    ).toPandas()
+    b0_one = one[one["bucket"] == "B0"]
+    assert len(b0_one) == 1 and int(b0_one["doc_id"].iloc[0]) == 0
+    assert len(one[one["bucket"] == "B1"]) == 2
+
+    four = dd.cap_buckets(
+        df, ("bucket",), 4, strategy="representative",
+        rep_id_col="doc_id", n_representatives=4,
+        rep_stratum_col="sig",
+    ).toPandas()
+    b0 = four[four["bucket"] == "B0"]
+    assert 1 <= len(b0) <= 4
+    fams = {"famA" if d % 2 == 0 else "famB" for d in b0["doc_id"]}
+    assert fams == {"famA", "famB"}, b0
+    assert len(four[four["bucket"] == "B1"]) == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_representatives"):
+        dd.cap_buckets(
+            df, ("bucket",), 4, strategy="representative",
+            rep_id_col="doc_id", n_representatives=0,
+        )
+
+
+def _heterogeneous_cohort_docs(spark):
+    """Two text families sharing a dominant boilerplate header (the
+    license-header case): every doc = 60 shared header words + 6
+    family words + 2 unique tail words. Family A holds ids 0–149 and
+    B 150–299, so the min-ID representative of any mixed bucket is
+    ALWAYS family A — the adversarial id layout for the k=1 cap.
+    Under single-component banding most band minima come from the
+    shared header, so both families pile into the SAME oversized
+    band buckets (a heterogeneous cohort); within-family similarity
+    (J≈0.89) clears the 0.8 threshold while cross-family (J≈0.71)
+    does not."""
+    from pyspark.sql import functions as F
+
+    header = " ".join(f"hdr{j}" for j in range(60))
+    fam = F.when(F.col("id") < 150, F.lit("famA")).otherwise(
+        F.lit("famB")
+    )
+    body = F.concat_ws(
+        " ", *[F.concat(fam, F.lit(f"w{j}")) for j in range(6)]
+    )
+    tail = F.concat_ws(
+        " ",
+        F.concat(F.lit("t"), F.col("id")),
+        F.concat(F.lit("u"), F.col("id")),
+    )
+    text = F.concat_ws(" ", F.lit(header), body, tail)
+    return spark.range(300).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+
+
+def test_k_representatives_minhash_probe_heterogeneous_cohort(spark):
+    """Round-11 verdict item 8, the MinHash half — an honest negative
+    on flag recall plus a positive on pair recall. With multi-band
+    LSH, any family-shared mass that separates within-family from
+    cross-family Jaccard also WINS some band's minimum globally for
+    the whole family, so a family-pure bucket forms on that band and
+    its (possibly capped) representative rescues the family's flags:
+    measured flag recall is ~0.99 under BOTH k=1 and k=4 on this
+    mixed cohort (the k=1 failure mode needs single-bucket blocking —
+    see the SRP test below). What k=4 buys the MULTI-band miner is
+    pair recall: 4 uniform-draw representatives per oversized bucket
+    surface strictly more true straddling pairs."""
+    docs = _heterogeneous_cohort_docs(spark)
+
+    def miner(n_reps):
+        def run(new_df, ref_df):
+            new_sigs = dd.minhash_signatures(new_df, k=16)
+            ref_sigs = dd.minhash_signatures(ref_df, k=16)
+            return dd.minhash_cross_near_dup(
+                new_sigs, ref_sigs, k=16, bands=16, rows=1,
+                threshold=0.8, max_bucket=48,
+                cap_strategy="representative",
+                n_representatives=n_reps,
+            )
+        return run
+
+    k1 = dd.cross_miner_recall_probe(
+        docs, miner(1), n_sample=300, threshold=0.8
+    )
+    k4 = dd.cross_miner_recall_probe(
+        docs, miner(4), n_sample=300, threshold=0.8
+    )
+    assert k1["true_pairs"] > 0
+    assert k1["flag_recall"] >= 0.99 and k4["flag_recall"] >= 0.99, (k1, k4)
+    assert k1["precision"] == 1.0 and k4["precision"] == 1.0
+    assert k4["recall"] > k1["recall"], (k1["recall"], k4["recall"])
+
+
+def test_k_representatives_repair_srp_heterogeneous_cohort(spark):
+    """Round-11 verdict item 8, the half where the failure is REAL:
+    SRP blocking puts every vector in exactly ONE bucket, so there is
+    no multi-band rescue — two embedding families sharing all sign
+    bits form one heterogeneous oversized bucket, and under k=1 the
+    min-id representative (family A by id layout) silently un-flags
+    every family-B new vector. k=4 uniform-draw representatives
+    stratified on the embedding restore B's flags."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_cross_near_dup,
+    )
+
+    dim = 8
+    # vA/vB: identical sign pattern (all-positive) under the planes
+    # below, cosine(vA, vB) ~ 0.55 — far below the 0.9 threshold
+    vA = [1.0, 0.1, 1.0, 0.1, 1.0, 0.1, 1.0, 0.1]
+    vB = [0.1, 1.0, 0.1, 1.0, 0.1, 1.0, 0.1, 1.0]
+
+    def member(base, i):
+        # deterministic tiny perturbation: within-family cos ~ 0.999
+        return [
+            x + 0.01 * math.sin(i * 7 + j) for j, x in enumerate(base)
+        ]
+
+    rows = [(i, member(vA, i)) for i in range(40)] + [
+        (100 + i, member(vB, i)) for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [0.5, 1.0] * (dim // 2))],
+        "plane_id int, plane_emb array<double>",
+    )
+    ref = vecs.where((F.col("vec_id") % 2) == 0)   # 20 A + 20 B
+    new = vecs.where((F.col("vec_id") % 2) == 1)
+
+    def flagged(n_reps):
+        got = srp_cross_near_dup(
+            new, ref, planes, threshold=0.9, max_bucket=8,
+            cap_strategy="representative", n_representatives=n_reps,
+        )
+        return {int(r.new_id) for r in got.select("new_id").distinct().collect()}
+
+    f1, f4 = flagged(1), flagged(4)
+    new_a = {i for i in range(40) if i % 2 == 1}
+    new_b = {100 + i for i in range(40) if i % 2 == 1}
+    # k=1: the lone representative is min-id = family A -> every new
+    # B vector is silently novel
+    assert f1 == new_a, f1
+    # k=4: uniform draws put both families among the representatives
+    assert f4 == new_a | new_b, f4
