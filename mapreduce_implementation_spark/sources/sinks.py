@@ -131,6 +131,71 @@ def paged_leaf_counts(
     return counts
 
 
+def distributed_leaf_counts(
+    spark, path: str, partition_cols: list[str]
+) -> dict[tuple, int]:
+    """Per-leaf data-file counts via a LISTING JOB — the 100 TB form.
+
+    The paged JVM walk (:func:`paged_leaf_counts`) is driver-memory
+    bounded but WALL-bounded by py4j: every file costs ~3 Python↔JVM
+    round trips, so a 10⁵-file sink takes minutes of pure driver chat
+    (measured: ~19 s at 20k files, BASELINE.md round 12). Here the
+    driver walks only the partition-DIRECTORY levels with pyarrow.fs
+    (one directory's children in memory at a time, zero py4j), then
+    ships the leaf paths to EXECUTORS, which count each leaf's
+    non-hidden files with a vectorized ``pyarrow.fs`` listing — no
+    py4j anywhere, wall parallelized across the cluster, and the
+    driver receives exactly one (partition values, int) pair per
+    leaf. ``pyarrow.fs.FileSystem.from_uri`` resolves local / HDFS /
+    S3 uniformly, so the same code runs everywhere Spark reads.
+    Hidden (``_``/``.``-prefixed) files and directories are skipped,
+    matching the paged walk (parity pytest-gated)."""
+    from urllib.parse import unquote
+
+    import pyarrow.fs as pafs
+
+    fs, root = pafs.FileSystem.from_uri(path)
+    level: list[tuple[str, tuple]] = [(root, ())]
+    for c in partition_cols:
+        nxt = []
+        for d, vals in level:
+            for info in fs.get_file_info(pafs.FileSelector(d)):
+                name = info.base_name
+                if info.type != pafs.FileType.Directory or name.startswith(
+                    ("_", ".")
+                ):
+                    continue
+                k, sep, v = name.partition("=")
+                if sep and k == c and unquote(v) != (
+                    "__HIVE_DEFAULT_PARTITION__"
+                ):
+                    nxt.append((info.path, vals + (unquote(v),)))
+        level = nxt
+    if not level:
+        return {}
+    root_uri = path
+
+    def count_partition(it):
+        import pyarrow.fs as epafs
+
+        efs, _ = epafs.FileSystem.from_uri(root_uri)
+        for leaf, vals in it:
+            nf = 0
+            for info in efs.get_file_info(epafs.FileSelector(leaf)):
+                if info.type == epafs.FileType.File and not (
+                    info.base_name.startswith(("_", "."))
+                ):
+                    nf += 1
+            if nf:
+                yield (vals, nf)
+
+    sc = spark.sparkContext
+    n_tasks = max(1, min(len(level), sc.defaultParallelism * 4))
+    return dict(
+        sc.parallelize(level, n_tasks).mapPartitions(count_partition).collect()
+    )
+
+
 def compact_partitioned_dataset(
     spark,
     path: str,
@@ -139,6 +204,7 @@ def compact_partitioned_dataset(
     max_files_per_partition: int = 1,
     files_per_partition: int = 1,
     split_col: str | None = None,
+    listing: str = "distributed",
 ) -> dict:
     """Compact small files inside a hive-partitioned parquet dataset —
     the operational answer to what every ``batch_id``-partitioned
@@ -185,8 +251,13 @@ def compact_partitioned_dataset(
     # periodic job stays a no-op once compacted
     max_files_per_partition = max(max_files_per_partition, files_per_partition)
 
+    if listing not in ("distributed", "paged"):
+        raise ValueError(f"listing must be 'distributed' or 'paged', got {listing!r}")
+    leaf_counts = (
+        distributed_leaf_counts if listing == "distributed" else paged_leaf_counts
+    )
     df = spark.read.parquet(path)
-    counts = paged_leaf_counts(spark, path, partition_cols)
+    counts = leaf_counts(spark, path, partition_cols)
     targets = [
         k for k, n in counts.items() if n > max_files_per_partition
     ]
@@ -232,6 +303,6 @@ def compact_partitioned_dataset(
         "partitions_compacted": len(targets),
         "files_before": sum(counts.values()),
         "files_after": sum(
-            paged_leaf_counts(spark, path, partition_cols).values()
+            leaf_counts(spark, path, partition_cols).values()
         ),
     }

@@ -568,17 +568,27 @@ def synth_leaves(spark, n_leaves: int, out_dir: str) -> float:
 
     t0 = time.perf_counter()
     os.makedirs(out_dir, exist_ok=True)
-    template = os.path.join(out_dir, "_template.parquet")
-    pq.write_table(
-        pa.Table.from_pandas(pd.DataFrame({"doc_id": [1, 2], "v": [0.5, 1.5]})),
-        template,
-    )
+    # several rotating templates: ext4 caps hardlinks per inode at
+    # ~65k, so one template tops out below 33k two-file leaves
+    n_templates = max(1, (2 * n_leaves) // 30_000 + 1)
+    templates = []
+    for t in range(n_templates):
+        template = os.path.join(out_dir, f"_template{t}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame({"doc_id": [1, 2], "v": [0.5, 1.5]})
+            ),
+            template,
+        )
+        templates.append(template)
     for i in range(n_leaves):
         leaf = os.path.join(out_dir, f"batch_id={i}")
+        template = templates[i % n_templates]
         os.makedirs(leaf, exist_ok=True)
         os.link(template, os.path.join(leaf, "part-0000.parquet"))
         os.link(template, os.path.join(leaf, "part-0001.parquet"))
-    os.remove(template)  # underscore-prefixed, but keep the root clean
+    for template in templates:
+        os.remove(template)  # underscore-prefixed; keep the root clean
     return time.perf_counter() - t0
 
 
@@ -592,23 +602,33 @@ def run_listing_ab(spark, data_dir: str) -> dict[str, float]:
     InMemoryFileIndex over every FileStatus while the walk holds one
     listing page)."""
     from mapreduce_implementation_spark.sources.sinks import (
+        distributed_leaf_counts,
         paged_leaf_counts,
     )
 
     out: dict[str, float] = {}
-    walls: dict[str, list[float]] = {"paged_walk": [], "input_files": []}
+    walls: dict[str, list[float]] = {
+        "paged_walk": [],
+        "distributed": [],
+        "input_files": [],
+    }
     for _ in range(2):
         t0 = time.perf_counter()
         counts = paged_leaf_counts(spark, data_dir, ["batch_id"])
         walls["paged_walk"].append(round(time.perf_counter() - t0, 2))
         t0 = time.perf_counter()
+        dcounts = distributed_leaf_counts(spark, data_dir, ["batch_id"])
+        walls["distributed"].append(round(time.perf_counter() - t0, 2))
+        t0 = time.perf_counter()
         files = spark.read.parquet(data_dir).inputFiles()
         walls["input_files"].append(round(time.perf_counter() - t0, 2))
+    assert counts == dcounts, "paged vs distributed listing mismatch"
     assert sum(counts.values()) == len(files), (
         sum(counts.values()),
         len(files),
     )
     out["paged_walk_sec"] = min(walls["paged_walk"])
+    out["distributed_sec"] = min(walls["distributed"])
     out["input_files_sec"] = min(walls["input_files"])
     out["walls"] = walls  # type: ignore[assignment]
     out["n_leaves"] = len(counts)

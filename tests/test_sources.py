@@ -314,3 +314,56 @@ def test_compact_two_level_partition_layout(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_leaf_count_forms_agree_and_skip_staging(spark, tmp_path):
+    """The three listing forms must agree on data-file counts, and the
+    walk-based forms must ignore a concurrent writer's staging
+    directories (_temporary/.spark-staging) AND hidden files — the
+    round-12 ADVICE fix (a staging dir's files previously counted as
+    data and could trigger spurious compaction)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.sources.sinks import (
+        distributed_leaf_counts,
+        paged_leaf_counts,
+    )
+
+    path = str(tmp_path / "ds")
+    (
+        spark.range(60)
+        .select(
+            (F.col("id") % 3).alias("batch_id"), F.col("id").alias("v")
+        )
+        .repartition(2, "batch_id")
+        .write.partitionBy("batch_id")
+        .parquet(path)
+    )
+    # a concurrent writer's staging junk + hidden files
+    staging = os.path.join(path, "batch_id=0", ".spark-staging-xyz")
+    os.makedirs(staging)
+    open(os.path.join(staging, "part-junk.parquet"), "wb").close()
+    os.makedirs(os.path.join(path, "_temporary", "0"), exist_ok=True)
+    open(os.path.join(path, "_temporary", "0", "task.parquet"), "wb").close()
+    open(os.path.join(path, "batch_id=1", "_hidden.crc"), "wb").close()
+
+    paged = paged_leaf_counts(spark, path, ["batch_id"])
+    dist = distributed_leaf_counts(spark, path, ["batch_id"])
+    assert paged == dist
+    assert set(paged) == {("0",), ("1",), ("2",)}
+    # real data files only: parquet part files written above
+    real = {
+        k: len(
+            [
+                f
+                for f in os.listdir(os.path.join(path, f"batch_id={k[0]}"))
+                if not f.startswith(("_", ".")) and os.path.isfile(
+                    os.path.join(path, f"batch_id={k[0]}", f)
+                )
+            ]
+        )
+        for k in paged
+    }
+    assert paged == real
