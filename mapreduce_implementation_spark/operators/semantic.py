@@ -454,6 +454,55 @@ def semantic_dedup(
     )
 
 
+def _blas_pair_screen(id_col: str, emb_col: str, threshold: float):
+    """Per-group PAIR emitter, the pairs-output sibling of
+    :func:`_blas_screen`: one Gram matmul per bounded group, then the
+    strict-upper-triangle mask indices become (id_a, id_b, cos_sim)
+    rows directly — no candidate enumeration, only qualifying pairs
+    materialize. Quantization identical to _blas_screen; emitted
+    ``cos_sim`` is the quantized value (qi / 10⁴), the same double the
+    join path's DECIMAL(10,4)→double cast yields."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    thr_i = int(
+        Decimal(repr(float(threshold)))
+        .quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        .scaleb(4)
+    )
+
+    def screen(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf[pdf[emb_col].notna() & pdf["_vn"].notna()]
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pdf[id_col].iloc[0:0],
+                    "id_b": pdf[id_col].iloc[0:0],
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values(id_col)
+        m = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        vn = pdf["_vn"].to_numpy(dtype=np.float64)
+        denom = np.outer(vn, vn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom != 0.0, (m @ m.T) / denom, -np.inf)
+        qi = np.sign(cos) * np.floor(np.abs(cos) * 10_000.0 + 0.5)
+        ia, ib = np.nonzero(np.triu(qi >= thr_i, k=1))
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "cos_sim": qi[ia, ib] / 10_000.0,
+            }
+        )
+
+    return screen
+
+
 def srp_near_dup_pairs(
     vectors: DataFrame,
     planes: DataFrame,
@@ -464,6 +513,7 @@ def srp_near_dup_pairs(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     cap_observation=None,
     cap_strategy: str = "window",
+    pair_screen: str = "blas",
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS blocked by an SRP-LSH bucket —
     the corpus-scale face of semantic dedup (promoted in round 9 from
@@ -483,9 +533,23 @@ def srp_near_dup_pairs(
 
     Returns DataFrame[id_a, id_b, cos_sim double] with ``id_a <
     id_b`` and quantized ``cos_sim >= threshold``.
+
+    ``pair_screen="blas"`` (default, requires a finite
+    ``max_bucket``): groups are bounded after the cap (every
+    surviving bucket ≤ max_bucket rows; under "slice", every (bucket,
+    _slice) ≤ max_bucket+1), so qualifying pairs are emitted straight
+    from one Gram matmul per group (:func:`_blas_pair_screen`) — no
+    per-pair enumeration, no per-pair HOF dot. ``"join"`` is the
+    enumerate-and-fold A/B arm, and the only legal screen under
+    ``max_bucket=None`` (unbounded buckets — the oracle-parity path,
+    which therefore stays oracle-gated on the join form).
     """
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if pair_screen not in ("blas", "join"):
+        raise ValueError(
+            f"pair_screen must be 'blas' or 'join', got {pair_screen!r}"
+        )
     from mapreduce_implementation_spark.functions.vectors import dot, norm
     from mapreduce_implementation_spark.operators.dedup import (
         cap_buckets,
@@ -528,6 +592,27 @@ def srp_near_dup_pairs(
             strategy=cap_strategy,
         )
         slice_eq = F.lit(True)
+    if pair_screen == "blas" and max_bucket is not None:
+        from pyspark.sql import types as T
+
+        group_cols = (
+            ["bucket", "_slice"] if cap_strategy == "slice" else ["bucket"]
+        )
+        id_type = bucketed.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("id_a", id_type),
+                T.StructField("id_b", id_type),
+                T.StructField("cos_sim", T.DoubleType()),
+            ]
+        )
+        return (
+            bucketed.select(id_col, emb_col, "_vn", *group_cols)
+            .groupBy(*group_cols)
+            .applyInPandas(
+                _blas_pair_screen(id_col, emb_col, threshold), out_schema
+            )
+        )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = a.join(
         b,

@@ -255,3 +255,52 @@ def test_srp_cross_representative_flags_capped_cohort(spark):
         new, ref, planes, threshold=0.9, max_bucket=4,
     ).toPandas()
     assert list(map(tuple, rep[["new_id", "ref_id"]].values)) == [(1000, 1)]
+
+
+def test_srp_pair_screens_identical(spark):
+    """pair_screen="blas" (Gram-matmul pair emitter) must reproduce
+    the join screen's pairs AND quantized cosines exactly — across
+    the window cap, the slice strategy (overlap chains included), and
+    an uncapped control where blas silently defers to join."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_near_dup_pairs,
+    )
+
+    # one near-dup cohort (9 members, oversized at max_bucket=4),
+    # one small pair, plus scattered singles
+    def vec(base, i, drift):
+        return [x + drift * math.sin(i * 3 + j) for j, x in enumerate(base)]
+
+    rows = [(i, vec([1.0, 0.2, 0.8, 0.1], i, 0.005)) for i in range(9)]
+    rows += [(50, vec([-1.0, 0.5, -0.2, 0.9], 0, 0.0)),
+             (51, vec([-1.0, 0.5, -0.2, 0.9], 1, 0.004))]
+    rows += [(100 + i, vec([0.1 * (i + 1), -0.7, 0.3, -0.9], i, 0.3))
+             for i in range(4)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "plane_id int, plane_emb array<double>",
+    )
+
+    def pairs(**kw):
+        got = srp_near_dup_pairs(
+            vecs, planes, threshold=0.9, **kw
+        ).orderBy("id_a", "id_b").collect()
+        return [(int(r.id_a), int(r.id_b), float(r.cos_sim)) for r in got]
+
+    for strategy in ("window", "slice"):
+        blas = pairs(max_bucket=4, cap_strategy=strategy,
+                     pair_screen="blas")
+        join = pairs(max_bucket=4, cap_strategy=strategy,
+                     pair_screen="join")
+        assert blas == join, (strategy, blas, join)
+        assert blas, strategy  # non-trivial: the small pair survives
+    # uncapped: blas defers to the join form (unbounded groups)
+    assert pairs(max_bucket=None, pair_screen="blas") == pairs(
+        max_bucket=None, pair_screen="join"
+    )
