@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Round-12 restart-mismatch bisection (r11 verdict item 6).
+
+The kill-resume rehearsal reproduced the once-observed parity
+mismatch at ~1/10 default-provider trials: the INTERRUPTED run
+emits FEWER closed sessions than the control. This harness loops
+trials, and on the first mismatch PRESERVES both outputs and the
+checkpoint, then classifies the difference:
+
+* are the missing rows each affected user's LAST session (the
+  event-time-timeout tail flush — a no-data-batch scheduling
+  question), or mid-stream sessions (a genuine replay bug)?
+* are there any EXTRA rows (sink replay duplication)?
+* what batch was in flight when the kill landed (offset vs commit
+  log), and did the resumed run execute a trailing no-data batch?
+
+Usage: python diagnose_restart.py [max_trials]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark import get_spark
+from scale_rehearsal import N_MICRO_BATCHES, synth_events
+
+KEEP_DIR = "/tmp/mris_restart_mismatch"
+
+
+def main() -> None:
+    max_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    spark = get_spark(app_name="mris-diagnose-restart")
+    spark.sparkContext.setLogLevel("ERROR")
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="mris_diag_")
+    events_dir = os.path.join(root, "events")
+    synth_events(spark, 2_000_000, events_dir)
+    n_files = len(
+        [f for f in os.listdir(events_dir) if f.endswith(".parquet")]
+    )
+    per_trigger = str(max(1, n_files // N_MICRO_BATCHES))
+
+    def start(ckpt: str, out_dir: str):
+        return (
+            sessionize_stream(
+                spark.readStream.schema(
+                    "event_id long, user_id long, ts timestamp, "
+                    "event_type string, value double"
+                )
+                .option("maxFilesPerTrigger", per_trigger)
+                .parquet(events_dir),
+                gap_s=150,
+                timeout_mode="event",
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def batch_ids(ckpt: str, log: str) -> list[int]:
+        d = os.path.join(ckpt, log)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f) for f in os.listdir(d) if f.isdigit()
+        )
+
+    # control once
+    out_c = os.path.join(root, "out_c")
+    q = start(os.path.join(root, "ckpt_c"), out_c)
+    q.awaitTermination()
+    control = spark.read.parquet(out_c)
+    n_c = control.count()
+    print(json.dumps({"control_rows": n_c}), flush=True)
+
+    for trial in range(max_trials):
+        ckpt_i = os.path.join(root, f"ckpt_i{trial}")
+        out_i = os.path.join(root, f"out_i{trial}")
+        q = start(ckpt_i, out_i)
+        target = N_MICRO_BATCHES // 2
+        while q.isActive:
+            p = q.lastProgress
+            if p is not None and p.get("batchId", -1) >= target:
+                break
+            time.sleep(0.1)
+        q.stop()
+        offsets_before = batch_ids(ckpt_i, "offsets")
+        commits_before = batch_ids(ckpt_i, "commits")
+        q = start(ckpt_i, out_i)
+        q.awaitTermination()
+        offsets_after = batch_ids(ckpt_i, "offsets")
+        commits_after = batch_ids(ckpt_i, "commits")
+        got = spark.read.parquet(out_i)
+        n_i = got.count()
+        row = {
+            "trial": trial,
+            "rows": n_i,
+            "rows_match": bool(n_i == n_c),
+            "kill_offsets": offsets_before,
+            "kill_commits": commits_before,
+            "final_offsets": offsets_after,
+            "final_commits": commits_after,
+        }
+        if n_i != n_c:
+            # classify the diff
+            cols = ["user_id", "session_start_s", "session_end_s", "n_events"]
+            missing = control.select(cols).exceptAll(got.select(cols))
+            extra = got.select(cols).exceptAll(control.select(cols))
+            last_per_user = control.groupBy("user_id").agg(
+                F.max("session_end_s").alias("last_end")
+            )
+            missing_last = (
+                missing.join(
+                    last_per_user,
+                    (missing.user_id == last_per_user.user_id)
+                    & (missing.session_end_s == last_per_user.last_end),
+                )
+                .count()
+            )
+            row.update(
+                {
+                    "missing_rows": missing.count(),
+                    "extra_rows": extra.count(),
+                    "missing_that_are_user_last_session": missing_last,
+                }
+            )
+            os.makedirs(KEEP_DIR, exist_ok=True)
+            shutil.copytree(
+                ckpt_i, os.path.join(KEEP_DIR, "ckpt"), dirs_exist_ok=True
+            )
+            shutil.copytree(
+                out_i, os.path.join(KEEP_DIR, "out_i"), dirs_exist_ok=True
+            )
+            shutil.copytree(
+                out_c, os.path.join(KEEP_DIR, "out_c"), dirs_exist_ok=True
+            )
+            print(json.dumps(row), flush=True)
+            print(f"MISMATCH preserved at {KEEP_DIR}", flush=True)
+            break
+        print(json.dumps(row), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
