@@ -88,16 +88,21 @@ def main() -> None:
     n_c = control.count()
     print(json.dumps({"control_rows": n_c}), flush=True)
 
+    # sweep the kill point: the two historical mismatches were cold
+    # first runs where the stop() plausibly landed LATE — near the
+    # trailing no-data batch that flushes the event-time timers — so
+    # probe that region, not just mid-drain
+    targets = [N_MICRO_BATCHES // 2, 6, 7, 8]
     for trial in range(max_trials):
         ckpt_i = os.path.join(root, f"ckpt_i{trial}")
         out_i = os.path.join(root, f"out_i{trial}")
         q = start(ckpt_i, out_i)
-        target = N_MICRO_BATCHES // 2
+        target = targets[trial % len(targets)]
         while q.isActive:
             p = q.lastProgress
             if p is not None and p.get("batchId", -1) >= target:
                 break
-            time.sleep(0.1)
+            time.sleep(0.05)
         q.stop()
         offsets_before = batch_ids(ckpt_i, "offsets")
         commits_before = batch_ids(ckpt_i, "commits")
@@ -109,6 +114,7 @@ def main() -> None:
         n_i = got.count()
         row = {
             "trial": trial,
+            "kill_target": target,
             "rows": n_i,
             "rows_match": bool(n_i == n_c),
             "kill_offsets": offsets_before,

@@ -308,6 +308,21 @@ def cap_buckets(
       catalog table everything rides the bucketing — the committed
       side stays exchange-free, plan-gated.
 
+    ``n_representatives=k`` (round 12, ``"representative"`` only)
+    keeps k rows per oversized bucket instead of one: the bucket is
+    cut into k hash strata (keyed by ``rep_stratum_col`` — pass the
+    row's SIGNATURE/content column so sub-families split
+    deterministically when their content hashes differ — or the id
+    hash), and each stratum keeps the row minimizing a SALTED id
+    hash: k deterministic pseudo-uniform draws. NOT min-id per
+    stratum — an id-ordered sub-family would monopolize every stratum
+    it touches; uniform draws miss a fraction-p sub-family with
+    probability only (1-p)^k. Repairs flag recall on heterogeneous
+    cohorts under single-bucket blocking (SRP: 0.5 → 1.0 on the
+    planted two-family cohort) and pair recall under multi-band
+    blocking (BASELINE.md round 12). k=1 keeps the round-11 exact
+    min-id behavior.
+
     ``observation`` (``pyspark.sql.Observation``, or a string name)
     makes the recall cost visible as ``capped_rows`` /
     ``capped_buckets`` metrics, under EITHER strategy via the anti-join
