@@ -37,7 +37,8 @@ KEEP_DIR = "/tmp/mris_restart_mismatch"
 
 
 def main() -> None:
-    max_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    nums = [a for a in sys.argv[1:] if a.isdigit()]
+    max_trials = int(nums[0]) if nums else 12
     spark = get_spark(app_name="mris-diagnose-restart")
     spark.sparkContext.setLogLevel("ERROR")
     from mapreduce_implementation_spark.streaming.sessionize import (
@@ -51,6 +52,26 @@ def main() -> None:
         [f for f in os.listdir(events_dir) if f.endswith(".parquet")]
     )
     per_trigger = str(max(1, n_files // N_MICRO_BATCHES))
+    if "--sorted" in sys.argv:
+        # the round-12 fix under test: time-sorted input produces no
+        # late rows, so parity across restart must be EXACT at every
+        # kill point (see run_restart_rehearsal)
+        sorted_dir = events_dir + "_tsorted"
+        (
+            spark.read.parquet(events_dir)
+            .repartitionByRange(n_files, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(sorted_dir)
+        )
+        now = time.time()
+        parts = sorted(
+            f for f in os.listdir(sorted_dir) if f.endswith(".parquet")
+        )
+        for j, f in enumerate(parts):
+            mt = now - (len(parts) - j) * 30
+            os.utime(os.path.join(sorted_dir, f), (mt, mt))
+        events_dir = sorted_dir
 
     def start(ckpt: str, out_dir: str):
         return (

@@ -149,8 +149,19 @@ def sessionize_stream(
       ones beyond the watermark). Exact, replay-speed-independent, and
       the flush fires from data progress, so bounded drains see it in
       the trailing no-data batch. The 100 TB-shape choice; mirrors
-      streaming/funnel.py. Late rows beyond the watermark are dropped
-      (the standard bounded-disorder contract).
+      streaming/funnel.py. Late-data contract (round-12 correction —
+      measured, not assumed): unlike the built-in windowed
+      aggregations, applyInPandasWithState does NOT filter
+      late-beyond-watermark input rows; a late row still reaches the
+      state fold, where it either merges into the still-open session
+      or — if the event-time timer already flushed it — opens a NEW
+      session. Which of the two happens depends on the watermark
+      trajectory, i.e. on micro-batch boundaries, which restarts and
+      re-planning legitimately change: output for late rows is
+      therefore only REPEATABLE, not replan-invariant (root-caused
+      from a kill-resume parity mismatch, offsets-log evidence in
+      BASELINE.md round 12). Feed time-ordered-within-delay input
+      when byte parity across restarts matters.
     * ``"none"``: for bounded drains (oracle runs): identical
       closed-session output (a bounded run never reaches a timeout),
       terminates under Trigger.AvailableNow; open tails stay in state.

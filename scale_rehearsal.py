@@ -475,6 +475,43 @@ def run_restart_rehearsal(spark, events_dir: str) -> dict[str, float]:
     )
     per_trigger = str(max(1, n_files // N_MICRO_BATCHES))
 
+    # Round-12 root cause of the once-observed (then 1-in-10
+    # reproduced) parity mismatch: the staged corpus is only COARSELY
+    # time-ordered, so batches contain late-beyond-watermark events,
+    # and a late event's session is a race between it and the
+    # event-time timer — decided by the watermark trajectory, which a
+    # restart legitimately CHANGES (diagnosed from the offsets logs:
+    # the resumed availableNow run packed two file groups into its
+    # first batch, logOffset 4→6, advancing the watermark on a
+    # different schedule; the interrupted run then MERGED two events
+    # 33 s apart that the control had split — the interrupted output
+    # was the more faithful one). Exactly-once machinery (state
+    # restore, sink manifest, batch replay) was clean in every trial.
+    # Restart parity is therefore only GUARANTEED for never-late
+    # data, so the gate drains a TIME-SORTED copy — sorted input can
+    # produce no late rows, flush timing can no longer change session
+    # content, and any future mismatch is a real exactly-once bug,
+    # not the bounded-disorder contract. BASELINE.md round 12.
+    sorted_dir = events_dir.rstrip("/") + "_tsorted"
+    if not os.path.isdir(sorted_dir):
+        ev = spark.read.parquet(events_dir)
+        (
+            ev.repartitionByRange(n_files, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(sorted_dir)
+        )
+        # FileStreamSource orders by (mtime, path): stamp ascending
+        # mtimes in part order so batch k holds older events than k+1
+        now = time.time()
+        parts = sorted(
+            f for f in os.listdir(sorted_dir) if f.endswith(".parquet")
+        )
+        for j, f in enumerate(parts):
+            mt = now - (len(parts) - j) * 30
+            os.utime(os.path.join(sorted_dir, f), (mt, mt))
+    events_dir = sorted_dir
+
     def start(ckpt: str, out_dir: str):
         return (
             sessionize_stream(
