@@ -161,7 +161,16 @@ def sessionize_stream(
       therefore only REPEATABLE, not replan-invariant (root-caused
       from a kill-resume parity mismatch, offsets-log evidence in
       BASELINE.md round 12). Feed time-ordered-within-delay input
-      when byte parity across restarts matters.
+      when byte parity across restarts matters. Bounded-drain note
+      (also measured): the trailing no-data micro-batch owns the
+      final timer flushes; a crash in the one-batch window between
+      the last data commit and that trailing commit leaves pending
+      tails IN STATE — not lost, but a resumed availableNow drain
+      with no new data terminates without advancing the watermark and
+      so never emits them. An unbounded stream self-heals (the next
+      data batch advances the watermark); a bounded pipeline that
+      must flush should append newer data (or accept open tails, as
+      the batch twin does).
     * ``"none"``: for bounded drains (oracle runs): identical
       closed-session output (a bounded run never reaches a timeout),
       terminates under Trigger.AvailableNow; open tails stay in state.

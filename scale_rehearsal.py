@@ -574,6 +574,17 @@ def run_restart_rehearsal(spark, events_dir: str) -> dict[str, float]:
         out["killed_while_active"] = bool(q.isActive)
         q.stop()
         out["first_leg_wall"] = round(time.perf_counter() - t0, 2)
+        # attribution for any parity finding: which batch the kill
+        # actually landed after (stop() latency can overshoot the
+        # polled target on a fast drain) — a kill in the one-batch
+        # window between the last data commit and the trailing
+        # no-data commit leaves pending tails in state BY CONTRACT
+        # (sessionize_stream docstring; BASELINE.md round 12)
+        commits_dir = os.path.join(ckpt_i, "commits")
+        out["kill_after_commit"] = max(
+            (int(f) for f in os.listdir(commits_dir) if f.isdigit()),
+            default=-1,
+        )
 
         t0 = time.perf_counter()
         q = start(ckpt_i, out_i)
