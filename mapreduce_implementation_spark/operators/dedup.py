@@ -217,22 +217,74 @@ def _validate_minhash_bands(k: int, bands: int, rows: int) -> None:
         )
 
 
-def _minhash_banded(sigs: DataFrame, out_id: str, bands: int, rows: int) -> DataFrame:
+def _minhash_banded(
+    sigs: DataFrame,
+    out_id: str,
+    bands: int,
+    rows: int,
+    keep_sig: bool = False,
+) -> DataFrame:
     """Band-exploded projection shared by the in-set and cross-set
     MinHash miners: one (id, band_id, band_hash) row per band; NULL
-    signatures (shingle-less docs) drop here."""
+    signatures (shingle-less docs) drop here. ``keep_sig`` rides the
+    full signature on every band row — the vectorized-screen input
+    (the band shuffle then carries bands× sig copies, which buys the
+    screen zero candidate enumeration and zero post-distinct sig
+    joins; see minhash_near_dup_pairs pair_screen="blas")."""
+    extra = ["sig"] if keep_sig else []
     return (
         sigs.where(F.col("sig").isNotNull())
         .select(
             F.col("doc_id").alias(out_id),
             F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b"),
+            *extra,
         )
         .select(
             out_id,
             F.col("b.band_id").alias("band_id"),
             F.col("b.band_hash").alias("band_hash"),
+            *extra,
         )
     )
+
+
+def _minhash_blas_screen(id_col: str, k: int, threshold: float):
+    """Per-bucket signature-agreement screen as ONE numpy broadcast —
+    the MinHash face of the Gram-matmul screens (semantic._blas_screen
+    lineage): within a bounded band bucket, the (c, k) int signature
+    matrix compares against itself ((c, 1, k) == (1, c, k) summed over
+    k), the strict upper triangle of est = counts / k >= threshold
+    becomes the emitted pairs, and the same pair surfacing from
+    several bands carries the identical est, so a plain .distinct()
+    dedupes downstream. est arithmetic is bit-identical to the join
+    path's size(filter(zip_with)) / k double division."""
+
+    def screen(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": pdf[id_col].iloc[0:0],
+                    "doc_b": pdf[id_col].iloc[0:0],
+                    "est_jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values(id_col)
+        s = np.stack(pdf["sig"].to_numpy())
+        est = (s[:, None, :] == s[None, :, :]).sum(axis=2) / float(k)
+        ia, ib = np.nonzero(np.triu(est >= threshold, k=1))
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ia],
+                "doc_b": ids[ib],
+                "est_jaccard": est[ia, ib],
+            }
+        )
+
+    return screen
 
 
 # Default LSH-bucket cap for every pair miner. A bucket of B members
@@ -641,6 +693,7 @@ def minhash_near_dup_pairs(
     signatures: DataFrame | None = None,
     cap_observation=None,
     cap_strategy: str = "window",
+    pair_screen: str = "join",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
@@ -666,14 +719,72 @@ def minhash_near_dup_pairs(
     three readers (band explode + both verify-join sides). When omitted,
     the chain is computed here and session-cached as a small-scale
     stand-in (released by the next registry query via
-    caching.release_caches)."""
+    caching.release_caches).
+
+    ``pair_screen``: ``"join"`` (DEFAULT — measured, round 12) or
+    ``"blas"``. The vectorized per-bucket screen that won 6-8x for
+    the embedding miners LOSES 10x here (1M-doc interleaved A/B,
+    digest-identical: join 28.5 s vs blas 287 s, BASELINE.md round
+    12) because the regimes differ: applyInPandas costs per GROUP,
+    and minhash band buckets are numerous and mostly singletons on a
+    natural corpus (~4M groups at 1M docs), where SRP buckets
+    (~N/2^P ≈ 64 members) and semantic clusters (~1000 members) are
+    few and large. The join screen additionally reuses the window
+    cap's exchange for both join sides. "blas" is kept as the
+    priced opt-in for corpora whose surviving buckets are near the
+    cap (few, large); it requires a finite ``max_bucket`` and is
+    parity pytest-gated across window/slice caps."""
     _validate_minhash_bands(k, bands, rows)
+    if pair_screen not in ("blas", "join"):
+        raise ValueError(
+            f"pair_screen must be 'blas' or 'join', got {pair_screen!r}"
+        )
     if signatures is None:
         sigs = track_cache(
             minhash_signatures(df, id_col, text_col, shingle_n=shingle_n, k=k)
         )
     else:
         sigs = signatures
+    if pair_screen == "blas" and max_bucket is not None:
+        # Vectorized screen (round 12, the Gram-screen lineage): with
+        # a finite max_bucket every band bucket (or slice) is bounded,
+        # so the signature-agreement verify collapses into one numpy
+        # broadcast per group — no candidate-pair enumeration, and the
+        # two post-distinct sig joins (two corpus-scale shuffles in
+        # the join form) disappear because the signature rides the
+        # band rows (bands x 8k bytes per doc through the one band
+        # exchange). max_bucket=None keeps the join screen — the
+        # oracle-parity path, unbounded buckets.
+        from pyspark.sql import types as T
+
+        banded = _minhash_banded(sigs, "doc_id", bands, rows, keep_sig=True)
+        if cap_strategy == "slice":
+            banded = slice_buckets(
+                banded, ("band_id", "band_hash"), max_bucket, "doc_id",
+                cap_observation,
+            )
+            group_cols = ["band_id", "band_hash", "_slice"]
+        else:
+            banded = cap_buckets(
+                banded, ("band_id", "band_hash"), max_bucket,
+                cap_observation, strategy=cap_strategy,
+            )
+            group_cols = ["band_id", "band_hash"]
+        id_type = sigs.schema["doc_id"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_a", id_type),
+                T.StructField("doc_b", id_type),
+                T.StructField("est_jaccard", T.DoubleType()),
+            ]
+        )
+        return (
+            banded.groupBy(*group_cols)
+            .applyInPandas(
+                _minhash_blas_screen("doc_id", k, threshold), out_schema
+            )
+            .distinct()
+        )
     # The banded projection filters NULL sigs ABOVE the cached frame —
     # pushdown-safe: cache substitution (InMemoryRelation) happens
     # before the optimizer, so the filter lands on the cache scan, not

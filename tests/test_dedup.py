@@ -1109,3 +1109,35 @@ def test_k_representatives_repair_srp_heterogeneous_cohort(spark):
     assert f1 == new_a, f1
     # k=4: uniform draws put both families among the representatives
     assert f4 == new_a | new_b, f4
+
+
+def test_minhash_pair_screens_identical(spark):
+    """pair_screen="blas" (per-bucket numpy signature-agreement) must
+    reproduce the join screen's pairs AND est_jaccard values exactly
+    across the window and slice caps; uncapped, blas defers to the
+    join form."""
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    for i in range(12):  # a near-dup cohort (oversized at max 4)
+        rows.append((i, base + f" tail{i % 3} extra{i}"))
+    rows.append((50, "completely different text about gardens and stones"))
+    rows.append((51, "completely different text about gardens and stones!"))
+    for j in range(6):
+        rows.append((100 + j, f"unrelated filler {j} topic{j} widget{j} gadget{j} flange{j}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairs(**kw):
+        got = dd.minhash_near_dup_pairs(
+            docs, "doc_id", "text", shingle_n=3, k=16, bands=4, rows=4,
+            threshold=0.4, **kw,
+        ).orderBy("doc_a", "doc_b").collect()
+        return [(int(r.doc_a), int(r.doc_b), float(r.est_jaccard)) for r in got]
+
+    for strategy in ("window", "slice"):
+        blas = pairs(max_bucket=4, cap_strategy=strategy, pair_screen="blas")
+        join = pairs(max_bucket=4, cap_strategy=strategy, pair_screen="join")
+        assert blas == join, (strategy, blas, join)
+        assert blas, strategy
+    assert pairs(max_bucket=None, pair_screen="blas") == pairs(
+        max_bucket=None, pair_screen="join"
+    )
