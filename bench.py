@@ -90,14 +90,22 @@ def main() -> None:
 
     warm = warm_probe_timings(spark, sf_dir)
 
+    # Calibration-normalized total (round-12 verdict item 3): the
+    # cross-round comparison everyone actually does by hand. The
+    # calibration probe is pure compute with a constant plan, so
+    # total/calibration cancels uniform host-speed drift; compare
+    # total_per_cal across rounds FIRST, raw seconds second (a move in
+    # one query is still read off `queries` + `calibration`).
+    cal = min(calibration_runs)
     out = {
         "metric": "headline query wall-clock, noop sink, min of 2 runs",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "runs": runs,
-        "calibration": min(calibration_runs),
+        "calibration": cal,
         "calibration_runs": calibration_runs,
+        "total_per_cal": round(sum(timings.values()) / cal, 2) if cal else None,
         "warm_queries": warm,
         "runs_per_query": 2,
         "first_slot_warmup": True,

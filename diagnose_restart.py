@@ -14,7 +14,16 @@ checkpoint, then classifies the difference:
 * what batch was in flight when the kill landed (offset vs commit
   log), and did the resumed run execute a trailing no-data batch?
 
-Usage: python diagnose_restart.py [max_trials]
+Usage: python diagnose_restart.py [max_trials] [--sorted]
+       [--drop-late] [--rocksdb]
+
+``--drop-late`` (round-13 verdict item 4): run the operator with
+drop_late=True on the AS-STAGED (disordered) corpus — the late-row/
+timer race class (a) disappears because late rows never reach the
+fold; the trailing-flush class (b) is completed with the
+write_flush_sentinel finish step after the resume (round-13 item 6),
+so the gate demands EXACT parity on every trial. ``--rocksdb``
+switches the state-store provider.
 """
 
 from __future__ import annotations
@@ -41,8 +50,16 @@ def main() -> None:
     max_trials = int(nums[0]) if nums else 12
     spark = get_spark(app_name="mris-diagnose-restart")
     spark.sparkContext.setLogLevel("ERROR")
+    drop_late = "--drop-late" in sys.argv
+    if "--rocksdb" in sys.argv:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     from mapreduce_implementation_spark.streaming.sessionize import (
         sessionize_stream,
+        write_flush_sentinel,
     )
 
     root = tempfile.mkdtemp(prefix="mris_diag_")
@@ -84,6 +101,7 @@ def main() -> None:
                 .parquet(events_dir),
                 gap_s=150,
                 timeout_mode="event",
+                drop_late=drop_late,
             )
             .writeStream.format("parquet")
             .outputMode("append")
@@ -129,6 +147,20 @@ def main() -> None:
         commits_before = batch_ids(ckpt_i, "commits")
         q = start(ckpt_i, out_i)
         q.awaitTermination()
+        if drop_late:
+            # resume-and-FINISH (round-13 item 6): the kill may have
+            # landed inside the trailing-flush window, stranding tails
+            # in state; the sentinel re-advances the watermark to the
+            # control's final value and a last drain emits them
+            max_ts = int(
+                spark.read.parquet(events_dir)
+                .agg(F.max(F.col("ts").cast("long")))
+                .first()[0]
+            )
+            sentinel = write_flush_sentinel(events_dir, max_ts)
+            q = start(ckpt_i, out_i)
+            q.awaitTermination()
+            os.remove(sentinel)
         offsets_after = batch_ids(ckpt_i, "offsets")
         commits_after = batch_ids(ckpt_i, "commits")
         got = spark.read.parquet(out_i)

@@ -298,6 +298,76 @@ def _minhash_blas_screen(id_col: str, k: int, threshold: float):
 # caller on defaults gets the capped shape.
 DEFAULT_MAX_BUCKET = 1000
 
+# pair_screen="auto" crossover: choose the vectorized (blas) per-group
+# screen when the MEAN SURVIVING GROUP SIZE is at least this many rows,
+# the enumerate-and-fold join below it. Measured both ways (round 12:
+# minhash at 1M docs — ~4M mostly-singleton buckets, join 28.5 s vs
+# blas 287 s; SRP ~64-member buckets, blas 6.0×; semantic bounded
+# clusters, blas 7.7×; round-13 sweep over controlled mean sizes
+# pins the crossover — BASELINE.md). applyInPandas costs per GROUP
+# (Arrow batch + Python dispatch), the join costs per candidate PAIR:
+# tiny groups generate almost no pairs but still pay the group toll.
+AUTO_SCREEN_MIN_MEAN = 8.0
+
+
+def choose_pair_screen(
+    small_rows: int,
+    small_groups: int,
+    big_rows: int,
+    max_bucket: int,
+    sliced: bool,
+) -> str:
+    """The pair_screen="auto" decision rule (shared by the MinHash,
+    SRP and semantic miners): compute the mean size of the groups the
+    screen will actually see and compare against the measured
+    crossover. Under a slice strategy the oversized mass is cut into
+    ~max_bucket-sized groups (ideal blas groups); under drop
+    strategies it never reaches the screen."""
+    rows = small_rows + (big_rows if sliced else 0)
+    groups = small_groups + (
+        -(-big_rows // max_bucket) if sliced and big_rows else 0
+    )
+    if groups <= 0:
+        return "join"  # nothing survives — shape is irrelevant
+    return "blas" if rows / groups >= AUTO_SCREEN_MIN_MEAN else "join"
+
+
+def _group_size_stats(df: DataFrame, part_cols, max_bucket: int):
+    """One bounded agg feeding choose_pair_screen: (small_rows,
+    small_groups, big_rows) over the grouped frame. Partial agg — only
+    (key, count) rows shuffle, and the second-level agg folds them to
+    ONE driver row. This is the eager job pair_screen="auto" pays at
+    build time; callers that know their regime pin "join"/"blas" to
+    skip it."""
+    row = (
+        df.groupBy(*part_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.coalesce(
+                F.sum(F.when(F.col("_n") <= max_bucket, F.col("_n"))),
+                F.lit(0),
+            ).alias("small_rows"),
+            F.count_if(F.col("_n") <= max_bucket).alias("small_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("_n") > max_bucket, F.col("_n"))),
+                F.lit(0),
+            ).alias("big_rows"),
+        )
+        .first()
+    )
+    return int(row.small_rows), int(row.small_groups), int(row.big_rows)
+
+
+def _validate_rep_params(cap_strategy: str, n_representatives: int) -> None:
+    """Miner-level guard (ADVICE r12): asking for k>1 representatives
+    under a drop strategy would silently lose the recall repair the
+    parameter buys — refuse loudly instead."""
+    if cap_strategy != "representative" and n_representatives != 1:
+        raise ValueError(
+            "n_representatives > 1 requires cap_strategy="
+            f"'representative' (got {cap_strategy!r})"
+        )
+
 
 def cap_buckets(
     df: DataFrame,
@@ -399,6 +469,16 @@ def cap_buckets(
         raise ValueError(f"unknown cap strategy {strategy!r}")
     if strategy == "representative" and rep_id_col is None:
         raise ValueError("strategy='representative' requires rep_id_col")
+    if strategy != "representative" and (
+        n_representatives != 1 or rep_stratum_col is not None
+    ):
+        # a drop strategy would silently discard the representatives
+        # the caller asked for — exactly the recall repair the
+        # parameters exist to buy (ADVICE r12)
+        raise ValueError(
+            "n_representatives / rep_stratum_col apply only to "
+            f"strategy='representative' (got strategy={strategy!r})"
+        )
     if n_representatives < 1:
         raise ValueError(
             f"n_representatives must be >= 1, got {n_representatives}"
@@ -557,7 +637,14 @@ def slice_buckets(
 
     ``observation`` reports ``sliced_rows``/``sliced_buckets`` (the
     oversized mass now mined in slices), eagerly materialized for
-    the same AQE reason as cap_buckets."""
+    the same AQE reason as cap_buckets.
+
+    CONTRACT (ADVICE r12): the any-oversized probe below runs at
+    BUILD time and its answer is baked into the returned plan —
+    re-invoke this builder whenever the underlying data changes, and
+    keep the input deterministic between build and action (a frame
+    re-executed per micro-batch with moving data could mine a
+    late-arriving oversized bucket un-sliced)."""
     if max_bucket is None:
         if observation is not None:
             raise ValueError(
@@ -693,7 +780,7 @@ def minhash_near_dup_pairs(
     signatures: DataFrame | None = None,
     cap_observation=None,
     cap_strategy: str = "window",
-    pair_screen: str = "join",
+    pair_screen: str = "auto",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
@@ -721,23 +808,29 @@ def minhash_near_dup_pairs(
     stand-in (released by the next registry query via
     caching.release_caches).
 
-    ``pair_screen``: ``"join"`` (DEFAULT — measured, round 12) or
-    ``"blas"``. The vectorized per-bucket screen that won 6-8x for
-    the embedding miners LOSES 10x here (1M-doc interleaved A/B,
-    digest-identical: join 28.5 s vs blas 287 s, BASELINE.md round
-    12) because the regimes differ: applyInPandas costs per GROUP,
-    and minhash band buckets are numerous and mostly singletons on a
-    natural corpus (~4M groups at 1M docs), where SRP buckets
-    (~N/2^P ≈ 64 members) and semantic clusters (~1000 members) are
-    few and large. The join screen additionally reuses the window
-    cap's exchange for both join sides. "blas" is kept as the
-    priced opt-in for corpora whose surviving buckets are near the
-    cap (few, large); it requires a finite ``max_bucket`` and is
-    parity pytest-gated across window/slice caps."""
+    ``pair_screen``: ``"auto"`` (default, round 13) measures the
+    band-bucket size distribution with one bounded partial agg at
+    build time and picks the regime-correct screen via
+    ``choose_pair_screen`` (mean surviving bucket size vs the
+    measured ``AUTO_SCREEN_MIN_MEAN`` crossover); ``"join"`` and
+    ``"blas"`` pin it and skip the agg. The regimes are measured both
+    ways (round 12, 1M-doc interleaved A/B, digest-identical): the
+    vectorized per-bucket screen that won 6-8x for the embedding
+    miners LOSES 10x here (join 28.5 s vs blas 287 s) because
+    applyInPandas costs per GROUP, and minhash band buckets are
+    numerous and mostly singletons on a natural corpus (~4M groups
+    at 1M docs), where SRP buckets (~N/2^P ≈ 64 members) and
+    semantic clusters (~1000 members) are few and large. The join
+    screen additionally reuses the window cap's exchange for both
+    join sides. "blas" fits corpora whose surviving buckets are near
+    the cap (few, large); it requires a finite ``max_bucket`` (auto
+    resolves to "join" under ``max_bucket=None``, the only legal
+    screen there) and is parity pytest-gated across window/slice
+    caps."""
     _validate_minhash_bands(k, bands, rows)
-    if pair_screen not in ("blas", "join"):
+    if pair_screen not in ("blas", "join", "auto"):
         raise ValueError(
-            f"pair_screen must be 'blas' or 'join', got {pair_screen!r}"
+            f"pair_screen must be 'blas', 'join' or 'auto', got {pair_screen!r}"
         )
     if signatures is None:
         sigs = track_cache(
@@ -745,6 +838,19 @@ def minhash_near_dup_pairs(
         )
     else:
         sigs = signatures
+    if pair_screen == "auto":
+        if max_bucket is None:
+            pair_screen = "join"
+        else:
+            pair_screen = choose_pair_screen(
+                *_group_size_stats(
+                    _minhash_banded(sigs, "doc_id", bands, rows),
+                    ("band_id", "band_hash"),
+                    max_bucket,
+                ),
+                max_bucket,
+                cap_strategy == "slice",
+            )
     if pair_screen == "blas" and max_bucket is not None:
         # Vectorized screen (round 12, the Gram-screen lineage): with
         # a finite max_bucket every band bucket (or slice) is bounded,
@@ -1474,6 +1580,7 @@ def minhash_cross_near_dup(
     _validate_minhash_bands(k, bands, rows)
     if (ref_sigs is None) == (ref_banded is None):
         raise ValueError("pass exactly one of ref_sigs / ref_banded")
+    _validate_rep_params(cap_strategy, n_representatives)
     bn = _minhash_banded(new_sigs, "new_id", bands, rows)
     sa = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_a"))
     if ref_banded is not None:
@@ -1488,9 +1595,15 @@ def minhash_cross_near_dup(
             max_bucket,
             cap_observation,
             strategy=cap_strategy,
-            rep_id_col="ref_id",
-            n_representatives=n_representatives,
-            rep_stratum_col="sig_b",
+            **(
+                {
+                    "rep_id_col": "ref_id",
+                    "n_representatives": n_representatives,
+                    "rep_stratum_col": "sig_b",
+                }
+                if cap_strategy == "representative"
+                else {}
+            ),
         )
         cand = (
             bn.join(br, ["band_id", "band_hash"])
@@ -1514,10 +1627,13 @@ def minhash_cross_near_dup(
         max_bucket,
         cap_observation,
         strategy=cap_strategy,
-        rep_id_col="ref_id",
         # the slim banded frame carries no signature column; strata
         # fall back to the id hash (diversity by draw, not by content)
-        n_representatives=n_representatives,
+        **(
+            {"rep_id_col": "ref_id", "n_representatives": n_representatives}
+            if cap_strategy == "representative"
+            else {}
+        ),
     )
     cand = (
         bn.join(br, ["band_id", "band_hash"])
@@ -1573,6 +1689,7 @@ def simhash_cross_near_dup(
     Returns DataFrame[new_id, ref_id, hamming]; a new doc with no
     qualifying row is genuinely novel."""
     _validate_simhash_blocking(n_bits, bands, max_hamming)
+    _validate_rep_params(cap_strategy, n_representatives)
     bn = _simhash_banded(
         new_sigs, id_col, sig_col, "new_id", n_bits, bands
     ).alias("a")
@@ -1582,9 +1699,15 @@ def simhash_cross_near_dup(
         max_bucket,
         cap_observation,
         strategy=cap_strategy,
-        rep_id_col="ref_id",
-        n_representatives=n_representatives,
-        rep_stratum_col=sig_col,
+        **(
+            {
+                "rep_id_col": "ref_id",
+                "n_representatives": n_representatives,
+                "rep_stratum_col": sig_col,
+            }
+            if cap_strategy == "representative"
+            else {}
+        ),
     ).alias("b")
     return (
         bn.join(

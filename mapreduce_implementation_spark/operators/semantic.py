@@ -99,17 +99,24 @@ def _blas_screen(id_col: str, emb_col: str, threshold: float):
     result showed the join's pair ENUMERATION, not the dot arithmetic,
     is the binding cost, so the fix is to stop enumerating.
 
-    Parity with the join screen: ``_vn`` (Spark's left-fold L2 norm)
-    rides in, so denominators are bit-identical; only the dot's
-    summation ORDER differs (BLAS vs left fold), inside the ~1e-15
-    band the DECIMAL(10,4) quantization exists to absorb. HALF_UP
-    quantization is replicated as sign·floor(|c|·10⁴ + 0.5) — no
-    double is exactly representable at a .00005 decimal boundary
-    (such boundaries carry a factor 5⁻⁵, never dyadic), so the two
-    roundings agree outside that same 1e-13 band. Gated hash-equal by
-    the demoted slice-parity oracle (tests/test_demoted_oracles.py)
-    and the planted-twin pytests."""
+    Parity with the join screen is EXACT: ``_vn`` (Spark's left-fold
+    L2 norm) rides in, so denominators are bit-identical; the dot's
+    summation ORDER differs (BLAS vs left fold) only inside a ~1e-15
+    band, and similarity.np_quantize_q4 recomputes every boundary-
+    adjacent score through Spark's exact left fold and quantizes it
+    with shortest-repr HALF_UP — the JVM double→DECIMAL(10,4) cast's
+    own semantics (round-12's sign·floor(|c|·10⁴+0.5) alone missed
+    the shortest-repr edge — ADVICE r12). Gated hash-equal by the
+    demoted slice-parity oracle (tests/test_demoted_oracles.py) and
+    the planted-twin pytests."""
     from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_implementation_spark.operators.similarity import (
+        np_quantize_q4,
+        ship_module_by_value,
+    )
+
+    ship_module_by_value()
 
     thr_i = int(
         Decimal(repr(float(threshold)))
@@ -130,7 +137,16 @@ def _blas_screen(id_col: str, emb_col: str, threshold: float):
         denom = np.outer(vn, vn)
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom != 0.0, (m @ m.T) / denom, -np.inf)
-        qi = np.sign(cos) * np.floor(np.abs(cos) * 10_000.0 + 0.5)
+        n = len(pdf)
+
+        def exact_at(flat_ix: int) -> float:
+            i, j = divmod(flat_ix, n)
+            acc = 0.0
+            for a, b in zip(m[i], m[j]):
+                acc += a * b
+            return acc / (vn[i] * vn[j])
+
+        qi = np_quantize_q4(cos, exact_at)
         # drop j iff ANY i < j (id order) qualifies — the pairwise
         # min-id rule, same strict-upper-triangle the join's
         # a.id < b.id condition walks
@@ -155,7 +171,8 @@ def semantic_dedup(
     max_cluster: int | None = DEFAULT_MAX_BUCKET,
     exempt_strategy: str = "slice",
     exemption_observation=None,
-    pair_screen: str = "blas",
+    pair_screen: str = "auto",
+    assign_impl: str = "arrow",
 ) -> DataFrame:
     """Semantic dedup: k-means clusters + within-cluster cosine screen.
 
@@ -194,17 +211,35 @@ def semantic_dedup(
     the k-row cluster-size agg) and skips the entire slice subtree —
     positioning barrier included — when no cluster is oversized, the
     common case. ``"keep"`` and ``max_cluster=None`` build fully lazy
-    plans.
+    plans. CONTRACT (ADVICE r12): the probe's answer is baked into
+    the returned plan, so the builder must be RE-INVOKED whenever the
+    underlying data changes (a frame built once and re-executed per
+    micro-batch would mine a late-arriving mega-cluster un-sliced);
+    the input should be deterministic between build and action —
+    callers composing plans they may never execute, or over moving
+    inputs, should pass ``exempt_strategy="keep"`` or a precomputed
+    ``assignment``.
 
     ``pair_screen`` picks how within-group pairs are screened when
     ``max_cluster`` is finite (groups then bounded at max_cluster+1
-    rows): ``"blas"`` (default) runs one Gram matmul per group via
-    applyInPandas — no pair enumeration, Arrow-batched, the round-12
-    fix for the join screen's binding cost; ``"join"`` is the
+    rows): ``"auto"`` (default, round 13) reads the cluster-size
+    stats the probe job already computes and picks by mean surviving
+    group size vs the measured crossover
+    (dedup.choose_pair_screen — bounded clusters are few and large,
+    so natural corpora resolve to "blas"); ``"blas"`` runs one Gram
+    matmul per group via applyInPandas — no pair enumeration,
+    Arrow-batched, the round-12 fix for the join screen's binding
+    cost; ``"join"`` is the
     enumerate-and-fold self-join (the A/B arm, and the only legal
     screen under ``max_cluster=None``, where a group is an unbounded
     whole cluster). Results are parity-gated equal (demoted slice
     oracle + planted twins).
+
+    ``assign_impl`` picks the assignment kernel
+    (similarity.assign_inverted_lists): ``"arrow"`` (default) is the
+    round-13 mapInPandas matmul — the round-12 decomposition showed
+    the assignment's HOF folds dominating the whole operator;
+    ``"expr"`` is the all-expression A/B arm. Parity-gated identical.
     """
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
@@ -213,9 +248,9 @@ def semantic_dedup(
             f"exempt_strategy must be 'slice' or 'keep', got "
             f"{exempt_strategy!r}"
         )
-    if pair_screen not in ("blas", "join"):
+    if pair_screen not in ("blas", "join", "auto"):
         raise ValueError(
-            f"pair_screen must be 'blas' or 'join', got {pair_screen!r}"
+            f"pair_screen must be 'blas', 'join' or 'auto', got {pair_screen!r}"
         )
     if max_cluster is None and exemption_observation is not None:
         raise ValueError(
@@ -256,7 +291,7 @@ def semantic_dedup(
         assigned = track_cache(
             sim.assign_inverted_lists(
                 vectors, centroids, 1, id_col=id_col, emb_col=emb_col,
-                keep_cols=(emb_col,),
+                keep_cols=(emb_col,), impl=assign_impl,
             ).withColumn("_vn", norm(F.col(emb_col)))
         )
     if max_cluster is not None:
@@ -306,25 +341,67 @@ def semantic_dedup(
             .where(F.col("_csize") <= max_cluster)
             .drop("_csize")
         )
+        # Cluster-size stats probe — ONE eager job serving two
+        # decisions (round-11 verdict item 1 + round-13 item 2): the
+        # any-oversized gate on the slice subtree (its positioning
+        # barrier / cmin agg / union / second self-join previously
+        # executed even when NO cluster was oversized — the common
+        # case — costing the sf0.1 warm bench 2.76×) and the
+        # pair_screen="auto" regime pick. `sizes` is ≤ k rows after
+        # the partial agg; the scan the probe triggers populates the
+        # track_cache'd assignment the final action needs anyway, so
+        # end-to-end work is unchanged — but callers that never act
+        # on the result pay one assignment pass (see the laziness
+        # CONTRACT in the docstring). Pinned pair_screen +
+        # exempt_strategy="keep" (or max_cluster=None) stays fully
+        # lazy. With telemetry on, `sizes` is already checkpointed
+        # and the probe reads the k cached rows.
+        size_stats = None
+        if pair_screen == "auto" or exempt_strategy == "slice":
+            size_stats = sizes.select(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_csize") <= max_cluster, F.col("_csize")
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("small_rows"),
+                F.count_if(F.col("_csize") <= max_cluster).alias(
+                    "small_groups"
+                ),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_csize") > max_cluster, F.col("_csize")
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("big_rows"),
+            ).first()
+        if pair_screen == "auto":
+            from mapreduce_implementation_spark.operators.dedup import (
+                choose_pair_screen,
+            )
+
+            pair_screen = choose_pair_screen(
+                int(size_stats.small_rows),
+                int(size_stats.small_groups),
+                int(size_stats.big_rows),
+                max_cluster,
+                exempt_strategy == "slice",
+            )
     else:
         mineable = assigned
+        if pair_screen == "auto":
+            # unbounded clusters: the join screen is the only legal
+            # form (a mega-cluster group would not fit a Python worker)
+            pair_screen = "join"
     slice_members = None
-    if max_cluster is not None and exempt_strategy == "slice" and bool(
-        # Any-oversized existence probe (round-11 verdict item 1): the
-        # slice subtree's positioning barrier (assign_contiguous_ids'
-        # eager localCheckpoint) plus its cmin agg / union / second
-        # self-join executed even when NO cluster is oversized — the
-        # common case on natural corpora — and the sf0.1 warm bench
-        # paid 2.76x for machinery that mined zero rows. `sizes` is
-        # <= k rows after the partial agg, so the probe is one
-        # take(1); it is the ONE eager job this builder runs (the
-        # scan it triggers populates the track_cache'd assignment the
-        # final action needs anyway, so end-to-end work is unchanged —
-        # but callers that never act on the result now pay one
-        # assignment pass; "keep" and max_cluster=None stay fully
-        # lazy). With telemetry on, `sizes` is already checkpointed
-        # and the probe reads the k cached rows.
-        sizes.where(F.col("_csize") > max_cluster).take(1)
+    if (
+        max_cluster is not None
+        and exempt_strategy == "slice"
+        and int(size_stats.big_rows) > 0
     ):
         # Mega-cluster mining (round-10 verdict item 1): the oversized
         # clusters hold exactly the densest near-dup mass — mine them
@@ -459,10 +536,18 @@ def _blas_pair_screen(id_col: str, emb_col: str, threshold: float):
     :func:`_blas_screen`: one Gram matmul per bounded group, then the
     strict-upper-triangle mask indices become (id_a, id_b, cos_sim)
     rows directly — no candidate enumeration, only qualifying pairs
-    materialize. Quantization identical to _blas_screen; emitted
-    ``cos_sim`` is the quantized value (qi / 10⁴), the same double the
-    join path's DECIMAL(10,4)→double cast yields."""
+    materialize. Quantization identical to _blas_screen (exact-fold
+    replay at decimal boundaries via similarity.np_quantize_q4);
+    emitted ``cos_sim`` is the quantized value (qi / 10⁴), the same
+    double the join path's DECIMAL(10,4)→double cast yields."""
     from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_implementation_spark.operators.similarity import (
+        np_quantize_q4,
+        ship_module_by_value,
+    )
+
+    ship_module_by_value()
 
     thr_i = int(
         Decimal(repr(float(threshold)))
@@ -489,7 +574,16 @@ def _blas_pair_screen(id_col: str, emb_col: str, threshold: float):
         denom = np.outer(vn, vn)
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom != 0.0, (m @ m.T) / denom, -np.inf)
-        qi = np.sign(cos) * np.floor(np.abs(cos) * 10_000.0 + 0.5)
+        nrow = len(pdf)
+
+        def exact_at(flat_ix: int) -> float:
+            i, j = divmod(flat_ix, nrow)
+            acc = 0.0
+            for a, b in zip(m[i], m[j]):
+                acc += a * b
+            return acc / (vn[i] * vn[j])
+
+        qi = np_quantize_q4(cos, exact_at)
         ia, ib = np.nonzero(np.triu(qi >= thr_i, k=1))
         ids = pdf[id_col].to_numpy()
         return pd.DataFrame(
@@ -513,7 +607,7 @@ def srp_near_dup_pairs(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     cap_observation=None,
     cap_strategy: str = "window",
-    pair_screen: str = "blas",
+    pair_screen: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS blocked by an SRP-LSH bucket —
     the corpus-scale face of semantic dedup (promoted in round 9 from
@@ -534,25 +628,32 @@ def srp_near_dup_pairs(
     Returns DataFrame[id_a, id_b, cos_sim double] with ``id_a <
     id_b`` and quantized ``cos_sim >= threshold``.
 
-    ``pair_screen="blas"`` (default, requires a finite
-    ``max_bucket``): groups are bounded after the cap (every
-    surviving bucket ≤ max_bucket rows; under "slice", every (bucket,
-    _slice) ≤ max_bucket+1), so qualifying pairs are emitted straight
-    from one Gram matmul per group (:func:`_blas_pair_screen`) — no
-    per-pair enumeration, no per-pair HOF dot. ``"join"`` is the
-    enumerate-and-fold A/B arm, and the only legal screen under
-    ``max_bucket=None`` (unbounded buckets — the oracle-parity path,
-    which therefore stays oracle-gated on the join form).
+    ``pair_screen="auto"`` (default, round 13) measures the bucket
+    size distribution with one bounded partial agg at build time and
+    picks the regime-correct screen (dedup.choose_pair_screen — mean
+    surviving bucket size vs the measured crossover; SRP buckets run
+    ~N/2^P members, so natural corpora resolve to "blas").
+    ``"blas"`` (requires a finite ``max_bucket``): groups are bounded
+    after the cap (every surviving bucket ≤ max_bucket rows; under
+    "slice", every (bucket, _slice) ≤ max_bucket+1), so qualifying
+    pairs are emitted straight from one Gram matmul per group
+    (:func:`_blas_pair_screen`) — no per-pair enumeration, no
+    per-pair HOF dot. ``"join"`` is the enumerate-and-fold A/B arm,
+    and the only legal screen under ``max_bucket=None`` (unbounded
+    buckets — the oracle-parity path, which therefore stays
+    oracle-gated on the join form; auto resolves to it there).
     """
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
-    if pair_screen not in ("blas", "join"):
+    if pair_screen not in ("blas", "join", "auto"):
         raise ValueError(
-            f"pair_screen must be 'blas' or 'join', got {pair_screen!r}"
+            f"pair_screen must be 'blas', 'join' or 'auto', got {pair_screen!r}"
         )
     from mapreduce_implementation_spark.functions.vectors import dot, norm
     from mapreduce_implementation_spark.operators.dedup import (
+        _group_size_stats,
         cap_buckets,
+        choose_pair_screen,
         spread,
     )
 
@@ -562,6 +663,17 @@ def srp_near_dup_pairs(
     bucketed = sim._with_buckets(
         spread(vectors), planes, id_col, emb_col, keep_emb=True
     ).withColumn("_vn", norm(F.col(emb_col)))
+    if pair_screen == "auto":
+        if max_bucket is None:
+            pair_screen = "join"
+        else:
+            pair_screen = choose_pair_screen(
+                *_group_size_stats(
+                    bucketed.select("bucket"), ("bucket",), max_bucket
+                ),
+                max_bucket,
+                cap_strategy == "slice",
+            )
     # cap ONCE and alias both sides (same shape as the minhash miner):
     # with an observation the oversized list is eagerly materialized,
     # so the shared subtree is AQE-safe, and without one the two sides
@@ -716,9 +828,12 @@ def srp_cross_near_dup(
         raise ValueError("planes are required (they bucket the new batch)")
     from mapreduce_implementation_spark.functions.vectors import dot, norm
     from mapreduce_implementation_spark.operators.dedup import (
+        _validate_rep_params,
         cap_buckets,
         spread,
     )
+
+    _validate_rep_params(cap_strategy, n_representatives)
 
     def rename(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
@@ -740,9 +855,15 @@ def srp_cross_near_dup(
         max_bucket,
         cap_observation,
         strategy=cap_strategy,
-        rep_id_col="ref_id",
-        n_representatives=n_representatives,
-        rep_stratum_col="_e_ref_id",
+        **(
+            {
+                "rep_id_col": "ref_id",
+                "n_representatives": n_representatives,
+                "rep_stratum_col": "_e_ref_id",
+            }
+            if cap_strategy == "representative"
+            else {}
+        ),
     )
     cand = bn.join(br, "bucket").select(
         "new_id",

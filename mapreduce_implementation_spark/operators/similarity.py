@@ -113,6 +113,63 @@ def _with_buckets(
     return df.select(*cols)
 
 
+def ship_module_by_value() -> None:
+    """Register THIS module for cloudpickle by-value shipping: the
+    arrow assignment/screen closures reference np_quantize_q4, and the
+    driver contract hands us SparkSessions whose Python workers may
+    not have the package on sys.path (same contract as
+    operators/inference.embed_documents and multimodal._ship_codecs_
+    by_value — the verify skill's /tmp canary catches regressions)."""
+    from pyspark import cloudpickle
+
+    import mapreduce_implementation_spark.operators.similarity as _self
+
+    cloudpickle.register_pickle_by_value(_self)
+
+
+def np_quantize_q4(cos, exact_cos):
+    """Quantize a float64 cosine ndarray to DECIMAL(10,4)-scaled
+    integers (×10⁴), replicating Spark's double→DECIMAL(10,4) cast
+    EXACTLY — including the shortest-decimal-repr HALF_UP semantics
+    the fast path alone cannot see.
+
+    Fast path: ``sign(c)·floor(|c|·10⁴ + 0.5)`` — agrees with the cast
+    whenever ``|c|·10⁴ + 0.5`` is ≥1e-6 away from an integer. Entries
+    inside that band (the only place summation-order noise OR
+    shortest-repr rounding can flip the result; observed BLAS-vs-fold
+    deltas are ≲1e-10 in these scaled units) are recomputed through
+    ``exact_cos(flat_index) → float``, which must replay Spark's exact
+    left-fold arithmetic; the recomputed double is then quantized via
+    ``Decimal(repr(c))`` — bit-identical to the JVM cast, which rounds
+    ``BigDecimal.valueOf(double)`` = ``Double.toString`` (shortest
+    round-trip repr, the same algorithm as Python ``repr``) with
+    HALF_UP. Non-finite entries (−inf null markers) pass through.
+
+    This is the exact-parity backstop behind every numpy screen and
+    the arrow assignment: outside the band the two roundings cannot
+    disagree, inside it the Spark arithmetic itself is replayed."""
+    import numpy as np
+
+    with np.errstate(invalid="ignore"):
+        t = np.abs(cos) * 10_000.0 + 0.5
+        fl = np.floor(t)
+        q = np.sign(cos) * fl
+        frac = t - fl
+        boundary = np.isfinite(cos) & (np.minimum(frac, 1.0 - frac) < 1e-6)
+    if boundary.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        flat = q.reshape(-1)
+        for ix in np.nonzero(boundary.reshape(-1))[0]:
+            c = exact_cos(int(ix))
+            flat[ix] = float(
+                Decimal(repr(float(c)))
+                .quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+                .scaleb(4)
+            )
+    return q
+
+
 MICRO = 1_000_000
 
 
@@ -136,6 +193,7 @@ def train_centroids(
     emb_col: str = "embedding",
     *,
     sample_n: int | None = None,
+    assign_impl: str = "arrow",
 ) -> DataFrame:
     """Spherical k-means (Lloyd) producing REAL trained IVF centroids,
     deterministically and engine-reproducibly:
@@ -237,7 +295,8 @@ def train_centroids(
         # straight from the driver list (no createDataFrame → collect
         # round trip per iteration)
         assigned = _assign_from_list(
-            vq, centroids, 1, "vec_id", "ev", keep_cols=("ev",)
+            vq, centroids, 1, "vec_id", "ev", keep_cols=("ev",),
+            impl=assign_impl,
         )
         sums = (
             assigned.select("centroid_id", F.posexplode("ev").alias("pos", "val"))
@@ -280,6 +339,7 @@ def train_two_level_centroids(
     emb_col: str = "embedding",
     *,
     sample_n: int | None = None,
+    assign_impl: str = "arrow",
 ) -> tuple[DataFrame, DataFrame]:
     """Two-level (coarse → fine) centroid hierarchy — the IMI-style
     answer to the flat assignment's O(N · k · d) per-corpus cost: with
@@ -314,11 +374,11 @@ def train_two_level_centroids(
     # the fine level is already a bounded per-cell top-N selection
     coarse = train_centroids(
         vectors, k=k_coarse, iters=iters, id_col=id_col, emb_col=emb_col,
-        sample_n=sample_n,
+        sample_n=sample_n, assign_impl=assign_impl,
     )
     assigned = assign_inverted_lists(
         vectors, coarse, 1, id_col=id_col, emb_col=emb_col,
-        keep_cols=(emb_col,),
+        keep_cols=(emb_col,), impl=assign_impl,
     )
     picks = stratified_fixed_n(assigned, "centroid_id", k_fine, key_col=id_col)
     rows = picks.select("centroid_id", id_col, emb_col).collect()
@@ -354,6 +414,7 @@ def assign_two_level(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    impl: str = "arrow",
 ) -> DataFrame:
     """Two-level assignment: argmax-cosine coarse cell (ties → smaller
     id, same convention as the flat path), then argmax among THAT
@@ -379,11 +440,23 @@ def assign_two_level(
 
     Returns DataFrame[id_col, *keep_cols, centroid_id] with the GLOBAL
     fine centroid id — one row per distinct id (ids are assumed
-    unique, as everywhere in the similarity stack)."""
+    unique, as everywhere in the similarity stack).
+
+    ``impl="arrow"`` (default) FUSES both stages into one mapInPandas
+    pass: per Arrow batch, one matmul against the coarse matrix, then
+    one matmul per distinct chosen cell against that cell's fine
+    block — map-only, no broadcast join, no per-vector argmax
+    exchange (the expr form's one skinny shuffle disappears). Scores,
+    quantization, tie and null ordering are bit-matched to the expr
+    form via np_quantize_q4's exact-fold replay (parity pytest-pinned
+    in tests/test_two_level.py). ``"expr"`` is the round-9 A/B arm
+    described above."""
     import math as _math
 
     from mapreduce_implementation_spark.functions.vectors import dot, norm
 
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     cents = sorted(
         (
             (int(r.centroid_id), [float(x) for x in r.centroid_emb])
@@ -392,15 +465,31 @@ def assign_two_level(
     )
     if not cents:
         raise ValueError("coarse centroid set is empty")
-    have = {
-        int(r.coarse_id)
-        for r in fine.select("coarse_id").distinct().collect()
-    }
+    # fine is k1·k2 rows — driver-small by construction; one collect
+    # serves both the completeness check and the arrow fine blocks
+    fine_rows = sorted(
+        (
+            (
+                int(r.coarse_id),
+                int(r.centroid_id),
+                [float(x) for x in r.centroid_emb],
+            )
+            for r in fine.select(
+                "coarse_id", "centroid_id", "centroid_emb"
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+    have = {cid for cid, _, _ in fine_rows}
     missing = [cid for cid, _ in cents if cid not in have]
     if missing:
         raise ValueError(
             f"coarse cells {missing[:5]} have no fine centroids; pass "
             f"the (coarse, fine) pair from train_two_level_centroids"
+        )
+    if impl == "arrow":
+        return _assign_two_level_arrow(
+            vectors, cents, fine_rows, id_col, emb_col, keep_cols
         )
 
     cmat = F.lit([emb for _, emb in cents])
@@ -464,6 +553,141 @@ def assign_two_level(
     )
 
 
+def _assign_two_level_arrow(
+    vectors: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    fine_rows: list[tuple[int, int, list[float]]],
+    id_col: str,
+    emb_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fused two-level assignment kernel (see assign_two_level): one
+    mapInPandas pass — batch @ coarse matrix for the cell, then for
+    each distinct cell in the batch, cell-members @ that cell's fine
+    block. Per-row work stays O((k₁+k₂)·d) like the expr form, but in
+    BLAS instead of interpreted folds, and the expr form's broadcast
+    join + per-vector max-agg exchange vanish: this is map-only.
+
+    Parity: coarse stage is the _assign_arrow contract (ties → smaller
+    coarse id, null/ragged/zero rows → all −inf → smallest cell). Fine
+    stage replays the expr form's ``max(struct(s, negid))``: stable
+    argmax over (−score) with fine blocks pre-sorted by centroid_id —
+    ties to the smaller fine id, null scores never beat real ones, and
+    an all-null row takes its cell's smallest fine id. Boundary-
+    adjacent scores replay the exact fold (np_quantize_q4)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from mapreduce_implementation_spark.functions.vectors import norm
+
+    ship_module_by_value()
+
+    coarse_ids = [cid for cid, _ in cents]
+    coarse_vals = [vals for _, vals in cents]
+    coarse_norms = [
+        math.sqrt(sum(x * x for x in vals)) for _, vals in cents
+    ]
+    fine_by_cell: dict[int, list[tuple[int, list[float]]]] = {}
+    for ccell, fid, vals in fine_rows:
+        fine_by_cell.setdefault(ccell, []).append((fid, vals))
+
+    pre = vectors.select(
+        F.col(id_col),
+        F.col(emb_col),
+        *[F.col(c) for c in keep_cols if c != emb_col],
+        norm(F.col(emb_col)).alias("_vn"),
+    )
+    in_schema = pre.schema
+    out_schema = T.StructType(
+        [in_schema[id_col]]
+        + [in_schema[c] for c in keep_cols]
+        + [T.StructField("centroid_id", T.IntegerType(), False)]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cmat = np.array(coarse_vals, dtype=np.float64)
+        cn = np.array(coarse_norms, dtype=np.float64)
+        ccid = np.array(coarse_ids, dtype=np.int64)
+        k1, d = cmat.shape
+        blocks = {}
+        for ccell, members in fine_by_cell.items():
+            fids = np.array([fid for fid, _ in members], dtype=np.int32)
+            fmat = np.array([v for _, v in members], dtype=np.float64)
+            fn = np.array(
+                [math.sqrt(sum(x * x for x in v)) for _, v in members],
+                dtype=np.float64,
+            )
+            blocks[ccell] = (fids, fmat, fn, [v for _, v in members])
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            embs = pdf[emb_col].to_numpy()
+            vn = pdf["_vn"].to_numpy(dtype=np.float64)
+            ok = np.fromiter(
+                (e is not None and len(e) == d for e in embs),
+                dtype=bool,
+                count=n,
+            ) & np.isfinite(vn)
+            m = np.zeros((n, d), dtype=np.float64)
+            for i in np.nonzero(ok)[0]:
+                m[i] = np.asarray(embs[i], dtype=np.float64)
+            denom = vn[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(
+                    ok[:, None] & (denom != 0.0), (m @ cmat.T) / denom, -np.inf
+                )
+
+            def exact_coarse(flat_ix: int) -> float:
+                i, j = divmod(flat_ix, k1)
+                acc = 0.0
+                for a, b in zip(coarse_vals[j], embs[i]):
+                    acc += a * float(b)
+                return acc / (coarse_norms[j] * float(vn[i]))
+
+            q = np_quantize_q4(cos, exact_coarse)
+            cell_ix = np.argmax(q, axis=1)  # first max = smallest cid
+            cells = ccid[cell_ix]
+
+            fine_out = np.empty(n, dtype=np.int32)
+            for ccell in np.unique(cells):
+                sel = np.nonzero(cells == ccell)[0]
+                fids, fmat, fn, fvals = blocks[int(ccell)]
+                msub = m[sel]
+                vsub = vn[sel]
+                oksub = ok[sel]
+                dsub = vsub[:, None] * fn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    fcos = np.where(
+                        oksub[:, None] & (dsub != 0.0),
+                        (msub @ fmat.T) / dsub,
+                        -np.inf,
+                    )
+
+                def exact_fine(flat_ix: int) -> float:
+                    i, j = divmod(flat_ix, len(fids))
+                    acc = 0.0
+                    for a, b in zip(fvals[j], embs[sel[i]]):
+                        acc += a * float(b)
+                    return acc / (float(fn[j]) * float(vsub[i]))
+
+                fq = np_quantize_q4(fcos, exact_fine)
+                fine_out[sel] = fids[np.argmax(fq, axis=1)]
+
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()
+            out["centroid_id"] = fine_out
+            yield pd.DataFrame(out)
+
+    return pre.mapInPandas(gen, out_schema)
+
+
 def assign_inverted_lists(
     df: DataFrame,
     centroids: DataFrame,
@@ -471,6 +695,7 @@ def assign_inverted_lists(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    impl: str = "arrow",
 ) -> DataFrame:
     """IVF assignment: nearest ``nprobe`` centroids per vector by
     quantized cosine (ties → smaller centroid_id). ``centroids`` is
@@ -485,13 +710,22 @@ def assign_inverted_lists(
     Returns DataFrame[id_col, centroid_id] — one row per (vector,
     probed list). The struct sort orders by score then -centroid_id, so
     reading from the top gives score DESC, centroid_id ASC — identical
-    to the oracle's ROW_NUMBER ordering."""
+    to the oracle's ROW_NUMBER ordering.
+
+    ``impl`` picks the physical form (results parity-gated identical,
+    tests/test_similarity.py): ``"arrow"`` (default) scores each Arrow
+    batch as ONE numpy matmul against the broadcast k×d centroid
+    matrix via mapInPandas — the round-13 fix for the expression
+    form's CodegenFallback HOF folds, which dominated every
+    semantic-family number (round-12 decomposition: assignment ≈ 100%
+    of the 800k slice e2e). ``"expr"`` is the all-expression A/B arm
+    (k×d literal + per-row struct-sort argmax)."""
     cent_rows = sorted(
         centroids.select("centroid_id", "centroid_emb").collect(),
         key=lambda r: r.centroid_id,
     )
     cents = [(int(r.centroid_id), [float(x) for x in r.centroid_emb]) for r in cent_rows]
-    return _assign_from_list(df, cents, nprobe, id_col, emb_col, keep_cols)
+    return _assign_from_list(df, cents, nprobe, id_col, emb_col, keep_cols, impl)
 
 
 def _assign_from_list(
@@ -501,19 +735,27 @@ def _assign_from_list(
     id_col: str,
     emb_col: str,
     keep_cols: tuple[str, ...] = (),
+    impl: str = "arrow",
 ) -> DataFrame:
     """Assignment core over driver-held centroids (id, values). Split
     out so the Lloyd training loop can skip the per-iteration
     createDataFrame → collect round trip.
 
-    The k×d centroid matrix ships as ONE 2-D array literal and the
-    score array is a single ``transform`` over ``sequence(0, k-1)`` —
-    a constant-size expression tree. The previous shape (k separate
-    struct expressions, each embedding its own d-element literal dot)
-    cost ~2s of driver-side build/analysis per call at k=8, d=64 —
-    paid on EVERY Lloyd iteration; this form builds in ~10 py4j calls
-    and analyzes in milliseconds, with bit-identical scores (same
-    values, same left-to-right fold, same quantization cast)."""
+    ``impl="arrow"`` (default) is the mapInPandas matmul form
+    (_assign_arrow) — one BLAS Gram per Arrow batch, zero per-row HOF
+    folds; ``"expr"`` is the all-expression A/B arm below. Results are
+    parity-gated identical (same quantized argmax, same tie and
+    null-score ordering — tests/test_similarity.py).
+
+    Expr form: the k×d centroid matrix ships as ONE 2-D array literal
+    and the score array is a single ``transform`` over
+    ``sequence(0, k-1)`` — a constant-size expression tree. The
+    previous shape (k separate struct expressions, each embedding its
+    own d-element literal dot) cost ~2s of driver-side build/analysis
+    per call at k=8, d=64 — paid on EVERY Lloyd iteration; this form
+    builds in ~10 py4j calls and analyzes in milliseconds, with
+    bit-identical scores (same values, same left-to-right fold, same
+    quantization cast)."""
     import math
 
     from mapreduce_implementation_spark.functions.vectors import dot, norm
@@ -522,6 +764,10 @@ def _assign_from_list(
         # sequence(0, -1) yields [0, -1], not [] — an empty centroid
         # set would emit NULL-centroid rows instead of an empty result
         raise ValueError("centroid set is empty; train or supply >= 1 centroid")
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    if impl == "arrow":
+        return _assign_arrow(df, cents, nprobe, id_col, emb_col, keep_cols)
 
     # centroid norms on the driver: Python's left-to-right double sum is
     # the same IEEE fold as the SQL twin's list_sum, so the quantized
@@ -562,6 +808,119 @@ def _assign_from_list(
             (-F.col("_t.negid")).cast("int").alias("centroid_id"),
         )
     )
+
+
+def _assign_arrow(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str,
+    emb_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """mapInPandas assignment: per Arrow batch, ONE (n, d) @ (d, k)
+    matmul against the broadcast centroid matrix replaces n·k
+    interpreted HOF dot folds (CodegenFallback — the round-12
+    decomposition pinned these folds as ~100% of the semantic slice
+    e2e at 800k). Still a map-only pass: no shuffle, no join, the
+    centroids ride the closure exactly as the expr form's literals.
+
+    Bit-parity with the expr form, term by term:
+
+    * ``_vn`` is computed SPARK-side in the projection (same sqrt of
+      the same left fold), so denominators are bit-identical;
+    * centroid norms use Python's left-to-right fold — the same IEEE
+      sequence as the expr form's driver-computed literals;
+    * the matmul dot differs from the fold only in summation ORDER
+      (≲1e-15 relative); np_quantize_q4 recomputes any
+      boundary-adjacent score through an EXACT left-fold replay +
+      shortest-repr HALF_UP quantization, so the quantized score is
+      bit-equal to Spark's DECIMAL(10,4) cast everywhere. For
+      integer-micro inputs (the Lloyd path) every product and partial
+      sum is an exactly-representable integer (< 2⁵³), so even the
+      raw matmul is bit-exact in any order;
+    * ranking: stable argsort on (−score), columns pre-sorted by
+      centroid_id — score DESC, centroid_id ASC, the expr form's
+      reversed struct-sort order. Null scores (null/ragged embedding,
+      zero norm) become −inf: never picked over a real score, and an
+      all-null row still emits the smallest-cid probes, matching the
+      expr form's null-struct ordering (pytest-pinned).
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    from mapreduce_implementation_spark.functions.vectors import norm
+
+    ship_module_by_value()
+
+    cent_ids = [int(cid) for cid, _ in cents]
+    cent_vals = [[float(x) for x in c_emb] for _, c_emb in cents]
+    cent_norms = [
+        math.sqrt(sum(float(x) * float(x) for x in c_emb)) for _, c_emb in cents
+    ]
+
+    pre = df.select(
+        F.col(id_col),
+        F.col(emb_col),
+        *[F.col(c) for c in keep_cols if c != emb_col],
+        norm(F.col(emb_col)).alias("_vn"),
+    )
+    in_schema = pre.schema
+    out_schema = T.StructType(
+        [in_schema[id_col]]
+        + [in_schema[c] for c in keep_cols]
+        + [T.StructField("centroid_id", T.IntegerType(), False)]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cmat = np.array(cent_vals, dtype=np.float64)
+        cn = np.array(cent_norms, dtype=np.float64)
+        cid_arr = np.array(cent_ids, dtype=np.int32)
+        k, d = cmat.shape
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            embs = pdf[emb_col].to_numpy()
+            vn = pdf["_vn"].to_numpy(dtype=np.float64)
+            ok = np.fromiter(
+                (e is not None and len(e) == d for e in embs),
+                dtype=bool,
+                count=n,
+            ) & np.isfinite(vn)
+            m = np.zeros((n, d), dtype=np.float64)
+            for i in np.nonzero(ok)[0]:
+                m[i] = np.asarray(embs[i], dtype=np.float64)
+            denom = vn[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(
+                    ok[:, None] & (denom != 0.0), (m @ cmat.T) / denom, -np.inf
+                )
+
+            def exact_at(flat_ix: int) -> float:
+                i, j = divmod(flat_ix, k)
+                acc = 0.0
+                ev = embs[i]
+                cv = cent_vals[j]
+                for a, b in zip(cv, ev):
+                    acc += a * float(b)
+                return acc / (cent_norms[j] * float(vn[i]))
+
+            q = np_quantize_q4(cos, exact_at)
+            order = np.argsort(-q, axis=1, kind="stable")[:, :nprobe]
+            idx = np.repeat(np.arange(n), order.shape[1])
+            out = {id_col: pdf[id_col].to_numpy()[idx]}
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()[idx]
+            out["centroid_id"] = cid_arr[order].reshape(-1)
+            yield pd.DataFrame(out)
+
+    return pre.mapInPandas(gen, out_schema)
 
 
 def ivf_topk(

@@ -149,31 +149,65 @@ def distributed_leaf_counts(
     leaf. ``pyarrow.fs.FileSystem.from_uri`` resolves local / HDFS /
     S3 uniformly, so the same code runs everywhere Spark reads.
     Hidden (``_``/``.``-prefixed) files and directories are skipped,
-    matching the paged walk (parity pytest-gated)."""
+    matching the paged walk (parity pytest-gated).
+
+    The driver NEVER materializes leaf paths (round-12 verdict item
+    5: the previous form staged one (path, values) tuple per leaf
+    before ``parallelize`` — the counts dict is ~10 MB at 10⁶
+    leaves, but the staged path strings multiplied that constant
+    ~50-100×). It walks partition-DIRECTORY levels only until the
+    fan-out covers the cluster (≥ 4 × parallelism prefixes) and never
+    past the second-to-last level; executors expand the remaining
+    levels with chained flatMaps, one repartition balances the leaf
+    population across tasks, and the driver receives exactly one
+    (partition values, int) pair per non-empty leaf. Driver-retained
+    bytes vs wall measured at 10⁵ leaves in scale_rehearsal.py."""
     from urllib.parse import unquote
 
     import pyarrow.fs as pafs
 
     fs, root = pafs.FileSystem.from_uri(path)
-    level: list[tuple[str, tuple]] = [(root, ())]
-    for c in partition_cols:
-        nxt = []
-        for d, vals in level:
-            for info in fs.get_file_info(pafs.FileSelector(d)):
-                name = info.base_name
-                if info.type != pafs.FileType.Directory or name.startswith(
-                    ("_", ".")
-                ):
-                    continue
-                k, sep, v = name.partition("=")
-                if sep and k == c and unquote(v) != (
-                    "__HIVE_DEFAULT_PARTITION__"
-                ):
-                    nxt.append((info.path, vals + (unquote(v),)))
-        level = nxt
-    if not level:
-        return {}
+    sc = spark.sparkContext
+    fanout_target = max(1, sc.defaultParallelism) * 4
     root_uri = path
+
+    def expand(fs_, d: str, vals: tuple, col: str):
+        for info in fs_.get_file_info(pafs.FileSelector(d)):
+            name = info.base_name
+            if info.type != pafs.FileType.Directory or name.startswith(
+                ("_", ".")
+            ):
+                continue
+            k, sep, v = name.partition("=")
+            if sep and k == col and unquote(v) != (
+                "__HIVE_DEFAULT_PARTITION__"
+            ):
+                yield (info.path, vals + (unquote(v),))
+
+    # driver-side walk: stop as soon as the prefix set covers the
+    # cluster, and never expand the final (leaf) level here
+    level: list[tuple[str, tuple]] = [(root, ())]
+    depth = 0
+    while depth < len(partition_cols) - 1 and len(level) < fanout_target:
+        level = [
+            t
+            for d, vals in level
+            for t in expand(fs, d, vals, partition_cols[depth])
+        ]
+        depth += 1
+        if not level:
+            return {}
+    remaining = list(partition_cols[depth:])
+
+    def expand_level(col):
+        def go(t):
+            import pyarrow.fs as epafs
+
+            efs, _ = epafs.FileSystem.from_uri(root_uri)
+            d, vals = t
+            return list(expand(efs, d, vals, col))
+
+        return go
 
     def count_partition(it):
         import pyarrow.fs as epafs
@@ -189,11 +223,16 @@ def distributed_leaf_counts(
             if nf:
                 yield (vals, nf)
 
-    sc = spark.sparkContext
-    n_tasks = max(1, min(len(level), sc.defaultParallelism * 4))
-    return dict(
-        sc.parallelize(level, n_tasks).mapPartitions(count_partition).collect()
-    )
+    n_tasks = max(1, min(len(level), fanout_target))
+    rdd = sc.parallelize(level, n_tasks)
+    for col in remaining:
+        rdd = rdd.flatMap(expand_level(col))
+    if remaining:
+        # the leaf population only exists executor-side; one shuffle of
+        # short path strings balances the per-leaf listing work across
+        # the cluster regardless of how skewed the directory fan-out is
+        rdd = rdd.repartition(fanout_target)
+    return dict(rdd.mapPartitions(count_partition).collect())
 
 
 def compact_partitioned_dataset(
@@ -253,10 +292,30 @@ def compact_partitioned_dataset(
 
     if listing not in ("distributed", "paged"):
         raise ValueError(f"listing must be 'distributed' or 'paged', got {listing!r}")
-    leaf_counts = (
-        distributed_leaf_counts if listing == "distributed" else paged_leaf_counts
-    )
     df = spark.read.parquet(path)
+    if listing == "distributed":
+        # pyarrow.fs.FileSystem.from_uri covers local/HDFS/S3 but not
+        # every JVM Hadoop filesystem (custom schemes; HDFS needs
+        # libhdfs): fall back to the paged JVM walk instead of failing
+        # a maintenance job on a store only the JVM can list (ADVICE
+        # r12). ValueError/OSError/ArrowException are how from_uri
+        # surfaces an unresolvable scheme.
+        def leaf_counts(spark, path, partition_cols):
+            try:
+                return distributed_leaf_counts(spark, path, partition_cols)
+            except (ValueError, OSError, NotImplementedError) as e:
+                import warnings
+
+                warnings.warn(
+                    f"distributed listing unavailable for {path!r} "
+                    f"({e!r}); falling back to the paged JVM walk",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return paged_leaf_counts(spark, path, partition_cols)
+
+    else:
+        leaf_counts = paged_leaf_counts
     counts = leaf_counts(spark, path, partition_cols)
     targets = [
         k for k, n in counts.items() if n > max_files_per_partition

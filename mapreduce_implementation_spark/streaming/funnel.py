@@ -58,7 +58,11 @@ def _state_schema(k: int) -> StructType:
 
 
 def _funnel_fn(
-    k: int, within_s: int, timeout_ms: int, timeout_mode: str = "processing"
+    k: int,
+    within_s: int,
+    timeout_ms: int,
+    timeout_mode: str = "processing",
+    drop_late: bool = False,
 ):
     """State-fold factory. ``timeout_mode``:
 
@@ -125,6 +129,13 @@ def _funnel_fn(
         evs: list[tuple[int, int]] = []
         for pdf in pdfs:
             evs.extend(zip((int(t) for t in pdf["t"]), (int(s) for s in pdf["si"])))
+        if drop_late:
+            # built-in-agg late filter applyInPandasWithState omits
+            # (see sessionize._sessionize_fn): rows behind the batch
+            # watermark never reach the order-sensitive fold
+            wm = state.getCurrentWatermarkMs()
+            if wm > 0:
+                evs = [(t, s) for t, s in evs if t * 1000 >= wm]
         evs.sort()
         done: tuple[int, int] | None = None
         for t, si in evs:
@@ -172,9 +183,16 @@ def streaming_funnel(
     use_timeout: bool = True,
     timeout_mode: str | None = None,
     watermark_delay_s: int | None = None,
+    drop_late: bool = False,
 ) -> DataFrame:
     """Append-mode stream of completed conversions. Filter to funnel
     event types rides the scan (pushed down).
+
+    ``drop_late=True`` (event mode only — round 13): filter
+    late-beyond-watermark rows inside the fold, the built-in-agg
+    semantics applyInPandasWithState omits — the determinism-over-
+    inclusion trade documented at
+    streaming/sessionize.sessionize_stream.
 
     GC policy — ``timeout_mode`` (``use_timeout`` is the legacy bool:
     True → "processing", False → "none"; an explicit ``timeout_mode``
@@ -209,6 +227,11 @@ def streaming_funnel(
         raise ValueError(
             f"timeout_mode must be processing|event|none, got {timeout_mode!r}"
         )
+    if drop_late and timeout_mode != "event":
+        raise ValueError(
+            "drop_late requires timeout_mode='event' (there is no "
+            "watermark to be late against in the other modes)"
+        )
     # shared input contract with the batch fold — validation, the
     # (user_id, t, si) projection, NULL-ts drop — one definition
     ev = funnel_events(
@@ -229,7 +252,11 @@ def streaming_funnel(
         conf = GroupStateTimeout.NoTimeout
     return ev.groupBy("user_id").applyInPandasWithState(
         _funnel_fn(
-            k, within_s, state_ttl_factor * within_s * 1000, timeout_mode
+            k,
+            within_s,
+            state_ttl_factor * within_s * 1000,
+            timeout_mode,
+            drop_late,
         ),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=_state_schema(k),

@@ -44,14 +44,33 @@ STATE_SCHEMA = StructType(
     ]
 )
 
+# Reserved user id for watermark-advancing flush sentinels (round-13
+# verdict item 6): rows with this key still advance the query's
+# watermark (the watermark is computed on the input frame, before the
+# groupBy), but the state fold ignores them — no state, no output —
+# so a sentinel can drive the trailing timer flush without polluting
+# sessions. See write_flush_sentinel.
+WATERMARK_SENTINEL_USER = -(1 << 62)
 
-def _sessionize_fn(gap_s: int, timeout_mode: str = "processing"):
+
+def _sessionize_fn(
+    gap_s: int, timeout_mode: str = "processing", drop_late: bool = False
+):
     """State-fold factory. ``timeout_mode``: "processing" (wall-clock
     flush after gap_s of inactivity — heuristic, replay-speed-
     dependent), "event" (flush when the WATERMARK passes
     last_s + gap_s — the moment the session is provably unextendable:
     later events are beyond the gap, older ones beyond the watermark),
-    or "none" (bounded drains)."""
+    or "none" (bounded drains).
+
+    ``drop_late`` (event mode): filter rows whose event time is
+    already behind the batch watermark BEFORE they reach the fold —
+    the filter applyInPandasWithState does not apply itself (round-12
+    root cause) but every built-in windowed aggregation does. This
+    removes the late-row/timer race: a kept row (ts ≥ watermark) can
+    only belong to a session whose flush timer (armed at
+    last_s + gap_s < ts) has NOT fired yet, so it always MERGES —
+    the flushed-then-reopened divergence class disappears."""
 
     def _arm(state: GroupState, last_s: int) -> None:
         if timeout_mode == "processing":
@@ -67,6 +86,12 @@ def _sessionize_fn(gap_s: int, timeout_mode: str = "processing"):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if user_id == WATERMARK_SENTINEL_USER:
+            # flush sentinel: its job (advancing the watermark) is done
+            # before the fold ever runs; keep it out of state and output
+            if state.exists:
+                state.remove()
+            return
         closed: list[tuple[int, int, int]] = []
         if state.hasTimedOut:
             if state.exists:
@@ -77,6 +102,13 @@ def _sessionize_fn(gap_s: int, timeout_mode: str = "processing"):
             ts_list: list[int] = []
             for pdf in pdfs:
                 ts_list.extend(int(t) for t in pdf["ts_s"])
+            if drop_late:
+                # same rule as the built-in windowed aggs: event time
+                # strictly behind the batch watermark never reaches
+                # the fold (ms comparison — the watermark is ms)
+                wm = state.getCurrentWatermarkMs()
+                if wm > 0:
+                    ts_list = [t for t in ts_list if t * 1000 >= wm]
             ts_list.sort()
             # Sessionize the batch's events among themselves, then merge
             # the resulting intervals with the open-state interval by the
@@ -125,6 +157,7 @@ def sessionize_stream(
     use_timeout: bool = True,
     timeout_mode: str | None = None,
     watermark_delay_s: int | None = None,
+    drop_late: bool = False,
 ) -> DataFrame:
     """Emit closed sessions from an unbounded event stream.
 
@@ -174,6 +207,21 @@ def sessionize_stream(
     * ``"none"``: for bounded drains (oracle runs): identical
       closed-session output (a bounded run never reaches a timeout),
       terminates under Trigger.AvailableNow; open tails stay in state.
+
+    ``drop_late=True`` (event mode only — round 13): filter
+    late-beyond-watermark rows inside the operator, matching the
+    built-in windowed-agg semantics that applyInPandasWithState omits.
+    The trade: late rows are DROPPED instead of merged into (or
+    splitting) their session — buy this when restart determinism on
+    disordered input matters more than late-row inclusion. It
+    eliminates the late-row/timer race above (a kept row provably
+    precedes its session's flush timer, so it always merges;
+    kill-resume gated 10/10 per provider on the AS-STAGED disordered
+    fixture in tests/test_streaming_restart.py). Caveat shared with
+    the built-ins: whether a borderline row is late depends on the
+    batch watermark, which restarts re-plan — rows later than the
+    delay in BOTH runs behave identically, rows inside the wobble
+    band are dropped-vs-merged; the default (False) keeps every row.
     """
     from pyspark.sql import functions as F
 
@@ -182,6 +230,11 @@ def sessionize_stream(
     if timeout_mode not in ("processing", "event", "none"):
         raise ValueError(
             f"timeout_mode must be processing|event|none, got {timeout_mode!r}"
+        )
+    if drop_late and timeout_mode != "event":
+        raise ValueError(
+            "drop_late requires timeout_mode='event' (there is no "
+            "watermark to be late against in the other modes)"
         )
     keyed = events.select(
         "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_s")
@@ -202,9 +255,66 @@ def sessionize_stream(
     else:
         conf = GroupStateTimeout.NoTimeout
     return keyed.groupBy("user_id").applyInPandasWithState(
-        _sessionize_fn(gap_s, timeout_mode),
+        _sessionize_fn(gap_s, timeout_mode, drop_late),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=conf,
     )
+
+
+def write_flush_sentinel(
+    in_dir: str,
+    max_ts_s: int,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    filename: str | None = None,
+) -> str:
+    """Stage a watermark-advancing FLUSH SENTINEL into a file-source
+    directory — the bounded-drain completion step for the
+    trailing-flush ownership contract (BASELINE.md round 12): the
+    trailing no-data micro-batch owns the final event-time timer
+    flushes, so a kill inside the one-batch window between the last
+    data commit and that trailing commit leaves pending tails IN
+    STATE, and a resumed available-now drain with no new data
+    terminates without advancing the watermark — the tails are never
+    emitted (nothing lost, but a resume-and-finish is missing rows the
+    uninterrupted control emitted).
+
+    Fix: write one sentinel row keyed ``WATERMARK_SENTINEL_USER`` with
+    ``ts = max_ts_s`` — the MAX EVENT TIME of the already-drained data
+    (the control's own watermark basis) — then re-run the same
+    available-now drain on the same checkpoint. The sentinel batch
+    re-derives the watermark the control's trailing batch used
+    (``max_ts_s − delay``), every timer the control flushed fires, and
+    the fold discards the sentinel itself (no state, no output row),
+    so the resumed sink holds EXACTLY the control's rows
+    (tests/test_streaming_restart.py::test_flush_pending_*). Passing a
+    larger ``max_ts_s`` flushes MORE than the control (it advances the
+    watermark further — useful to force-close every tail at
+    end-of-corpus); passing the true max reproduces the control.
+
+    Returns the staged file path. Only ``user_col``/``ts_col`` are
+    written; other source-schema columns read as NULL, which the
+    sessionize projection never touches."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = filename or f"zz-flush-sentinel-{uuid.uuid4().hex[:8]}.parquet"
+    if name.startswith(("_", ".")):
+        raise ValueError("sentinel filename must not be hidden (_/. prefix)")
+    path = os.path.join(in_dir, name)
+    pq.write_table(
+        pa.table(
+            {
+                user_col: pa.array([WATERMARK_SENTINEL_USER], pa.int64()),
+                ts_col: pa.array([max_ts_s * 1_000_000], pa.timestamp("us")),
+            }
+        ),
+        path,
+    )
+    return path

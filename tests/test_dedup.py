@@ -1141,3 +1141,88 @@ def test_minhash_pair_screens_identical(spark):
     assert pairs(max_bucket=None, pair_screen="blas") == pairs(
         max_bucket=None, pair_screen="join"
     )
+
+
+def test_rep_params_require_representative_strategy(spark):
+    """ADVICE r12: k>1 representatives (or a stratum column) under a
+    drop strategy would silently lose the recall repair — cap_buckets
+    and the cross miners refuse loudly."""
+    import pytest as _pytest
+
+    from mapreduce_implementation_spark.operators.dedup import (
+        cap_buckets,
+        minhash_cross_near_dup,
+        minhash_signatures,
+    )
+
+    df = spark.range(0, 10).selectExpr("id as doc_id", "id % 2 as bucket")
+    with _pytest.raises(ValueError, match="representative"):
+        cap_buckets(
+            df, ("bucket",), 2, strategy="window",
+            rep_id_col="doc_id", n_representatives=3,
+        )
+    with _pytest.raises(ValueError, match="representative"):
+        cap_buckets(
+            df, ("bucket",), 2, strategy="antijoin",
+            rep_id_col="doc_id", rep_stratum_col="doc_id",
+        )
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", shingle_n=2, k=8)
+    with _pytest.raises(ValueError, match="n_representatives"):
+        minhash_cross_near_dup(
+            sigs, sigs, cap_strategy="antijoin", n_representatives=2
+        )
+
+
+def test_choose_pair_screen_regime_rule():
+    """Round-13: the auto crossover encodes the measured regime rule —
+    numerous singleton buckets → join, few large groups → blas, and a
+    sliced mega-bucket counts as max_bucket-sized blas groups."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        AUTO_SCREEN_MIN_MEAN,
+        choose_pair_screen,
+    )
+
+    # minhash-at-1M shape: ~4M mostly singleton buckets
+    assert choose_pair_screen(4_000_000, 3_900_000, 0, 1000, False) == "join"
+    # SRP shape: ~N/2^P members per bucket
+    assert choose_pair_screen(640_000, 10_000, 0, 1000, False) == "blas"
+    # oversized mass under a slice strategy arrives as ~max_bucket
+    # groups (ideal blas); under a drop strategy it never arrives
+    assert choose_pair_screen(0, 0, 50_000, 1000, True) == "blas"
+    assert choose_pair_screen(0, 0, 50_000, 1000, False) == "join"
+    # exactly at the crossover → blas (>=)
+    m = int(AUTO_SCREEN_MIN_MEAN)
+    assert choose_pair_screen(m * 10, 10, 0, 1000, False) == "blas"
+    assert choose_pair_screen(m * 10 - 10, 10, 0, 1000, False) == "join"
+
+
+def test_minhash_auto_screen_parity(spark):
+    """pair_screen='auto' must yield the same pairs as either pinned
+    screen (they are parity-equal by construction; auto only picks)."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"common boilerplate prefix shared text variant {i % 4}")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+
+    def pairs(screen):
+        return sorted(
+            (r.doc_a, r.doc_b)
+            for r in minhash_near_dup_pairs(
+                docs, "doc_id", "text", shingle_n=2, k=8, bands=2, rows=4,
+                threshold=0.5, max_bucket=50, pair_screen=screen,
+            ).collect()
+        )
+
+    auto = pairs("auto")
+    assert auto == pairs("join") == pairs("blas")
+    assert auto  # the fixture genuinely produces near-dup pairs

@@ -512,3 +512,163 @@ def test_sampled_training_probe_recall_parity(spark, vectors):
 
     with pytest.raises(ValueError, match="sample_n"):
         sim.train_centroids(vectors, k=3, sample_n=2)
+
+
+# ---------------------------------------------------------------------------
+# round 13: arrow (mapInPandas matmul) assignment vs the expression form
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_vectors(spark):
+    """Seeded random embeddings plus every null-semantics edge the
+    expression path defines: a NULL embedding, a zero vector, and a
+    ragged (wrong-dimension) row — all must assign identically."""
+    import random
+
+    random.seed(1303)
+    schema = StructType(
+        [
+            StructField("vec_id", IntegerType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    rows += [(300, None), (301, [0.0] * 16), (302, [1.0] * 8)]
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def adversarial_centroids(spark):
+    import random
+
+    random.seed(7103)
+    rows = [(j, [random.uniform(-1, 1) for _ in range(16)]) for j in range(6)]
+    return spark.createDataFrame(
+        rows, "centroid_id int, centroid_emb array<double>"
+    )
+
+
+@pytest.mark.parametrize("nprobe", [1, 3, 99])
+def test_assign_arrow_expr_parity(
+    spark, adversarial_vectors, adversarial_centroids, nprobe
+):
+    """The arrow kernel's quantized argmax (ties → smaller centroid_id,
+    null scores → −inf, all-null rows → smallest cids) must equal the
+    expression form row for row, nprobe over- and under-subscribed."""
+    a = sim.assign_inverted_lists(
+        adversarial_vectors, adversarial_centroids, nprobe, impl="expr"
+    ).collect()
+    b = sim.assign_inverted_lists(
+        adversarial_vectors, adversarial_centroids, nprobe, impl="arrow"
+    ).collect()
+    assert sorted((r.vec_id, r.centroid_id) for r in a) == sorted(
+        (r.vec_id, r.centroid_id) for r in b
+    )
+
+
+def test_assign_arrow_keep_cols_and_micro_parity(
+    spark, adversarial_vectors, adversarial_centroids
+):
+    """keep_cols passthrough (including the embedding itself) and the
+    integer-micro Lloyd input shape are both impl-invariant."""
+    a = sim.assign_inverted_lists(
+        adversarial_vectors,
+        adversarial_centroids,
+        1,
+        keep_cols=("embedding",),
+        impl="expr",
+    ).collect()
+    b = sim.assign_inverted_lists(
+        adversarial_vectors,
+        adversarial_centroids,
+        1,
+        keep_cols=("embedding",),
+        impl="arrow",
+    ).collect()
+
+    def key(rs):
+        return sorted(
+            (
+                r.vec_id,
+                r.centroid_id,
+                tuple(r.embedding) if r.embedding is not None else None,
+            )
+            for r in rs
+        )
+
+    assert key(a) == key(b)
+
+    vq = adversarial_vectors.where(F.col("vec_id") < 300).select(
+        "vec_id", sim.quantize_micro("embedding").alias("ev")
+    )
+    cq = adversarial_centroids.select(
+        "centroid_id",
+        F.transform(
+            F.col("centroid_emb"), lambda v: F.round(v * 1e6).cast("long")
+        ).alias("centroid_emb"),
+    )
+    a = sim.assign_inverted_lists(vq, cq, 1, emb_col="ev", impl="expr").collect()
+    b = sim.assign_inverted_lists(vq, cq, 1, emb_col="ev", impl="arrow").collect()
+    assert sorted((r.vec_id, r.centroid_id) for r in a) == sorted(
+        (r.vec_id, r.centroid_id) for r in b
+    )
+
+
+def test_train_centroids_impl_invariant(spark, vectors):
+    """Lloyd over the arrow assignment (the default) must reproduce the
+    expr-era centroids bit for bit: on integer-micro inputs every
+    product/partial sum is an exactly representable integer, so the
+    matmul IS the fold."""
+    got = sorted(
+        map(tuple, sim.train_centroids(vectors, k=3, iters=3).collect())
+    )
+    # the arrow path is the default inside train_centroids; recompute
+    # the final assignment both ways and compare the cluster sums the
+    # next iteration would see
+    cents = spark.createDataFrame(
+        [(c, list(e)) for c, e in got], "centroid_id int, centroid_emb array<long>"
+    )
+    vq = vectors.select("vec_id", sim.quantize_micro("embedding").alias("ev"))
+    a = sim.assign_inverted_lists(vq, cents, 1, emb_col="ev", impl="expr").collect()
+    b = sim.assign_inverted_lists(vq, cents, 1, emb_col="ev", impl="arrow").collect()
+    assert sorted((r.vec_id, r.centroid_id) for r in a) == sorted(
+        (r.vec_id, r.centroid_id) for r in b
+    )
+
+
+def test_np_quantize_q4_matches_decimal_cast_semantics():
+    """Property sweep: the fast floor(+0.5) path agrees with Spark's
+    double→DECIMAL(10,4) cast (shortest-repr HALF_UP) everywhere the
+    boundary band doesn't trigger, and the band recomputation IS the
+    cast semantics — including repr-boundary values like 0.55555 that
+    the raw floor form gets wrong (ADVICE r12)."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mapreduce_implementation_spark.operators.similarity import (
+        np_quantize_q4,
+    )
+
+    random.seed(4)
+    vals = [random.uniform(-1, 1) for _ in range(5000)]
+    # adversarial shortest-repr boundaries: doubles whose repr lands ON
+    # a .00005 boundary (Spark rounds the repr HALF_UP; floor(+0.5) on
+    # the raw double can disagree)
+    vals += [0.55555, -0.55555, 0.00005, -0.00005, 0.99995, 0.12345]
+    vals += [float(np.nextafter(0.55555, 0)), float(np.nextafter(0.55555, 1))]
+    arr = np.array(vals, dtype=np.float64)
+    got = np_quantize_q4(arr, lambda ix: float(arr.reshape(-1)[ix]))
+    want = np.array(
+        [
+            float(
+                Decimal(repr(v))
+                .quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+                .scaleb(4)
+            )
+            for v in vals
+        ]
+    )
+    assert (got == want).all(), np.nonzero(got != want)

@@ -367,3 +367,72 @@ def test_leaf_count_forms_agree_and_skip_staging(spark, tmp_path):
         for k in paged
     }
     assert paged == real
+
+
+def test_compact_falls_back_to_paged_listing(spark, tmp_path, monkeypatch):
+    """ADVICE r12: a store pyarrow.fs cannot resolve must not fail the
+    maintenance job — compact falls back to the paged JVM walk."""
+    import warnings
+
+    from mapreduce_implementation_spark.sources import sinks
+
+    path = str(tmp_path / "fallback_ds")
+    (
+        spark.range(0, 40)
+        .selectExpr("id", "cast(id % 2 as string) batch_id")
+        .repartition(4)
+        .write.partitionBy("batch_id")
+        .parquet(path)
+    )
+
+    def boom(*a, **k):
+        raise ValueError("scheme not supported by pyarrow")
+
+    monkeypatch.setattr(sinks, "distributed_leaf_counts", boom)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = sinks.compact_partitioned_dataset(
+            spark, path, ["batch_id"], max_files_per_partition=1
+        )
+    assert any("paged JVM walk" in str(x.message) for x in w)
+    assert out["files_after"] == 2
+    assert (
+        sinks.paged_leaf_counts(spark, path, ["batch_id"])
+        == {("0",): 1, ("1",): 1}
+    )
+
+
+def test_distributed_listing_driver_holds_prefixes_not_leaves(
+    spark, tmp_path
+):
+    """Round-13: the driver walk stops at the first level with enough
+    fan-out and NEVER expands the leaf level — verified by parity on a
+    two-level layout where leaves (8×6) outnumber prefixes (8), plus a
+    zero-partition-col root count."""
+    from mapreduce_implementation_spark.sources.sinks import (
+        distributed_leaf_counts,
+        paged_leaf_counts,
+    )
+
+    path = str(tmp_path / "two_level_ds")
+    (
+        spark.range(0, 480)
+        .selectExpr(
+            "id",
+            "cast(id % 8 as string) a",
+            "cast(id % 6 as string) b",
+        )
+        .repartition(2)
+        .write.partitionBy("a", "b")
+        .parquet(path)
+    )
+    paged = paged_leaf_counts(spark, path, ["a", "b"])
+    dist = distributed_leaf_counts(spark, path, ["a", "b"])
+    assert paged == dist and len(dist) == 48
+
+    # no partition cols: counts of the root's own data files
+    flat = str(tmp_path / "flat_ds")
+    spark.range(0, 10).repartition(3).write.parquet(flat)
+    assert distributed_leaf_counts(spark, flat, []) == paged_leaf_counts(
+        spark, flat, []
+    )

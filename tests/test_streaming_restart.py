@@ -127,3 +127,63 @@ def test_sessionize_restart_from_checkpoint_matches_control(spark, tmp_path):
         _write_batch(str(restart_in / f"b{i}.parquet"), FILES[i], i)
     _drain(spark, str(restart_in), restart_out, ckpt)
     assert _sessions(spark, restart_out) == control
+
+
+def test_flush_pending_sentinel_recovers_control_output(spark, tmp_path):
+    """Trailing-flush ownership contract, resolved (round-13 verdict
+    item 6). Fixture: u1's session can ONLY close via its event-time
+    timer (u1 has no later event; u2's time jump supplies the
+    watermark). Strand the tail deterministically with a Trigger.Once
+    drain — all data commits in ONE batch at the initial watermark, no
+    timer fires, and the query terminates WITHOUT the trailing no-data
+    batch: exactly the kill-after-last-commit (trial-5) state. A plain
+    no-new-data resume emits nothing (the measured r12 contract);
+    write_flush_sentinel + one more drain reproduces the control's
+    output exactly."""
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        write_flush_sentinel,
+    )
+
+    files = [[(0, 1000, 1)], [(1, 6000, 2)]]
+    control_in = tmp_path / "fc_in"
+    control_in.mkdir()
+    for i, rows in enumerate(files):
+        _write_batch(str(control_in / f"b{i}.parquet"), rows, i)
+    control_out = str(tmp_path / "fc_out")
+    _drain(spark, str(control_in), control_out, str(tmp_path / "fc_ckpt"))
+    control = _sessions(spark, control_out)
+    # u1's tail closed by the trailing batch's timer; u2's stays open
+    assert control == [(1, 1000, 1000, 1)]
+
+    stranded_in = tmp_path / "fs_in"
+    stranded_in.mkdir()
+    for i, rows in enumerate(files):
+        _write_batch(str(stranded_in / f"b{i}.parquet"), rows, i)
+    out = str(tmp_path / "fs_out")
+    ckpt = str(tmp_path / "fs_ckpt")
+    q = (
+        sessionize_stream(
+            spark.readStream.schema(SCHEMA).parquet(str(stranded_in)),
+            gap_s=GAP_S,
+            timeout_mode="event",
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _sessions(spark, out) == []  # tail stranded in state
+
+    # a resume with NO new data emits nothing (the measured contract)
+    _drain(spark, str(stranded_in), out, ckpt)
+    assert _sessions(spark, out) == []
+
+    # the completion step: sentinel at the drained data's max ts, then
+    # one more drain — emits exactly the control's rows
+    max_ts = max(t for rows in files for _, t, _ in rows)
+    write_flush_sentinel(str(stranded_in), max_ts)
+    _drain(spark, str(stranded_in), out, ckpt)
+    assert _sessions(spark, out) == control

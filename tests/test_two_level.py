@@ -109,3 +109,38 @@ def test_semantic_dedup_over_two_level_assignment(spark, hierarchy):
     assert {1_000_000 + i for i in range(5)} <= dropped
     # originals survive (their twin has the larger id)
     assert not (set(range(5)) & dropped)
+
+
+def test_assign_two_level_impl_parity(spark, hierarchy):
+    """Round 13: the fused arrow kernel (coarse matmul + per-cell fine
+    matmul, map-only) must equal the expr form (literal argmax +
+    broadcast join + max-struct agg) row for row — including null and
+    zero-vector rows, which take their cell's smallest fine id under
+    both forms."""
+    vecs, coarse, fine = hierarchy
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    extra = spark.createDataFrame(
+        [(900001, None), (900002, [0.0] * len(vecs.first().embedding))],
+        StructType(
+            [
+                StructField("vec_id", IntegerType(), False),
+                StructField("embedding", ArrayType(FloatType()), True),
+            ]
+        ),
+    )
+    allv = vecs.select(
+        F.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    ).unionByName(extra)
+    a = sim.assign_two_level(allv, coarse, fine, impl="expr").collect()
+    b = sim.assign_two_level(allv, coarse, fine, impl="arrow").collect()
+    assert sorted((r.vec_id, r.centroid_id) for r in a) == sorted(
+        (r.vec_id, r.centroid_id) for r in b
+    )
+    assert len(b) == allv.count()
