@@ -48,7 +48,11 @@ from pyspark.sql import functions as F
 from mapreduce_implementation_spark import get_spark
 from scale_rehearsal import IVF_TRAIN_SAMPLE, synth_leaves, synth_vectors
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
+nums = [a for a in sys.argv[1:] if a.isdigit()]
+N = int(nums[0]) if nums else 800_000
+SECTIONS = {a.lstrip("-") for a in sys.argv[1:] if a.startswith("--")} or {
+    "ab", "sweep", "leaves"
+}
 IVF_K = 64
 MAX_CLUSTER = 1000
 THRESHOLD = 0.9
@@ -92,8 +96,9 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="mris_r13_")
     try:
         vec_dir = os.path.join(root, "vecs")
-        synth_vectors(spark, N, vec_dir)
-        vecs = spark.read.parquet(vec_dir)
+        if SECTIONS & {"ab", "sweep"}:
+            synth_vectors(spark, N, vec_dir)
+            vecs = spark.read.parquet(vec_dir)
         results["calibration_before"] = calib()
 
         k_sem = max(16, N // 1000)
@@ -139,8 +144,12 @@ def main() -> None:
             release_caches()
             return d
 
-        arms = {"ivf_build": arm_ivf, "hier_build": arm_hier,
-                "sem_e2e": arm_sem}
+        arms = (
+            {"ivf_build": arm_ivf, "hier_build": arm_hier,
+             "sem_e2e": arm_sem}
+            if "ab" in SECTIONS
+            else {}
+        )
         walls: dict[str, dict[str, list[float]]] = {
             a: {"expr": [], "arrow": []} for a in arms
         }
@@ -179,11 +188,15 @@ def main() -> None:
             _blas_pair_screen,
         )
 
-        NS = 200_000
+        NS = min(200_000, N)
         svecs = (
-            spark.read.parquet(vec_dir)
-            .where(F.col("vec_id") < NS)
-            .select("vec_id", "embedding")
+            (
+                spark.read.parquet(vec_dir)
+                .where(F.col("vec_id") < NS)
+                .select("vec_id", "embedding")
+            )
+            if "sweep" in SECTIONS
+            else None
         )
         sweep: dict[int, dict[str, float]] = {}
         from pyspark.sql import types as T
@@ -196,7 +209,7 @@ def main() -> None:
                 T.StructField("cos_sim", T.DoubleType()),
             ]
         )
-        for m in (1, 2, 4, 8, 16, 32, 64):
+        for m in (1, 2, 4, 8, 16, 32, 64) if "sweep" in SECTIONS else ():
             base = svecs.withColumn(
                 "bucket", (F.col("vec_id") / m).cast("long")
             ).withColumn("_vn", norm(F.col("embedding")))
@@ -245,7 +258,8 @@ def main() -> None:
                 "blas_sec": min(t_blas),
                 "winner": "blas" if min(t_blas) < min(t_join) else "join",
             }
-        results["screen_crossover_sweep"] = sweep
+        if "sweep" in SECTIONS:
+            results["screen_crossover_sweep"] = sweep
 
         # ---- 3. leaf listing at 1e5 leaves --------------------------
         from mapreduce_implementation_spark.sources.sinks import (
@@ -253,6 +267,10 @@ def main() -> None:
             paged_leaf_counts,
         )
 
+        if "leaves" not in SECTIONS:
+            results["calibration_after"] = calib()
+            print(json.dumps(results))
+            return
         leaves_dir = os.path.join(root, "leaves")
         synth_leaves(spark, 100_000, leaves_dir)
         tracemalloc.start()
