@@ -63,9 +63,13 @@ def materialize(df) -> None:
 
 
 def digest(df, cols) -> tuple:
+    # pmod keeps the per-row term < 2^40 so the ANSI-mode long sum
+    # cannot overflow below ~8M rows; order-insensitive by construction
     row = df.select(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*[F.col(c) for c in cols])).alias("h"),
+        F.sum(
+            F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(1 << 40))
+        ).alias("h"),
     ).first()
     return (int(row.n), int(row.h))
 
