@@ -300,14 +300,18 @@ DEFAULT_MAX_BUCKET = 1000
 
 # pair_screen="auto" crossover: choose the vectorized (blas) per-group
 # screen when the MEAN SURVIVING GROUP SIZE is at least this many rows,
-# the enumerate-and-fold join below it. Measured both ways (round 12:
-# minhash at 1M docs — ~4M mostly-singleton buckets, join 28.5 s vs
-# blas 287 s; SRP ~64-member buckets, blas 6.0×; semantic bounded
-# clusters, blas 7.7×; round-13 sweep over controlled mean sizes
-# pins the crossover — BASELINE.md). applyInPandas costs per GROUP
+# the enumerate-and-fold join below it. applyInPandas costs per GROUP
 # (Arrow batch + Python dispatch), the join costs per candidate PAIR:
 # tiny groups generate almost no pairs but still pay the group toll.
-AUTO_SCREEN_MIN_MEAN = 8.0
+# MEASURED (round-13 sweep, adjudicate_r13.py: 200k dim-64 vectors,
+# bucket = id//m, min-of-2 interleaved, seconds join vs blas):
+#   m=1 0.55/23.07  m=2 0.59/13.07  m=4 0.76/7.51  m=8 1.08/4.19
+#   m=16 1.66/2.53  m=32 3.03/1.70  m=64 5.35/1.25
+# — join wins through m=16, blas from m=32; 24 is the midpoint. The
+# round-12 endpoints agree: minhash at 1M docs (~4M mostly-singleton
+# buckets) join 28.5 s vs blas 287 s; SRP ~64-member buckets blas
+# 6.0×; semantic bounded clusters blas 7.7× (BASELINE.md).
+AUTO_SCREEN_MIN_MEAN = 24.0
 
 
 def choose_pair_screen(
