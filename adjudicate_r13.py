@@ -100,7 +100,7 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="mris_r13_")
     try:
         vec_dir = os.path.join(root, "vecs")
-        if SECTIONS & {"ab", "sweep"}:
+        if SECTIONS & {"ab", "sweep", "buckets"}:
             synth_vectors(spark, N, vec_dir)
             vecs = spark.read.parquet(vec_dir)
         results["calibration_before"] = calib()
@@ -270,6 +270,60 @@ def main() -> None:
             distributed_leaf_counts,
             paged_leaf_counts,
         )
+
+        # ---- 2b. SRP bucketing kernel A/B (round-13 follow-on) ------
+        if "buckets" in SECTIONS:
+            import random
+
+            from mapreduce_implementation_spark.operators.semantic import (
+                srp_near_dup_pairs,
+            )
+
+            DIM = len(vecs.first()["embedding"])
+            n_planes = max(4, int(math.log2(max(N, 128) / 64)))
+            rnd = random.Random(42)
+            planes = spark.createDataFrame(
+                [
+                    (pi, [rnd.uniform(-1.0, 1.0) for _ in range(DIM)])
+                    for pi in range(n_planes)
+                ],
+                "plane_id int, plane_emb array<double>",
+            )
+            bwalls = {"bucket_expr": [], "bucket_arrow": [],
+                      "srp_expr_buckets": [], "srp_arrow_buckets": []}
+            bdig = {"expr": set(), "arrow": set()}
+            import mapreduce_implementation_spark.operators.similarity as _s
+
+            orig = _s._with_buckets
+            for _ in range(2):
+                for impl in ("expr", "arrow"):
+                    t0 = time.perf_counter()
+                    bk = _s._with_buckets(
+                        vecs, planes, "vec_id", "embedding", impl=impl
+                    )
+                    bdig[impl].add(digest(bk, ["vec_id", "bucket"]))
+                    bwalls[f"bucket_{impl}"].append(
+                        round(time.perf_counter() - t0, 2)
+                    )
+                    # srp e2e with the bucketing impl forced
+                    def forced(df, pl, i, e, keep_emb=False, _impl=impl):
+                        return orig(df, pl, i, e, keep_emb, impl=_impl)
+
+                    _s._with_buckets = forced
+                    try:
+                        t0 = time.perf_counter()
+                        materialize(
+                            srp_near_dup_pairs(vecs, planes, threshold=0.8)
+                        )
+                        bwalls[f"srp_{impl}_buckets"].append(
+                            round(time.perf_counter() - t0, 2)
+                        )
+                    finally:
+                        _s._with_buckets = orig
+            assert bdig["expr"] == bdig["arrow"] and len(bdig["expr"]) == 1, bdig
+            results["bucketing"] = {
+                k: min(v) for k, v in bwalls.items()
+            } | {"runs": bwalls, "n_planes": n_planes}
 
         if "leaves" not in SECTIONS:
             results["calibration_after"] = calib()

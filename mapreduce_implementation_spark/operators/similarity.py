@@ -82,21 +82,41 @@ def _with_buckets(
     id_col: str,
     emb_col: str,
     keep_emb: bool = False,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Attach an SRP bucket string: sign of dot(embedding, plane_j) for
     each plane, concatenated in plane order.
 
-    The planes (a handful of k×d vectors) are collected to the driver
-    and inlined as array literals, so the whole bucket computation is
-    ONE scan-side projection — no crossJoin row explosion, no groupBy
-    shuffle, no join-back (the same driver-side-small design as k-means
+    The planes (a handful of P×d vectors) are collected to the driver
+    and shipped with the task, so the whole bucket computation is ONE
+    map-only pass — no crossJoin row explosion, no groupBy shuffle, no
+    join-back (the same driver-side-small design as k-means
     centroids). ``keep_emb`` also carries the embedding through,
-    saving callers the re-join."""
+    saving callers the re-join.
+
+    ``impl="arrow"`` (default, round 13 — the assignment lesson
+    applied to bucketing): per Arrow batch, ONE (n,d)@(d,P) matmul
+    yields all P dots, signs become the bit string vectorized —
+    replacing P interpreted HOF dot folds per row (CodegenFallback).
+    Sign parity with the expr form is exact: a BLAS dot can only
+    disagree with the left fold inside a ~1e-14 band around 0, and
+    every |dot| < 1e-9 is recomputed through Spark's exact left fold
+    before the sign is taken. Null/ragged embeddings produce the
+    all-zeros bucket (the expr form's ``otherwise("0")`` on a null
+    dot), zero vectors the all-ones bucket (0.0 ≥ 0) — pytest-pinned.
+    ``"expr"`` is the round-9 expression A/B arm."""
     from mapreduce_implementation_spark.functions.vectors import dot
 
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     plane_rows = sorted(
         planes.select("plane_id", "plane_emb").collect(), key=lambda r: r.plane_id
     )
+    if impl == "arrow":
+        return _with_buckets_arrow(
+            df, [list(map(float, r.plane_emb)) for r in plane_rows],
+            id_col, emb_col, keep_emb,
+        )
 
     def bit(pe) -> Column:
         # one py4j call per ARRAY, not per element (64-dim planes
@@ -111,6 +131,66 @@ def _with_buckets(
     if keep_emb:
         cols.insert(1, F.col(emb_col))
     return df.select(*cols)
+
+
+def _with_buckets_arrow(
+    df: DataFrame,
+    plane_vals: list[list[float]],
+    id_col: str,
+    emb_col: str,
+    keep_emb: bool,
+) -> DataFrame:
+    """mapInPandas SRP bucketing kernel (see _with_buckets): one
+    matmul per Arrow batch, boundary-exact signs."""
+    from pyspark.sql import types as T
+
+    ship_module_by_value()
+
+    pre = df.select(F.col(id_col), F.col(emb_col))
+    in_schema = pre.schema
+    out_fields = [in_schema[id_col]]
+    if keep_emb:
+        out_fields.append(in_schema[emb_col])
+    out_schema = T.StructType(
+        out_fields + [T.StructField("bucket", T.StringType(), False)]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        pmat = np.array(plane_vals, dtype=np.float64)  # P x d
+        p, d = pmat.shape
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            embs = pdf[emb_col].to_numpy()
+            ok = np.fromiter(
+                (e is not None and len(e) == d for e in embs),
+                dtype=bool,
+                count=n,
+            )
+            m = np.zeros((n, d), dtype=np.float64)
+            for i in np.nonzero(ok)[0]:
+                m[i] = np.asarray(embs[i], dtype=np.float64)
+            dots = m @ pmat.T  # n x P
+            boundary = ok[:, None] & (np.abs(dots) < 1e-9)
+            if boundary.any():
+                for i, j in zip(*np.nonzero(boundary)):
+                    acc = 0.0
+                    for a, b in zip(embs[i], plane_vals[j]):
+                        acc += float(a) * b
+                    dots[i, j] = acc
+            bits = np.where(ok[:, None] & (dots >= 0.0), "1", "0")
+            out = {id_col: pdf[id_col].to_numpy()}
+            if keep_emb:
+                out[emb_col] = pdf[emb_col].to_numpy()
+            out["bucket"] = ["".join(r) for r in bits]
+            yield pd.DataFrame(out)
+
+    return pre.mapInPandas(gen, out_schema)
 
 
 def ship_module_by_value() -> None:

@@ -672,3 +672,51 @@ def test_np_quantize_q4_matches_decimal_cast_semantics():
         ]
     )
     assert (got == want).all(), np.nonzero(got != want)
+
+
+def test_srp_bucketing_arrow_expr_parity(
+    spark, adversarial_vectors, adversarial_centroids
+):
+    """Round-13: the matmul bucketing kernel must reproduce the
+    expression form's bucket string bit for bit — including the
+    all-zeros bucket for null/ragged embeddings (null dot →
+    otherwise('0')) and the all-ones bucket for zero vectors
+    (0.0 ≥ 0)."""
+    planes = adversarial_centroids.select(
+        F.col("centroid_id").alias("plane_id"),
+        F.col("centroid_emb").alias("plane_emb"),
+    )
+    a = sim._with_buckets(
+        adversarial_vectors, planes, "vec_id", "embedding", impl="expr"
+    ).collect()
+    b = sim._with_buckets(
+        adversarial_vectors, planes, "vec_id", "embedding", impl="arrow"
+    ).collect()
+    ba = {r.vec_id: r.bucket for r in a}
+    bb = {r.vec_id: r.bucket for r in b}
+    assert ba == bb
+    assert ba[300] == "0" * 6  # null embedding
+    assert ba[302] == "0" * 6  # ragged embedding
+    assert ba[301] == "1" * 6  # zero vector
+
+    # keep_emb passthrough parity
+    a = sim._with_buckets(
+        adversarial_vectors, planes, "vec_id", "embedding",
+        keep_emb=True, impl="expr",
+    ).collect()
+    b = sim._with_buckets(
+        adversarial_vectors, planes, "vec_id", "embedding",
+        keep_emb=True, impl="arrow",
+    ).collect()
+
+    def key(rs):
+        return sorted(
+            (
+                r.vec_id,
+                r.bucket,
+                tuple(r.embedding) if r.embedding is not None else None,
+            )
+            for r in rs
+        )
+
+    assert key(a) == key(b)
