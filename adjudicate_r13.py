@@ -100,7 +100,7 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="mris_r13_")
     try:
         vec_dir = os.path.join(root, "vecs")
-        if SECTIONS & {"ab", "sweep", "buckets"}:
+        if SECTIONS & {"ab", "sweep", "buckets", "brute"}:
             synth_vectors(spark, N, vec_dir)
             vecs = spark.read.parquet(vec_dir)
         results["calibration_before"] = calib()
@@ -270,6 +270,30 @@ def main() -> None:
             distributed_leaf_counts,
             paged_leaf_counts,
         )
+
+        # ---- 2c. brute-force top-k kernel A/B (round-13 follow-on) --
+        if "brute" in SECTIONS:
+            queries = vecs.where(F.col("vec_id") < 8)
+            bf = {"expr": [], "arrow": []}
+            bfd = {"expr": set(), "arrow": set()}
+            for _ in range(2):
+                for impl in ("expr", "arrow"):
+                    t0 = time.perf_counter()
+                    out = sim.brute_force_topk(
+                        vecs, queries, k=10, impl=impl
+                    )
+                    materialize(out)
+                    bf[impl].append(round(time.perf_counter() - t0, 2))
+                    bfd[impl].add(
+                        digest(out, ["query_id", "vec_id", "rank"])
+                    )
+            assert bfd["expr"] == bfd["arrow"] and len(bfd["expr"]) == 1, bfd
+            results["brute_force_topk"] = {
+                "expr_sec": min(bf["expr"]),
+                "arrow_sec": min(bf["arrow"]),
+                "speedup": round(min(bf["expr"]) / min(bf["arrow"]), 2),
+                "runs": bf,
+            }
 
         # ---- 2b. SRP bucketing kernel A/B (round-13 follow-on) ------
         if "buckets" in SECTIONS:

@@ -43,9 +43,37 @@ def brute_force_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
+    impl: str = "arrow",
+    max_queries: int = 10_000,
 ) -> DataFrame:
-    """Exact per-query top-k by cosine. ``queries`` must be small (it is
-    broadcast). Self-matches (same id) are excluded."""
+    """Exact per-query top-k by cosine. ``queries`` must be small.
+    Self-matches (same id) are excluded.
+
+    ``impl="arrow"`` (default, round 13): the query matrix is
+    collected (``max_queries``-guarded — the same small-queries
+    contract the broadcast form trusted implicitly) and each Arrow
+    batch scores as ONE (n,d)@(d,q) matmul; only each batch's
+    per-query top-k candidate rows leave Python (≤ batches·q·k rows —
+    at 100 TB the n·q score-row explosion of the crossJoin never
+    materializes), and the final ranking window runs on that reduced
+    set. Exactness: the true global top-k per query is a subset of
+    the per-batch top-ks; candidate ordering uses the same quantized
+    score (np_quantize_q4's exact-fold boundary replay — bit-equal to
+    the expr form's DECIMAL(10,4) cast) and the same vec_id tiebreak,
+    and the emitted double ``qi/10⁴`` round-trips the decimal cast
+    exactly, so the final window reproduces the expr ranking bit for
+    bit (parity pytest-pinned). NULL-score pairs (zero/null/ragged
+    embeddings — the expr form's WHEN yields NULL, which the ranking
+    window sorts LAST, so they surface only when a query has fewer
+    than k real candidates) are preserved: each batch also emits its
+    k smallest-id null-score candidates per query, with cos_sim NULL.
+    ``"expr"`` is the crossJoin + HOF-fold A/B arm."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    if impl == "arrow":
+        return _brute_force_topk_arrow(
+            vectors, queries, k, id_col, emb_col, query_id_col, max_queries
+        )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(emb_col).alias("_q_emb")
@@ -61,6 +89,149 @@ def brute_force_topk(
             _score(F.col("_q_emb"), F.col(emb_col)).alias("cos_sim"),
         )
     )
+    return _rank_topk(scored, query_id_col, id_col, k)
+
+
+def _brute_force_topk_arrow(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    emb_col: str,
+    query_id_col: str,
+    max_queries: int,
+) -> DataFrame:
+    """mapInPandas brute-force kernel (see brute_force_topk): per Arrow
+    batch, one (n,d)@(d,q) matmul + per-query partial top-k; the final
+    exact ranking window runs over ≤ batches·q·2k candidate rows."""
+    import math
+
+    from pyspark.sql import types as T
+
+    ship_module_by_value()
+
+    qrows = (
+        queries.select(F.col(id_col), F.col(emb_col))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk(impl='arrow') collects the query set; "
+            f"it exceeds max_queries={max_queries}. Raise the cap, or "
+            f"use impl='expr' (broadcast crossJoin) for larger sets."
+        )
+    q_ids = [r[id_col] for r in qrows]
+    q_vals = [
+        [float(x) for x in r[emb_col]] if r[emb_col] is not None else None
+        for r in qrows
+    ]
+    q_norms = [
+        math.sqrt(sum(x * x for x in v)) if v is not None else None
+        for v in q_vals
+    ]
+
+    pre = vectors.select(F.col(id_col), F.col(emb_col))
+    in_schema = pre.schema
+    qid_field = queries.select(F.col(id_col)).schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_field.dataType),
+            in_schema[id_col],
+            T.StructField("cos_sim", T.DoubleType(), True),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        nq = len(q_ids)
+        # dims may differ per query (ragged) — use the modal dim of the
+        # valid queries for the matmul matrix; other queries score as
+        # null pairs (zip_with-padding semantics)
+        dims = [len(v) for v in q_vals if v is not None]
+        d = max(set(dims), key=dims.count) if dims else 0
+        qmat = np.zeros((nq, d), dtype=np.float64)
+        q_ok = np.zeros(nq, dtype=bool)
+        for j, v in enumerate(q_vals):
+            if v is not None and len(v) == d:
+                qmat[j] = v
+                q_ok[j] = True
+        qn = np.array(
+            [x if x is not None else np.nan for x in q_norms],
+            dtype=np.float64,
+        )
+        qid_arr = np.array(q_ids)
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            embs = pdf[emb_col].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            ok = np.fromiter(
+                (e is not None and len(e) == d for e in embs),
+                dtype=bool,
+                count=n,
+            )
+            m = np.zeros((n, d), dtype=np.float64)
+            for i in np.nonzero(ok)[0]:
+                m[i] = np.asarray(embs[i], dtype=np.float64)
+            vn = np.sqrt(np.einsum("ij,ij->i", m, m))
+            denom = vn[:, None] * qn[None, :]
+            not_self = ids[:, None] != qid_arr[None, :]
+            valid = (
+                ok[:, None]
+                & q_ok[None, :]
+                & np.isfinite(denom)
+                & (denom != 0.0)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(valid, (m @ qmat.T) / denom, -np.inf)
+
+            def exact_at(flat_ix: int) -> float:
+                i, j = divmod(flat_ix, nq)
+                acc = 0.0
+                for a, b in zip(q_vals[j], embs[i]):
+                    acc += float(a) * float(b)
+                accn = 0.0
+                for x in embs[i]:
+                    accn += float(x) * float(x)
+                return acc / (q_norms[j] * math.sqrt(accn))
+
+            qscore = np_quantize_q4(cos, exact_at)
+
+            out_q, out_v, out_s = [], [], []
+            for j in range(nq):
+                col = qscore[:, j]
+                fin = np.nonzero(np.isfinite(col) & not_self[:, j])[0]
+                if len(fin):
+                    order = fin[
+                        np.lexsort((ids[fin], -col[fin]))
+                    ][:k]
+                    out_q.extend([q_ids[j]] * len(order))
+                    out_v.extend(ids[order])
+                    out_s.extend(col[order] / 10_000.0)
+                # null-score pairs (the expr form's NULL rows): smallest
+                # ids, surfaced only if the final window needs fillers
+                nul = np.nonzero(~np.isfinite(col) & not_self[:, j])[0]
+                if len(nul):
+                    order = nul[np.argsort(ids[nul])][:k]
+                    out_q.extend([q_ids[j]] * len(order))
+                    out_v.extend(ids[order])
+                    out_s.extend([None] * len(order))
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: out_q,
+                        id_col: out_v,
+                        "cos_sim": pd.array(out_s, dtype="float64"),
+                    }
+                )
+
+    cand = pre.mapInPandas(gen, out_schema)
+    scored = cand.withColumn("cos_sim", F.col("cos_sim").cast(COS_Q))
     return _rank_topk(scored, query_id_col, id_col, k)
 
 

@@ -720,3 +720,37 @@ def test_srp_bucketing_arrow_expr_parity(
         )
 
     assert key(a) == key(b)
+
+
+def test_brute_force_topk_arrow_expr_parity(spark, adversarial_vectors):
+    """Round-13: the matmul brute-force kernel must reproduce the
+    crossJoin form row for row — ranks, quantized scores, vec_id
+    tiebreaks, NULL-score fillers (zero/null/ragged embeddings on
+    EITHER side), and self-exclusion."""
+    queries = adversarial_vectors.where(
+        F.col("vec_id").isin(0, 7, 300, 301, 302)  # incl. null/zero/ragged
+    )
+
+    def rows(impl):
+        return sorted(
+            (
+                r.query_id,
+                r.vec_id,
+                r.rank,
+                None if r.cos_sim is None else round(float(r.cos_sim), 4),
+            )
+            for r in sim.brute_force_topk(
+                adversarial_vectors, queries, k=7, impl=impl
+            ).collect()
+        )
+
+    a, b = rows("expr"), rows("arrow")
+    assert a == b
+    qids = {t[0] for t in a}
+    assert qids == {0, 7, 300, 301, 302}
+    assert all(t[0] != t[1] for t in a)  # self excluded
+
+    with pytest.raises(ValueError, match="max_queries"):
+        sim.brute_force_topk(
+            adversarial_vectors, adversarial_vectors, k=3, max_queries=10
+        )
