@@ -100,7 +100,7 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="mris_r13_")
     try:
         vec_dir = os.path.join(root, "vecs")
-        if SECTIONS & {"ab", "sweep", "buckets", "brute"}:
+        if SECTIONS & {"ab", "sweep", "buckets", "brute", "ivfwrite"}:
             synth_vectors(spark, N, vec_dir)
             vecs = spark.read.parquet(vec_dir)
         results["calibration_before"] = calib()
@@ -270,6 +270,47 @@ def main() -> None:
             distributed_leaf_counts,
             paged_leaf_counts,
         )
+
+        # ---- 2d. clustered IVF index write A/B (round-13 follow-on) -
+        if "ivfwrite" in SECTIONS:
+            import glob
+
+            from mapreduce_implementation_spark.sources.sinks import (
+                write_partitioned_dataset,
+            )
+
+            cents = sim.train_centroids(
+                vecs, k=IVF_K, iters=2, sample_n=IVF_TRAIN_SAMPLE
+            )
+            assigned = sim.assign_inverted_lists(
+                vecs, cents, 1, keep_cols=("embedding",)
+            ).localCheckpoint(eager=True)
+            wv = {"plain": [], "clustered": []}
+            files = {}
+            rowsn = {}
+            for _ in range(2):
+                for mode_name, cl in (("plain", False), ("clustered", True)):
+                    out_dir = os.path.join(root, f"ivfw_{mode_name}")
+                    t0 = time.perf_counter()
+                    write_partitioned_dataset(
+                        assigned, out_dir, ["centroid_id"], cluster=cl
+                    )
+                    wv[mode_name].append(round(time.perf_counter() - t0, 2))
+                    files[mode_name] = len(
+                        glob.glob(os.path.join(out_dir, "*", "*.parquet"))
+                    )
+                    rowsn[mode_name] = (
+                        spark.read.parquet(out_dir).count()
+                    )
+            assert rowsn["plain"] == rowsn["clustered"] == N, rowsn
+            results["ivf_index_write"] = {
+                "plain_sec": min(wv["plain"]),
+                "clustered_sec": min(wv["clustered"]),
+                "plain_files": files["plain"],
+                "clustered_files": files["clustered"],
+                "runs": wv,
+            }
+            assigned.unpersist()
 
         # ---- 2c. brute-force top-k kernel A/B (round-13 follow-on) --
         if "brute" in SECTIONS:

@@ -151,7 +151,9 @@ def _brute_force_topk_arrow(
         # valid queries for the matmul matrix; other queries score as
         # null pairs (zip_with-padding semantics)
         dims = [len(v) for v in q_vals if v is not None]
-        d = max(set(dims), key=dims.count) if dims else 0
+        # modal dim; deterministic tie-break (smallest) so a 50/50
+        # ragged query set can't flip behavior between runs
+        d = max(sorted(set(dims)), key=dims.count) if dims else 0
         qmat = np.zeros((nq, d), dtype=np.float64)
         q_ok = np.zeros(nq, dtype=bool)
         for j, v in enumerate(q_vals):
@@ -1228,8 +1230,13 @@ def materialize_ivf_index(
     list, so probing ``nprobe`` lists prunes every other partition at
     planning time (``PartitionFilters`` on the probe scan, plan-gated).
     Built once per corpus (sources/materialize.ensure_table) and reused
-    by every query batch; the assignment itself is the map-only
-    literal-inlined projection from assign_inverted_lists."""
+    by every query batch; the assignment itself is the map-only arrow
+    kernel from assign_inverted_lists. The write CLUSTERS on
+    centroid_id (one shuffle) so each inverted list lands as ~one file
+    instead of one per (task, list) — with the assignment now 6×
+    faster (round 13), the T·V-file commit was the build's dominant
+    term (A/B in BASELINE.md), and fewer, bigger list files also read
+    faster at probe time."""
     from mapreduce_implementation_spark.sources.sinks import (
         write_partitioned_dataset,
     )
@@ -1237,7 +1244,7 @@ def materialize_ivf_index(
     assigned = assign_inverted_lists(
         vectors, centroids, 1, id_col, emb_col, keep_cols=(emb_col,)
     )
-    write_partitioned_dataset(assigned, path, ["centroid_id"])
+    write_partitioned_dataset(assigned, path, ["centroid_id"], cluster=True)
 
 
 def append_to_ivf_index(

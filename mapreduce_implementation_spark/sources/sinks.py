@@ -27,6 +27,7 @@ def write_partitioned_dataset(
     path: str,
     partition_cols: list[str],
     mode: str = "overwrite",
+    cluster: bool = False,
 ) -> None:
     """Hive-layout partitioned parquet dataset — the 100 TB table
     layout: a filter on a partition column prunes whole directories at
@@ -35,7 +36,22 @@ def write_partitioned_dataset(
 
     Choose partition columns with bounded cardinality (date, type,
     tenant) — one directory per value per write; high-cardinality keys
-    belong in bucketing or sort order, not partitioning."""
+    belong in bucketing or sort order, not partitioning.
+
+    ``cluster=True`` hash-repartitions on the partition columns BEFORE
+    the write, so each value's rows co-locate in one task and each
+    leaf directory receives ~ONE file instead of one per (task, value)
+    — a plain partitionBy write from T tasks over V values commits up
+    to T·V small files, which is both this write's commit-overhead
+    ceiling and the small-file debt compact_partitioned_dataset exists
+    to pay later (round-13 A/B on the 800k IVF index build:
+    BASELINE.md). The trade is one extra shuffle of the payload and
+    one task per value — fine for bounded-cardinality, roughly
+    balanced partition values (the IVF index's centroid lists); for
+    skewed values keep the default and compact afterwards, or split
+    large leaves with compact's ``files_per_partition``."""
+    if cluster:
+        df = df.repartition(*[F.col(c) for c in partition_cols])
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
