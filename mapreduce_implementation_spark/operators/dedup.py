@@ -736,6 +736,7 @@ def minhash_signatures(
     *,
     shingle_n: int = 3,
     k: int = 16,
+    impl: str = "expr",
 ) -> DataFrame:
     """Scan-side MinHash signature chain → DataFrame[doc_id, sig
     array<long>] (NULL sig for shingle-less docs).
@@ -752,10 +753,25 @@ def minhash_signatures(
     Shingle-less docs instead yield a NULL signature (the F.when in
     minhash_signature_from_ints), which the band explode drops.
 
-    This is the frame to MATERIALIZE once per corpus
-    (sources/materialize.ensure_table) — signatures feed every LSH
-    band join, verify pass, and clustering run downstream."""
-    return (
+    ``impl``: ``"expr"`` (default) evaluates the k permutation mins
+    as ``array_min(transform(...))`` HOF folds; ``"arrow"`` computes
+    them per Arrow batch as k vectorized ``(a·x + b) mod p`` passes +
+    ``np.minimum.reduceat`` over the flattened shingle ints. The
+    arrow form is a MEASURED WASH here, unlike the assignment/screen
+    family it extends (round-13 quiet-host 1M-doc interleaved A/B:
+    expr 30.97 s vs arrow 31.25 s, digest-identical — and arrow
+    degraded to 0.72× under CPU contention): the md5 pass
+    (``shingle_ints``, JVM-side in BOTH impls) dominates the chain,
+    and k=16 integer ops per shingle is too little arithmetic to pay
+    for the Arrow transfer of the shingle-int arrays — contrast
+    SimHash's n_bits-wide per-token fold (2× arrow win) and the
+    k·d-flop assignment (6×). Parity is exact either way (every
+    operand an integer < 2³¹ — no rounding exists in this
+    arithmetic); NULL/empty shingle sets yield NULL signatures in
+    both impls (pytest-pinned digest parity)."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    staged = (
         spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select(
             "doc_id",
@@ -766,8 +782,65 @@ def minhash_signatures(
             F.array_distinct(word_ngrams(F.col("_toks"), shingle_n)).alias("sh"),
         )
         .select("doc_id", shingle_ints(F.col("sh")).alias("_xs"))
-        .select("doc_id", minhash_signature_from_ints(F.col("_xs"), k).alias("sig"))
     )
+    if impl == "expr":
+        return staged.select(
+            "doc_id", minhash_signature_from_ints(F.col("_xs"), k).alias("sig")
+        )
+    return _minhash_sig_arrow(staged, k)
+
+
+def _minhash_sig_arrow(staged: DataFrame, k: int) -> DataFrame:
+    """mapInPandas MinHash signature kernel (see minhash_signatures):
+    per Arrow batch, the non-null shingle-int arrays flatten into ONE
+    int64 vector; each of the k permutations is one vectorized
+    ``(a·x + b) mod p`` pass and one ``np.minimum.reduceat`` over the
+    per-doc segment offsets. Map-only — no shuffle, no join-back.
+
+    The per-permutation loop (k passes of ~total-shingles int64 ops)
+    is deliberate: a single (k, total) matrix would be exact too, but
+    peaks at k× the flat buffer per batch; the loop keeps the working
+    set at ~3 arrays of the flat size regardless of k."""
+    from pyspark.sql import types as T
+
+    a_consts = [int(a) for a in PERM_A[:k]]
+    b_consts = [int(b) for b in PERM_B[:k]]
+    id_field = staged.schema["doc_id"]
+    out_schema = T.StructType(
+        [id_field, T.StructField("sig", T.ArrayType(T.LongType()), True)]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            xs = pdf["_xs"].to_numpy()
+            lens = np.fromiter(
+                (0 if x is None else len(x) for x in xs), dtype=np.int64, count=n
+            )
+            sigs = np.empty(n, dtype=object)
+            nz = np.nonzero(lens > 0)[0]
+            if len(nz):
+                flat = np.concatenate(
+                    [np.asarray(xs[i], dtype=np.int64) for i in nz]
+                )
+                offs = np.zeros(len(nz), dtype=np.int64)
+                np.cumsum(lens[nz][:-1], out=offs[1:])
+                mins = np.empty((len(nz), k), dtype=np.int64)
+                for j in range(k):
+                    # a·x + b < 2^62 + 2^31: exact in int64, no overflow
+                    mins[:, j] = np.minimum.reduceat(
+                        (a_consts[j] * flat + b_consts[j]) % MERSENNE_P, offs
+                    )
+                for pos, i in enumerate(nz):
+                    sigs[i] = mins[pos]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "sig": sigs})
+
+    return staged.mapInPandas(gen, out_schema)
 
 
 def minhash_near_dup_pairs(
@@ -785,6 +858,7 @@ def minhash_near_dup_pairs(
     cap_observation=None,
     cap_strategy: str = "window",
     pair_screen: str = "auto",
+    sig_impl: str = "expr",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
@@ -838,7 +912,9 @@ def minhash_near_dup_pairs(
         )
     if signatures is None:
         sigs = track_cache(
-            minhash_signatures(df, id_col, text_col, shingle_n=shingle_n, k=k)
+            minhash_signatures(
+                df, id_col, text_col, shingle_n=shingle_n, k=k, impl=sig_impl
+            )
         )
     else:
         sigs = signatures
@@ -1333,6 +1409,114 @@ def simhash_bits(text: Column | str, n_bits: int = 64) -> Column:
     return simhash_from_hashes(token_hashes(text), n_bits)
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_bits: int = 64,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Scan-side SimHash signature chain → DataFrame[id_col, simhash
+    '0'/'1' string] — the staged producer shared by the in-set miner,
+    the registry query, and materialized signature tables.
+
+    ``impl="arrow"`` (default, round 13 — the assignment lesson
+    applied to the bit-sum fold): the md5 pass (``token_hashes``)
+    stays JVM-side, and the per-doc ±1 bit sums compute
+    per Arrow batch as pure integer numpy — hex chars → nibbles → a
+    (tokens, n_bits) bit matrix → ``np.add.reduceat`` per-doc sums —
+    replacing the interpreted ``aggregate(zip_with)`` fold whose
+    inner ``token_contrib`` costs n_bits/4 ``conv`` string parses per
+    token (CodegenFallback). Quiet-host 1M-doc interleaved A/B:
+    **2.02× (46.9 → 23.3 s)**, digest-identical — the n_bits-wide
+    per-token fold carries enough arithmetic to pay for the transfer,
+    unlike MinHash's k=16 doc-level fold (a measured wash; see
+    minhash_signatures). All arithmetic is small-integer exact in
+    both engines, so parity is bitwise, not approximate; NULL text →
+    NULL signature and zero-token docs → the all-ones string
+    replicate the expr form's ``aggregate`` NULL/init semantics
+    (pytest-pinned digest parity). ``"expr"`` is the expression A/B
+    arm."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    staged = spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", token_hashes(F.col(text_col)).alias("_hs")
+    )
+    if impl == "expr":
+        out = staged.select(
+            "doc_id", simhash_from_hashes(F.col("_hs"), n_bits).alias("simhash")
+        )
+    else:
+        # NOTE: the kernel reads only the first n_bits/4 chars of each
+        # 32-char md5; truncating JVM-side first was measured and
+        # REJECTED — the extra interpreted transform(substring) pass
+        # costs more than the halved Arrow transfer saves (1M docs:
+        # untruncated arrow 23.3 s vs truncated 32-39 s, same session
+        # protocol)
+        out = _simhash_sig_arrow(staged, n_bits)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+def _simhash_sig_arrow(staged: DataFrame, n_bits: int) -> DataFrame:
+    """mapInPandas SimHash kernel (see simhash_signatures): per Arrow
+    batch the first n_bits/4 hex chars of every token hash concatenate
+    into ONE ascii buffer; nibble values, the 4-bit expansion, and the
+    ±1 contributions are vectorized, and ``np.add.reduceat`` folds the
+    (total_tokens, n_bits) contribution matrix to per-doc sums.
+    Map-only — no shuffle, no join-back."""
+    from pyspark.sql import types as T
+
+    n_digits = n_bits // 4
+    id_field = staged.schema["doc_id"]
+    out_schema = T.StructType(
+        [id_field, T.StructField("simhash", T.StringType(), True)]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.array([3, 2, 1, 0], dtype=np.uint8)
+        ones = "1" * n_bits
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            hs = pdf["_hs"].to_numpy()
+            lens = np.fromiter(
+                (-1 if x is None else len(x) for x in hs), dtype=np.int64, count=n
+            )
+            sigs = np.empty(n, dtype=object)
+            sigs[lens == 0] = ones  # aggregate([] , zeros): 0 >= 0 → all '1'
+            nz = np.nonzero(lens > 0)[0]
+            if len(nz):
+                buf = "".join(
+                    h[:n_digits] for i in nz for h in hs[i]
+                ).encode("ascii")
+                b = np.frombuffer(buf, dtype=np.uint8)
+                # lowercase hex: '0'-'9' → v-48, 'a'-'f' → v-87
+                nib = np.where(b >= 97, b - 87, b - 48).astype(np.uint8)
+                bits = (nib[:, None] >> shifts) & 1  # (tokens·n_digits, 4)
+                contrib = (
+                    bits.reshape(-1, n_bits).astype(np.int32) * 2 - 1
+                )  # (tokens, n_bits) of ±1
+                offs = np.zeros(len(nz), dtype=np.int64)
+                np.cumsum(lens[nz][:-1], out=offs[1:])
+                sums = np.add.reduceat(contrib, offs, axis=0)
+                bitchars = np.where(sums >= 0, "1", "0")
+                for pos, i in enumerate(nz):
+                    sigs[i] = "".join(bitchars[pos])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "simhash": sigs}
+            )
+
+    return staged.mapInPandas(gen, out_schema)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two string arrays (distinct
     semantics), engine-portable (no array_intersect, whose ordering/
@@ -1366,6 +1550,7 @@ def simhash_near_dup_pairs(
     signatures: DataFrame | None = None,
     cap_observation=None,
     cap_strategy: str = "window",
+    sig_impl: str = "arrow",
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded Hamming-LSH — the
     third pair-mining family next to MinHash (set overlap) and
@@ -1393,11 +1578,8 @@ def simhash_near_dup_pairs(
     _validate_simhash_blocking(n_bits, bands, max_hamming)
     if signatures is None:
         sigs = track_cache(
-            spread(df.select(id_col, text_col))
-            .select(id_col, token_hashes(text_col).alias("_hs"))
-            .select(
-                id_col,
-                simhash_from_hashes(F.col("_hs"), n_bits).alias("simhash"),
+            simhash_signatures(
+                df, id_col, text_col, n_bits=n_bits, impl=sig_impl
             )
         )
     else:

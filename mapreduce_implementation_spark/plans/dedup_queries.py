@@ -203,14 +203,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (frequency-weighted token hashing).
     Near-dup = small Hamming distance; bucket by bit-bands to search at
     scale (same LSH machinery as MinHash). Token hashes are projected
-    once, then the 64-bit loop reads the column (the inline form rehashes
-    per bit — no CSE across the bit expressions)."""
+    once JVM-side; the per-doc ±1 bit sums run in the round-13 arrow
+    kernel (operators/dedup.simhash_signatures, bitwise-exact vs the
+    aggregate-fold expr arm)."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        dd.spread(docs.select("doc_id", "text"))
-        .select("doc_id", dd.token_hashes("text").alias("_hs"))
-        .select("doc_id", dd.simhash_from_hashes(F.col("_hs"), 64).alias("simhash"))
-    )
+    return dd.simhash_signatures(docs, "doc_id", "text", n_bits=64)
 
 
 @register(

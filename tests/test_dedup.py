@@ -1226,3 +1226,96 @@ def test_minhash_auto_screen_parity(spark):
     auto = pairs("auto")
     assert auto == pairs("join") == pairs("blas")
     assert auto  # the fixture genuinely produces near-dup pairs
+
+
+class TestArrowSignatureKernels:
+    """Round-13: the md5 pass stays JVM-side; the permutation mins
+    (MinHash) and ±1 bit sums (SimHash) run as numpy reduceat kernels.
+    All arithmetic is small-integer exact in both engines, so parity
+    is bitwise — pinned here on adversarial text (NULL / empty /
+    whitespace-only / sub-shingle / unicode / long repeats)."""
+
+    @pytest.fixture(scope="class")
+    def edge_docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+            (5, "one two"),  # fewer tokens than shingle_n=3
+            (6, "ünïcode tökens ünïcode tökens mixed CASE Case case"),
+            (7, "repeat " * 200),
+            (8, "the quick brown fox jumps over the lazy dog"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_minhash_sig_parity_and_null_semantics(self, spark, edge_docs):
+        expr = {
+            r.doc_id: None if r.sig is None else tuple(r.sig)
+            for r in dd.minhash_signatures(edge_docs, impl="expr").collect()
+        }
+        arrow = {
+            r.doc_id: None if r.sig is None else tuple(r.sig)
+            for r in dd.minhash_signatures(edge_docs, impl="arrow").collect()
+        }
+        assert expr == arrow
+        # shingle-less docs (NULL/empty/whitespace/sub-shingle) → NULL sig
+        for d in (2, 3, 4, 5):
+            assert arrow[d] is None
+        assert arrow[1] == arrow[8] and arrow[1] is not None
+        assert len(arrow[1]) == 16
+
+    def test_simhash_sig_parity_and_null_semantics(self, spark, edge_docs):
+        expr = {
+            r.doc_id: r.simhash
+            for r in dd.simhash_signatures(edge_docs, impl="expr").collect()
+        }
+        arrow = {
+            r.doc_id: r.simhash
+            for r in dd.simhash_signatures(edge_docs, impl="arrow").collect()
+        }
+        assert expr == arrow
+        # NULL text → NULL sig; zero-token docs → the aggregate init
+        # (all sums 0 >= 0) → all-ones string
+        assert arrow[2] is None
+        assert arrow[3] == arrow[4] == "1" * 64
+        assert arrow[1] == arrow[8] and len(arrow[1]) == 64
+        assert set(arrow[1]) <= {"0", "1"}
+
+    def test_miner_e2e_parity_across_sig_impls(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(50)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(0, 30))))
+            for i in range(200)
+        ]
+        # planted near-dups: one-word edits of real docs
+        rows += [
+            (200 + i, rows[i][1] + " tail")
+            for i in range(0, 40, 2)
+            if rows[i][1]
+        ]
+        big = spark.createDataFrame(rows, ["doc_id", "text"])
+        mh = lambda impl: {
+            (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+            for r in dd.minhash_near_dup_pairs(big, sig_impl=impl).collect()
+        }
+        assert mh("expr") == mh("arrow") != set()
+        sh = lambda impl: {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in dd.simhash_near_dup_pairs(big, sig_impl=impl).collect()
+        }
+        assert sh("expr") == sh("arrow") != set()
+
+    def test_sig_impl_validated(self, spark, edge_docs):
+        with pytest.raises(ValueError, match="impl"):
+            dd.minhash_signatures(edge_docs, impl="vectorized")
+        with pytest.raises(ValueError, match="impl"):
+            dd.simhash_signatures(edge_docs, impl="vectorized")
+
+    def test_simhash_signatures_custom_id_col(self, spark):
+        df = spark.createDataFrame([(10, "alpha beta")], ["my_id", "text"])
+        out = dd.simhash_signatures(df, "my_id", "text").collect()
+        assert out[0].my_id == 10 and len(out[0].simhash) == 64
