@@ -54,6 +54,7 @@ def calibrate_corpus(
         {
           "quality": {"floor", "keep_fraction", "sample_retention"},
           "minhash": {"k", "bands", "rows", "shingle_n", "threshold",
+                       "pair_screen", "mean_bucket_size",
                        "recall", "precision", ...probe fields},
           "cross":   {"recall", "flag_recall", "precision", ...},
           "buckets": {"max_bucket", "top": [(band_id, band_hash,
@@ -92,7 +93,9 @@ def calibrate_corpus(
         quality_threshold_for_retention,
     )
     from mapreduce_implementation_spark.operators.dedup import (
+        _group_size_stats,
         _minhash_banded,
+        choose_pair_screen,
     )
     from mapreduce_implementation_spark.operators.profile import skew_report
 
@@ -163,6 +166,25 @@ def calibrate_corpus(
         max_bucket is not None and top and top[0][2] > max_bucket
     )
 
+    # 5) screen regime on THIS corpus: the pair_screen="auto" decision
+    # plus its evidence (mean surviving bucket size vs the measured
+    # AUTO_SCREEN_MIN_MEAN crossover) — one more bounded partial agg
+    # over the banded frame (only (key, count) rows move; the second
+    # pass over the signature chain is the price of the number, same
+    # as the skew pass above)
+    if max_bucket is not None:
+        small_rows, small_groups, big_rows = _group_size_stats(
+            banded, ("band_id", "band_hash"), max_bucket
+        )
+        screen = choose_pair_screen(
+            small_rows, small_groups, big_rows, max_bucket, False
+        )
+        mean_bucket = (
+            round(small_rows / small_groups, 2) if small_groups else None
+        )
+    else:
+        screen, mean_bucket, big_rows = "join", None, 0
+
     if inset["true_pairs"] == 0:
         warnings.append(
             "in-set probe sampled ZERO true pairs — the corpus's "
@@ -200,7 +222,9 @@ def calibrate_corpus(
         },
         "minhash": {
             "k": k, "bands": bands, "rows": rows,
-            "shingle_n": shingle_n, "threshold": threshold, **inset,
+            "shingle_n": shingle_n, "threshold": threshold,
+            "pair_screen": screen, "mean_bucket_size": mean_bucket,
+            **inset,
         },
         "cross": {"cap_strategy": "representative", **crossr},
         "buckets": {

@@ -58,6 +58,11 @@ def test_calibrate_matches_hand_derived_values(spark, planted):
     assert out["buckets"]["cap_bites"] is False
     assert not any("BITES" in w for w in out["warnings"])
 
+    # screen regime (round-13): natural-corpus minhash buckets are
+    # small/singleton → join, with the evidence attached
+    assert mh["pair_screen"] == "join"
+    assert 0 < mh["mean_bucket_size"] < 24  # under the crossover
+
     # quality floor realizes the retention target on the sample — the
     # gate's contract is keep AT LEAST keep_fraction (ties at the
     # floor keep more, never less; this tiny planted corpus is nearly
