@@ -153,6 +153,54 @@ def main() -> None:
                 }
                 print(name, results[name], flush=True)
 
+        if "sq8" in SECTIONS:
+            from mapreduce_implementation_spark.operators import (
+                similarity as sim,
+            )
+
+            n_vec = min(N, 800_000)
+            vec_dir = os.path.join(root, "vecs8")
+            synth_vectors(spark, n_vec, vec_dir)
+            vecs = spark.read.parquet(vec_dir)
+            queries = vecs.where(F.col("vec_id") < 32)
+            cents = sim.train_centroids(
+                vecs, k=IVF_K, iters=2, sample_n=IVF_TRAIN_SAMPLE
+            )
+            out: dict = {"n_vectors": n_vec}
+            paths = {}
+            for mode, q in (("float", None), ("sq8", "int8")):
+                p = os.path.join(root, f"idx_{mode}")
+                t0 = time.perf_counter()
+                sim.materialize_ivf_index(vecs, cents, p, quantize=q)
+                out[f"build_{mode}"] = round(time.perf_counter() - t0, 2)
+                out[f"bytes_{mode}"] = sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(p)
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+                paths[mode] = p
+            tops = {}
+            for _ in range(2):
+                for mode, p in paths.items():
+                    t0 = time.perf_counter()
+                    res = sim.ivf_topk_from_index(
+                        spark, p, queries, cents, k=10, nprobe=4
+                    )
+                    tops[mode] = {
+                        (r.query_id, r.vec_id) for r in res.collect()
+                    }
+                    out.setdefault(f"probe_{mode}_runs", []).append(
+                        round(time.perf_counter() - t0, 2)
+                    )
+            out["probe_float"] = min(out["probe_float_runs"])
+            out["probe_sq8"] = min(out["probe_sq8_runs"])
+            inter = len(tops["float"] & tops["sq8"])
+            out["topk_overlap"] = round(inter / max(len(tops["float"]), 1), 4)
+            out["shrink"] = round(out["bytes_float"] / out["bytes_sq8"], 2)
+            results["sq8"] = out
+            print("sq8", out, flush=True)
+
         if "ivfbuild" in SECTIONS:
             from mapreduce_implementation_spark.operators import (
                 similarity as sim,

@@ -1218,12 +1218,59 @@ def ivf_topk(
     return _rank_topk(scored, query_id_col, id_col, k)
 
 
+SQ8_CODE_COL = "emb_q"
+SQ8_SCALE_COL = "emb_scale"
+
+
+def quantize_sq8(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    code_col: str = SQ8_CODE_COL,
+    scale_col: str = SQ8_SCALE_COL,
+) -> DataFrame:
+    """Per-vector int8 scalar quantization (the classic SQ8 index
+    storage pattern from the FAISS line of work, public literature):
+    ``scale = max|x| / 127``, ``code_i = round(x_i / scale)`` in
+    [-127, 127], stored as ``array<tinyint>`` + one double scale.
+
+    Pure expressions (scan-stage, no shuffle, no Python). Reconstruction
+    ``code_i · scale`` is within ``scale/2`` of ``x_i`` per component
+    (pytest-bounded). Edge semantics: NULL embedding → NULL codes;
+    empty array → empty codes (NULL scale); an all-zeros vector →
+    all-zero codes (scale 0), whose cosine is NULL downstream — the
+    same null-safe zero-vector contract as ``functions.vectors.cosine``.
+
+    Why it matters at 100 TB: the probe's cost is dominated by
+    SCANNING the inverted lists it prunes down to, and SQ8 cuts those
+    list bytes ~4× (4-byte floats → 1-byte codes) at a recall cost
+    bounded by the quantization noise (measured in the rehearsal —
+    identical planted-mate recall at dim 64). Cosine is
+    SCALE-INVARIANT, so probing scores the integer codes directly;
+    the stored scale exists for magnitude reconstruction, not
+    scoring."""
+    from mapreduce_implementation_spark.functions.vectors import as_double
+
+    emb = as_double(F.col(emb_col))
+    with_scale = df.withColumn(
+        scale_col,
+        F.array_max(F.transform(emb, lambda v: F.abs(v))) / 127.0,
+    )
+    codes = F.when(
+        F.col(scale_col) > 0,
+        F.transform(
+            emb, lambda v: F.round(v / F.col(scale_col)).cast("tinyint")
+        ),
+    ).otherwise(F.transform(emb, lambda v: F.lit(0).cast("tinyint")))
+    return with_scale.withColumn(code_col, codes)
+
+
 def materialize_ivf_index(
     vectors: DataFrame,
     centroids: DataFrame,
     path: str,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    quantize: str | None = None,
 ) -> None:
     """Write the IVF assignment as a ``centroid_id``-partitioned parquet
     dataset — the at-scale index layout: one directory per inverted
@@ -1236,14 +1283,24 @@ def materialize_ivf_index(
     instead of one per (task, list) — with the assignment now 6×
     faster (round 13), the T·V-file commit was the build's dominant
     term (A/B in BASELINE.md), and fewer, bigger list files also read
-    faster at probe time."""
+    faster at probe time.
+
+    ``quantize="int8"`` stores SQ8 codes (quantize_sq8) INSTEAD of the
+    float embeddings — ~4× smaller inverted lists, which is ~4× less
+    probe scan I/O; ``ivf_topk_from_index`` detects the layout from
+    the index schema and scores the codes directly (cosine is
+    scale-invariant)."""
     from mapreduce_implementation_spark.sources.sinks import (
         write_partitioned_dataset,
     )
 
+    if quantize not in (None, "int8"):
+        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
     assigned = assign_inverted_lists(
         vectors, centroids, 1, id_col, emb_col, keep_cols=(emb_col,)
     )
+    if quantize == "int8":
+        assigned = quantize_sq8(assigned, emb_col).drop(emb_col)
     write_partitioned_dataset(assigned, path, ["centroid_id"], cluster=True)
 
 
@@ -1254,6 +1311,7 @@ def append_to_ivf_index(
     batch_id: int,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    quantize: str | None = None,
 ) -> None:
     """INCREMENTAL IVF maintenance: assign only the new batch against
     the FROZEN centroid set and add it to a materialized index laid
@@ -1283,13 +1341,23 @@ def append_to_ivf_index(
     ⇒ rebuild. Use a FRESH path for an incremental index: mixing this
     two-level layout with materialize_ivf_index's one-level layout in
     one directory breaks parquet partition discovery (uniform depth
-    required); the initial corpus is simply batch 0."""
+    required); the initial corpus is simply batch 0.
+
+    ``quantize`` mirrors materialize_ivf_index — the LAYOUT is part of
+    the index contract too: every append must quantize exactly like
+    the batches before it (a mixed float/SQ8 index would unify
+    schemas with nulls and silently rank the two halves on different
+    noise floors)."""
+    if quantize not in (None, "int8"):
+        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
     assigned = (
         assign_inverted_lists(
             new_vectors, centroids, 1, id_col, emb_col, keep_cols=(emb_col,)
         )
         .withColumn("batch_id", F.lit(int(batch_id)))
     )
+    if quantize == "int8":
+        assigned = quantize_sq8(assigned, emb_col).drop(emb_col)
     (
         assigned.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1358,6 +1426,12 @@ def ivf_topk_from_index(
         )
     )
     index = spark.read.parquet(index_path)
+    # layout sniff: an SQ8 index (materialize_ivf_index quantize="int8")
+    # carries codes instead of floats — cosine is scale-invariant, so
+    # the codes score DIRECTLY (no dequantization column, no join to a
+    # scale); the only difference from the float index is the bounded
+    # quantization noise, measured in the rehearsal
+    vec_col = SQ8_CODE_COL if SQ8_CODE_COL in index.columns else emb_col
     scored = (
         index.where(F.col("centroid_id").isin(probe_ids))
         .join(qb, "centroid_id")
@@ -1365,7 +1439,7 @@ def ivf_topk_from_index(
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            _score(F.col("_q_emb"), F.col(emb_col)).alias("cos_sim"),
+            _score(F.col("_q_emb"), F.col(vec_col)).alias("cos_sim"),
         )
     )
     return _rank_topk(scored, query_id_col, id_col, k)

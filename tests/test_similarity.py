@@ -754,3 +754,112 @@ def test_brute_force_topk_arrow_expr_parity(spark, adversarial_vectors):
         sim.brute_force_topk(
             adversarial_vectors, adversarial_vectors, k=3, max_queries=10
         )
+
+
+class TestSQ8Index:
+    """Round-13: int8 scalar-quantized IVF index storage (quantize_sq8
+    + materialize_ivf_index(quantize="int8")). Cosine is
+    scale-invariant, so the probe scores the codes directly; the
+    gates here pin reconstruction error, edge semantics, recall
+    parity on the planted clusters, and the ~4x on-disk shrink."""
+
+    def test_reconstruction_error_bounded(self, spark, vectors):
+        out = sim.quantize_sq8(vectors).collect()
+        for r in out:
+            assert len(r.emb_q) == len(r.embedding)
+            assert all(-127 <= int(q) <= 127 for q in r.emb_q)
+            for x, q in zip(r.embedding, r.emb_q):
+                # code*scale within scale/2 of the component
+                assert abs(float(x) - int(q) * r.emb_scale) <= r.emb_scale / 2 + 1e-12
+
+    def test_edge_semantics(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0]), (2, None), (3, [])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r.vec_id: r for r in sim.quantize_sq8(df).collect()}
+        assert list(rows[1].emb_q) == [0, 0, 0]  # zero vector → zero codes
+        assert rows[2].emb_q is None  # NULL embedding → NULL codes
+        assert rows[3].emb_q == []  # empty stays empty (NULL scale)
+        assert rows[3].emb_scale is None
+
+    def test_sq8_probe_matches_float_probe_on_planted_clusters(
+        self, spark, vectors, tmp_path
+    ):
+        queries = vectors.where(F.col("vec_id").isin(0, 10, 20))
+        cents = sim.train_centroids(vectors, k=3, iters=3)
+        fpath, qpath = str(tmp_path / "f"), str(tmp_path / "q")
+        sim.materialize_ivf_index(vectors, cents, fpath)
+        sim.materialize_ivf_index(vectors, cents, qpath, quantize="int8")
+        fl = sim.ivf_topk_from_index(spark, fpath, queries, cents, k=5, nprobe=2)
+        sq = sim.ivf_topk_from_index(spark, qpath, queries, cents, k=5, nprobe=2)
+        by_q = lambda df: {
+            q: {r.vec_id for r in rs}
+            for q, rs in __import__("itertools").groupby(
+                sorted(df.collect(), key=lambda r: (r.query_id, r.rank)),
+                key=lambda r: r.query_id,
+            )
+        }
+        f, s = by_q(fl), by_q(sq)
+        assert set(f) == set(s)
+        for q in f:  # same neighbor SET per query on the tight clusters
+            assert f[q] == s[q], (q, f[q], s[q])
+
+    def test_sq8_index_bytes_shrink(self, spark, tmp_path):
+        import os
+
+        n, d = 4000, 64
+        vecs = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda j: (
+                    F.sin((F.col("id") + 1) * (j + 1)).cast("float")
+                ),
+            ).alias("embedding"),
+        )
+        cents = sim.train_centroids(vecs, k=4, iters=1)
+        fpath, qpath = str(tmp_path / "f"), str(tmp_path / "q")
+        sim.materialize_ivf_index(vecs, cents, fpath)
+        sim.materialize_ivf_index(vecs, cents, qpath, quantize="int8")
+
+        def du(p):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        bf, bq = du(fpath), du(qpath)
+        # 4-byte floats → 1-byte codes (+1 double scale per vector);
+        # incompressible sin() components so parquet can't hide the ratio
+        assert bq < 0.5 * bf, (bq, bf)
+
+    def test_quantize_validated(self, spark, vectors, tmp_path):
+        cents = sim.train_centroids(vectors, k=3, iters=1)
+        with pytest.raises(ValueError, match="quantize"):
+            sim.materialize_ivf_index(
+                vectors, cents, str(tmp_path / "x"), quantize="fp8"
+            )
+        with pytest.raises(ValueError, match="quantize"):
+            sim.append_to_ivf_index(
+                vectors, cents, str(tmp_path / "y"), 0, quantize="fp8"
+            )
+
+    def test_sq8_append_layout_consistent(self, spark, vectors, tmp_path):
+        cents = sim.train_centroids(vectors, k=3, iters=3)
+        path = str(tmp_path / "inc")
+        first = vectors.where(F.col("vec_id") < 15)
+        second = vectors.where(F.col("vec_id") >= 15)
+        sim.append_to_ivf_index(first, cents, path, 0, quantize="int8")
+        sim.append_to_ivf_index(second, cents, path, 1, quantize="int8")
+        idx = spark.read.parquet(path)
+        assert sim.SQ8_CODE_COL in idx.columns
+        assert idx.count() == vectors.count()
+        queries = vectors.where(F.col("vec_id").isin(0, 20))
+        out = sim.ivf_topk_from_index(spark, path, queries, cents, k=5, nprobe=2)
+        rows = out.collect()
+        assert {r.query_id for r in rows} == {0, 20}
+        for r in rows:  # neighbors come from the query's own cluster
+            assert r.vec_id // 10 == r.query_id // 10
