@@ -501,6 +501,7 @@ def start_ingest_index_stream(
     trigger: dict | None = None,
     observe_name: str | None = "ingest_quality",
     compact_every: int | None = None,
+    quantize: str | None = None,
 ):
     """Index-at-ingest: embed each arriving micro-batch and APPEND it
     to the materialized IVF index (similarity.append_to_ivf_index) —
@@ -518,7 +519,10 @@ def start_ingest_index_stream(
     assignment against the centroid literals → dynamic-overwrite write
     of the batch's ``(centroid_id, batch_id)`` leaves — idempotent
     under at-least-once replay. Probe anytime with
-    ``ivf_topk_from_index(spark, index_dir, ...)``."""
+    ``ivf_topk_from_index(spark, index_dir, ...)``. ``quantize="int8"``
+    lands SQ8 codes instead of floats (the layout is fixed for the
+    stream's lifetime, like the centroid snapshot — see
+    append_to_ivf_index)."""
     from mapreduce_implementation_spark.operators.inference import (
         embed_documents,
     )
@@ -536,7 +540,9 @@ def start_ingest_index_stream(
             dim=dim,
             model_loader=model_loader,
         ).withColumnRenamed(id_col, "vec_id")
-        append_to_ivf_index(vecs, centroids, index_dir, batch_id)
+        append_to_ivf_index(
+            vecs, centroids, index_dir, batch_id, quantize=quantize
+        )
         _maybe_compact(
             spark, index_dir, batch_id, compact_every,
             ["centroid_id", "batch_id"],

@@ -591,6 +591,41 @@ def test_ingest_index_stream_probe_matches_batch_index(spark, tmp_path):
         == 2
     )
 
+    # SQ8-at-ingest (round 13): the quantized stream lands codes, and
+    # its probe matches the quantized batch append bit-for-bit
+    q_dir = str(tmp_path / "index_q")
+    qq = start_ingest_index_stream(
+        _docs_stream(spark, stream_dir),
+        cents_path,
+        q_dir,
+        str(tmp_path / "ckpt_q"),
+        dim=8,
+        quantize="int8",
+    )
+    qq.awaitTermination()
+    assert sim.SQ8_CODE_COL in spark.read.parquet(q_dir).columns
+    got_q = sorted(
+        map(
+            tuple,
+            sim.ivf_topk_from_index(
+                spark, q_dir, queries, cents, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    ref_q = str(tmp_path / "ref_index_q")
+    sim.append_to_ivf_index(
+        all_vecs, cents, ref_q, batch_id=0, quantize="int8"
+    )
+    want_q = sorted(
+        map(
+            tuple,
+            sim.ivf_topk_from_index(
+                spark, ref_q, queries, cents, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    assert got_q == want_q and got_q
+
 
 def test_pack_stream_auto_compaction(spark, tmp_path):
     """compact_every folds each batch partition to one file between
