@@ -77,10 +77,13 @@ def calibrate_corpus(
       the representative cap) — ``flag_recall`` is the ingest decision
       metric (round-11: representative keeps it 1.0 where drop
       strategies lose entire cohorts).
-    * bucket skew: ``skew_report`` over the banded key (partial agg +
-      top-N, one corpus pass) — ``cap_bites`` says whether any real
+    * bucket skew + screen regime: ONE (band key, count) pass over the
+      banded frame, checkpointed, feeds both the top-N skew rows
+      (``skew_report``'s output shape) and the ``pair_screen="auto"``
+      decision with its evidence — ``cap_bites`` says whether any real
       bucket exceeds ``max_bucket`` (then the cap/slice strategy choice
-      actually matters on THIS corpus).
+      actually matters on THIS corpus), ``oversized_rows`` how much
+      mass that policy decides over.
 
     ``warnings`` flags recall under ``recall_floor`` (raise ``k``),
     empty-truth samples (corpus too sparse to probe — synthesize or
@@ -97,8 +100,6 @@ def calibrate_corpus(
         _minhash_banded,
         choose_pair_screen,
     )
-    from mapreduce_implementation_spark.operators.profile import skew_report
-
     if not 0.0 < keep_fraction <= 1.0:
         raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
     warnings: list[str] = []
@@ -151,30 +152,39 @@ def calibrate_corpus(
         threshold=threshold, shingle_n=shingle_n,
     )
 
-    # 4) band-bucket skew: does the cap bite on THIS corpus?
+    # 4+5) band-bucket skew AND the screen regime from ONE counts pass
+    # (review r13b: the corpus-scale md5/shingle/band chain is the
+    # dominant cost here — count the buckets once, checkpoint the
+    # (key, count) frame on the executors, and derive both the top-N
+    # skew rows and the pair_screen="auto" decision from it)
     banded = _minhash_banded(
         minhash_signatures(docs, id_col, text_col, shingle_n=shingle_n, k=k),
         "doc_id", bands, rows,
     )
+    counts = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    total_rows = counts.agg(F.sum("_n")).first()[0] or 0
     top = [
-        (int(r.band_id), str(r.band_hash), int(r.n_rows), float(r.share))
-        for r in skew_report(
-            banded, ["band_id", "band_hash"], top_n=skew_top_n
-        ).collect()
+        (int(r.band_id), str(r.band_hash), int(r._n), float(r._n) / total_rows)
+        for r in counts.orderBy(
+            F.col("_n").desc(), "band_id", "band_hash"
+        ).limit(skew_top_n).collect()
     ]
     cap_bites = bool(
         max_bucket is not None and top and top[0][2] > max_bucket
     )
 
-    # 5) screen regime on THIS corpus: the pair_screen="auto" decision
-    # plus its evidence (mean surviving bucket size vs the measured
-    # AUTO_SCREEN_MIN_MEAN crossover) — one more bounded partial agg
-    # over the banded frame (only (key, count) rows move; the second
-    # pass over the signature chain is the price of the number, same
-    # as the skew pass above)
+    # screen regime: the pair_screen="auto" decision plus its evidence
+    # (mean surviving bucket size vs the measured AUTO_SCREEN_MIN_MEAN
+    # crossover; oversized_rows = the mass the cap/slice policy decides
+    # over) — tiny aggs over the checkpointed counts, no second corpus
+    # pass
     if max_bucket is not None:
         small_rows, small_groups, big_rows = _group_size_stats(
-            banded, ("band_id", "band_hash"), max_bucket
+            banded, ("band_id", "band_hash"), max_bucket, counts=counts
         )
         screen = choose_pair_screen(
             small_rows, small_groups, big_rows, max_bucket, False
@@ -224,6 +234,7 @@ def calibrate_corpus(
             "k": k, "bands": bands, "rows": rows,
             "shingle_n": shingle_n, "threshold": threshold,
             "pair_screen": screen, "mean_bucket_size": mean_bucket,
+            "oversized_rows": int(big_rows),
             **inset,
         },
         "cross": {"cap_strategy": "representative", **crossr},

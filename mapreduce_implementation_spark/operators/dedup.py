@@ -336,17 +336,24 @@ def choose_pair_screen(
     return "blas" if rows / groups >= AUTO_SCREEN_MIN_MEAN else "join"
 
 
-def _group_size_stats(df: DataFrame, part_cols, max_bucket: int):
+def _group_size_stats(df: DataFrame, part_cols, max_bucket: int, counts=None):
     """One bounded agg feeding choose_pair_screen: (small_rows,
     small_groups, big_rows) over the grouped frame. Partial agg — only
     (key, count) rows shuffle, and the second-level agg folds them to
     ONE driver row. This is the eager job pair_screen="auto" pays at
     build time; callers that know their regime pin "join"/"blas" to
-    skip it."""
+    skip it. ``counts``: a precomputed (and ideally checkpointed)
+    ``DataFrame[..., _n]`` of per-group sizes — lets a caller that
+    already counted the groups (calibrate_corpus shares one counts
+    pass between the skew report and this) skip the second
+    corpus-scale pass."""
+    sized = (
+        counts
+        if counts is not None
+        else df.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("_n"))
+    )
     row = (
-        df.groupBy(*part_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select(
+        sized.select(
             F.coalesce(
                 F.sum(F.when(F.col("_n") <= max_bucket, F.col("_n"))),
                 F.lit(0),
@@ -1353,6 +1360,19 @@ def token_hashes(text: Column | str) -> Column:
     )
 
 
+def _validate_simhash_bits(n_bits: int) -> None:
+    """md5 supplies 32 hex digits and the digit-wise evaluation emits
+    4 bits per digit: an n_bits not a multiple of 4 would zip a short
+    contribution vector against the n_bits accumulator (silent
+    null-tailed garbage in the expr fold, a reshape crash in the
+    arrow kernel), and n_bits > 128 would read past the digest."""
+    if n_bits % 4 != 0 or not 4 <= n_bits <= 128:
+        raise ValueError(
+            "n_bits must be a multiple of 4 in [4, 128] (md5 supplies "
+            f"32 hex digits, 4 bits each), got {n_bits}"
+        )
+
+
 def simhash_from_hashes(hashes: Column, n_bits: int = 64) -> Column:
     """SimHash over pre-hashed tokens as an ``n_bits``-char '0'/'1'
     string (weighted by token frequency — tokens enter once per
@@ -1365,6 +1385,7 @@ def simhash_from_hashes(hashes: Column, n_bits: int = 64) -> Column:
     elementwise-summed in a single ``aggregate`` pass. The naive
     per-(bit × token) form costs n_bits× more string conversions — it
     was 7× slower end-to-end at sf0.1."""
+    _validate_simhash_bits(n_bits)
     n_digits = n_bits // 4
 
     def token_contrib(h: Column) -> Column:
@@ -1440,6 +1461,7 @@ def simhash_signatures(
     arm."""
     if impl not in ("arrow", "expr"):
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    _validate_simhash_bits(n_bits)
     staged = spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
         "doc_id", token_hashes(F.col(text_col)).alias("_hs")
     )
@@ -1500,13 +1522,16 @@ def _simhash_sig_arrow(staged: DataFrame, n_bits: int) -> DataFrame:
                 b = np.frombuffer(buf, dtype=np.uint8)
                 # lowercase hex: '0'-'9' → v-48, 'a'-'f' → v-87
                 nib = np.where(b >= 97, b - 87, b - 48).astype(np.uint8)
-                bits = (nib[:, None] >> shifts) & 1  # (tokens·n_digits, 4)
-                contrib = (
-                    bits.reshape(-1, n_bits).astype(np.int32) * 2 - 1
-                )  # (tokens, n_bits) of ±1
+                # keep the bit matrix uint8 and fold ±1 algebraically
+                # (sum of ±1 == 2·popcount − n_tokens): the int32 ±1
+                # matrix this replaces peaked at 4× the bytes per
+                # batch — long-doc batches were an avoidable worker
+                # OOM risk (review r13b)
+                bits = ((nib[:, None] >> shifts) & 1).reshape(-1, n_bits)
                 offs = np.zeros(len(nz), dtype=np.int64)
                 np.cumsum(lens[nz][:-1], out=offs[1:])
-                sums = np.add.reduceat(contrib, offs, axis=0)
+                bitsums = np.add.reduceat(bits, offs, axis=0, dtype=np.int64)
+                sums = 2 * bitsums - lens[nz][:, None]
                 bitchars = np.where(sums >= 0, "1", "0")
                 for pos, i in enumerate(nz):
                     sigs[i] = "".join(bitchars[pos])

@@ -1350,6 +1350,24 @@ def append_to_ivf_index(
     noise floors)."""
     if quantize not in (None, "int8"):
         raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+    # layout guard (review r13b): a mixed float/SQ8 dataset would read
+    # under ONE file's schema (no mergeSchema), the other half's rows
+    # would score NULL in the probe's sniffed column and silently
+    # vanish from every top-k — refuse loudly instead
+    try:
+        existing = new_vectors.sparkSession.read.parquet(path).columns
+    except Exception:
+        existing = None  # first batch: nothing committed yet
+    if existing is not None and (SQ8_CODE_COL in existing) != (
+        quantize == "int8"
+    ):
+        have = "int8" if SQ8_CODE_COL in existing else "float"
+        want = quantize or "float"
+        raise ValueError(
+            f"index at {path} is {have}-encoded but this append is "
+            f"{want}-encoded; the quantize setting is part of the "
+            "index contract — match it, or rebuild under a fresh path"
+        )
     assigned = (
         assign_inverted_lists(
             new_vectors, centroids, 1, id_col, emb_col, keep_cols=(emb_col,)

@@ -530,6 +530,12 @@ def start_ingest_index_stream(
         append_to_ivf_index,
     )
 
+    # fail fast at the call site (review r13b): inside foreachBatch
+    # the ValueError would only surface as a StreamingQueryException
+    # at batch 0, after the checkpoint is created
+    if quantize not in (None, "int8"):
+        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         centroids = spark.read.parquet(centroids_path)

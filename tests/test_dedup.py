@@ -1319,3 +1319,18 @@ class TestArrowSignatureKernels:
         df = spark.createDataFrame([(10, "alpha beta")], ["my_id", "text"])
         out = dd.simhash_signatures(df, "my_id", "text").collect()
         assert out[0].my_id == 10 and len(out[0].simhash) == 64
+
+
+def test_simhash_n_bits_validated(spark):
+    """Review r13b: a non-multiple-of-4 n_bits silently null-tailed the
+    expr fold and crashed the arrow kernel mid-job — both now refuse
+    upfront."""
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    for bad in (62, 0, 132):
+        with pytest.raises(ValueError, match="multiple of 4"):
+            dd.simhash_signatures(df, n_bits=bad)
+        with pytest.raises(ValueError, match="multiple of 4"):
+            df.select(dd.simhash_from_hashes(dd.token_hashes("text"), bad))
+    # 128 = the full md5 digest is the legal ceiling
+    out = dd.simhash_signatures(df, n_bits=128).collect()
+    assert len(out[0].simhash) == 128

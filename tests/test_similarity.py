@@ -863,3 +863,18 @@ class TestSQ8Index:
         assert {r.query_id for r in rows} == {0, 20}
         for r in rows:  # neighbors come from the query's own cluster
             assert r.vec_id // 10 == r.query_id // 10
+
+
+def test_append_refuses_mixed_quantization_layout(spark, vectors, tmp_path):
+    """Review r13b: a mixed float/SQ8 dataset reads under one file's
+    schema and silently drops the other half from every top-k — the
+    append must refuse a layout mismatch instead."""
+    cents = sim.train_centroids(vectors, k=3, iters=1)
+    p = str(tmp_path / "mix")
+    sim.append_to_ivf_index(vectors, cents, p, 0, quantize="int8")
+    with pytest.raises(ValueError, match="index contract"):
+        sim.append_to_ivf_index(vectors, cents, p, 1)
+    p2 = str(tmp_path / "mix2")
+    sim.append_to_ivf_index(vectors, cents, p2, 0)
+    with pytest.raises(ValueError, match="index contract"):
+        sim.append_to_ivf_index(vectors, cents, p2, 1, quantize="int8")
