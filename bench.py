@@ -199,6 +199,26 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         warm["similarity_topk_ivf_warm"] = round(best, 3)
 
+        # SQ8 index variant (round 13): build + probe the int8-coded
+        # index — tracks the compressed-layout path per round
+        sq8_path = os.path.join(root, "ivf_index_sq8")
+        t0 = time.perf_counter()
+        sim.materialize_ivf_index(
+            emb, centroids, sq8_path, quantize="int8"
+        )
+        warm["ivf_index_build_sq8"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(
+                sim.ivf_topk_from_index(
+                    spark, sq8_path, queries, centroids,
+                    k=ANN_K, nprobe=NPROBE,
+                )
+            )
+            best = min(best, time.perf_counter() - t0)
+        warm["similarity_topk_ivf_sq8_warm"] = round(best, 3)
+
         # LLM-pipeline throughput: chunk the corpus into 512-token
         # windows (64 overlap) and FFD-pack into 1024-token sequences —
         # the chunk stage is map-only Column exprs, packing is one
