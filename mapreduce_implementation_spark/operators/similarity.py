@@ -1247,7 +1247,15 @@ def quantize_sq8(
     identical planted-mate recall at dim 64). Cosine is
     SCALE-INVARIANT, so probing scores the integer codes directly;
     the stored scale exists for magnitude reconstruction, not
-    scoring."""
+    scoring.
+
+    REGIME (measured both ways, BASELINE.md): this is a STORAGE/IO
+    trade, not a universal probe speedup — at 800k the 3.5× byte
+    reduction wins the probe (5.93 → 4.97 s); at 200k the scan is
+    small enough that the codes' tinyint→double cast inside the
+    cosine fold costs more than the I/O saved (3.42 vs 5.05 s). Take
+    SQ8 when inverted lists are large relative to cache (the 100 TB
+    case); keep floats for small hot indexes."""
     from mapreduce_implementation_spark.functions.vectors import as_double
 
     emb = as_double(F.col(emb_col))
