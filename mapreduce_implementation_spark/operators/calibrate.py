@@ -44,6 +44,7 @@ def calibrate_corpus(
     bands: int = 4,
     rows: int = 4,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    cap_strategy: str = "window",
     n_sample: int = 300,
     skew_top_n: int = 5,
     recall_floor: float = 0.8,
@@ -83,7 +84,15 @@ def calibrate_corpus(
       decision with its evidence — ``cap_bites`` says whether any real
       bucket exceeds ``max_bucket`` (then the cap/slice strategy choice
       actually matters on THIS corpus), ``oversized_rows`` how much
-      mass that policy decides over.
+      mass that policy decides over. ``cap_strategy`` (ADVICE r13) is
+      the strategy the DEPLOYED miner will use — under ``"slice"`` the
+      oversized mass is folded back into ~max_bucket-sized screen
+      groups, which can flip the join/blas decision, so the report's
+      ``pair_screen`` matches what ``minhash_near_dup_pairs`` at the
+      same strategy actually picks. The raw distribution moments ride
+      along as ``minhash.screen_stats`` so a miner handed this report
+      (``calibration=``) re-derives the decision for ANY strategy with
+      zero Spark jobs.
 
     ``warnings`` flags recall under ``recall_floor`` (raise ``k``),
     empty-truth samples (corpus too sparse to probe — synthesize or
@@ -102,6 +111,8 @@ def calibrate_corpus(
     )
     if not 0.0 < keep_fraction <= 1.0:
         raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
+    if cap_strategy not in ("window", "antijoin", "representative", "slice"):
+        raise ValueError(f"unknown cap strategy {cap_strategy!r}")
     warnings: list[str] = []
 
     # 1) quality floor from the retention target (t-digest corpus pass)
@@ -187,13 +198,20 @@ def calibrate_corpus(
             banded, ("band_id", "band_hash"), max_bucket, counts=counts
         )
         screen = choose_pair_screen(
-            small_rows, small_groups, big_rows, max_bucket, False
+            small_rows, small_groups, big_rows, max_bucket,
+            cap_strategy == "slice",
         )
         mean_bucket = (
             round(small_rows / small_groups, 2) if small_groups else None
         )
+        screen_stats = {
+            "small_rows": int(small_rows),
+            "small_groups": int(small_groups),
+            "big_rows": int(big_rows),
+        }
     else:
         screen, mean_bucket, big_rows = "join", None, 0
+        screen_stats = None
 
     if inset["true_pairs"] == 0:
         warnings.append(
@@ -233,8 +251,10 @@ def calibrate_corpus(
         "minhash": {
             "k": k, "bands": bands, "rows": rows,
             "shingle_n": shingle_n, "threshold": threshold,
+            "max_bucket": max_bucket, "cap_strategy": cap_strategy,
             "pair_screen": screen, "mean_bucket_size": mean_bucket,
             "oversized_rows": int(big_rows),
+            "screen_stats": screen_stats,
             **inset,
         },
         "cross": {"cap_strategy": "representative", **crossr},

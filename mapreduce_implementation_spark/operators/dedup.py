@@ -153,17 +153,34 @@ PERM_B = [_rng.randrange(0, MERSENNE_P) for _ in range(64)]
 del _rng
 
 
-def shingle_ints(shingle_col: Column) -> Column:
-    """Hash each shingle ONCE to an int in [0, 2^31-1): first 15 hex
-    chars of md5 parsed as int, reduced mod the Mersenne prime. This is
-    the expensive step — everything downstream is cheap arithmetic."""
-    return F.transform(
-        shingle_col,
-        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast(
-            "long"
+def shingle_ints(shingle_col: Column, hash: str = "md5") -> Column:
+    """Hash each shingle ONCE to an int in [0, 2^31-1). This is the
+    expensive step — everything downstream is cheap arithmetic.
+
+    ``hash="md5"`` (default): first 15 hex chars of md5 parsed as int,
+    reduced mod the Mersenne prime — the ORACLE hash (DuckDB replays
+    it bit-for-bit via its own md5/conv, plans/dedup_queries.py).
+    ``hash="xxhash64"`` (round-14 verdict item 3): the JVM-intrinsic
+    64-bit xxHash reduced mod the same prime — the PRODUCTION option;
+    several× cheaper per shingle (no hex round-trip, no crypto
+    rounds), same [0, p) domain so every downstream permutation /
+    banding / estimation step is unchanged. Signatures from the two
+    hashes are mutually incompatible (different min-wise draws): both
+    sides of any cross-set/banded join must agree, and DuckDB cannot
+    replay Spark's xxhash64 seed — oracle rows stay on md5."""
+    if hash == "md5":
+        return F.transform(
+            shingle_col,
+            lambda g: F.conv(
+                F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10
+            ).cast("long")
+            % MERSENNE_P,
         )
-        % MERSENNE_P,
-    )
+    if hash == "xxhash64":
+        return F.transform(
+            shingle_col, lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE_P))
+        )
+    raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
 
 
 def minhash_signature_from_ints(xs: Column, k: int = 16) -> Column:
@@ -369,6 +386,45 @@ def _group_size_stats(df: DataFrame, part_cols, max_bucket: int, counts=None):
     return int(row.small_rows), int(row.small_groups), int(row.big_rows)
 
 
+def _counts_with_stats(df: DataFrame, part_cols, max_bucket: int):
+    """ONE corpus-scale job producing BOTH the checkpointed
+    ``(key, count)`` frame and the ``choose_pair_screen`` stats
+    (round-14 verdict item 1): the screen-decision moments ride an
+    ``Observation`` on the counts checkpoint, so the same pass that
+    materializes the size distribution for the cap/slice stage also
+    answers the regime question. Previously the ``pair_screen="auto"``
+    decision paid a separate full band-explode + agg that
+    ``cap_buckets``/``slice_buckets`` then recomputed — two or three
+    corpus-scale passes per miner build; now every build-time decision
+    and the cap/slice detection read this one checkpointed frame.
+    The eager-checkpoint-then-observe shape is the AQE-safe metrics
+    pattern cap_buckets documents."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    counts = (
+        df.groupBy(*part_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(F.col("_n") <= max_bucket, F.col("_n"))),
+                F.lit(0),
+            ).alias("small_rows"),
+            F.count_if(F.col("_n") <= max_bucket).alias("small_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("_n") > max_bucket, F.col("_n"))),
+                F.lit(0),
+            ).alias("big_rows"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = obs.get
+    return counts, (
+        int(g["small_rows"]), int(g["small_groups"]), int(g["big_rows"])
+    )
+
+
 def _validate_rep_params(cap_strategy: str, n_representatives: int) -> None:
     """Miner-level guard (ADVICE r12): asking for k>1 representatives
     under a drop strategy would silently lose the recall repair the
@@ -389,6 +445,7 @@ def cap_buckets(
     rep_id_col: str | None = None,
     n_representatives: int = 1,
     rep_stratum_col: str | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Drop rows in LSH buckets larger than ``max_bucket`` — the
     boilerplate-cohort guard shared by every banded pair miner (a band
@@ -466,7 +523,22 @@ def cap_buckets(
     tests/test_observability.py). Telemetry therefore implies the
     anti-join plan; its one extra pruned-column partial-agg action is
     the price of the number (default None = fully lazy window/antijoin
-    per strategy)."""
+    per strategy).
+
+    ``counts`` (round-14): a precomputed — and ideally checkpointed —
+    ``DataFrame[*part_cols, _n]`` of per-key sizes (the
+    ``_counts_with_stats`` frame the auto-screen decision already
+    paid for). Detection then reads it instead of re-aggregating
+    ``df``: the oversized list is ``counts.where(_n > max_bucket)``
+    and the drop is the broadcast anti-join, UNDER EITHER drop
+    strategy — so ``"window"`` with ``counts`` produces the anti-join
+    plan, value-identical to the window form whenever the key columns
+    are non-null (both miner callers guarantee this: band hashes are
+    md5 strings, SRP buckets default to the all-zeros string; a
+    NULL-keyed oversized group would be dropped by the window form
+    but retained by the anti-join). ``"representative"`` rejects
+    ``counts`` — its detection agg also computes the per-bucket
+    representative mins, which a bare counts frame lacks."""
     if max_bucket is None:
         if observation is not None:
             # fail at call time: a never-attached Observation makes the
@@ -494,7 +566,12 @@ def cap_buckets(
         raise ValueError(
             f"n_representatives must be >= 1, got {n_representatives}"
         )
-    if observation is None and strategy == "window":
+    if counts is not None and strategy == "representative":
+        raise ValueError(
+            "counts= reuse supports the drop strategies only: "
+            "representative detection also needs per-bucket rep mins"
+        )
+    if counts is None and observation is None and strategy == "window":
         from pyspark.sql.window import Window
 
         w = Window.partitionBy(*part_cols)
@@ -538,11 +615,18 @@ def cap_buckets(
                 .alias(f"_rep_{s}")
                 for s in range(n_representatives)
             )
-    oversized = (
-        df.groupBy(*part_cols)
-        .agg(*detect_aggs)
-        .where(F.col("_bucket_n") > max_bucket)
-    )
+    if counts is not None:
+        # detection from the shared checkpointed counts frame — zero
+        # re-aggregation of df (round-14 verdict item 1)
+        oversized = counts.withColumnRenamed("_n", "_bucket_n").where(
+            F.col("_bucket_n") > max_bucket
+        )
+    else:
+        oversized = (
+            df.groupBy(*part_cols)
+            .agg(*detect_aggs)
+            .where(F.col("_bucket_n") > max_bucket)
+        )
     if observation is not None:
         # capped_rows = rows REMOVED from mining: the whole oversized
         # mass under drop strategies, mass minus the kept
@@ -611,6 +695,8 @@ def slice_buckets(
     id_col: str,
     observation=None,
     order_cols: tuple[str, ...] = (),
+    counts: DataFrame | None = None,
+    has_oversized: bool | None = None,
 ) -> DataFrame:
     """Bounded-slice alternative to :func:`cap_buckets`' drop
     semantics (round 11 — the same recall repair semantic_dedup's
@@ -655,7 +741,16 @@ def slice_buckets(
     re-invoke this builder whenever the underlying data changes, and
     keep the input deterministic between build and action (a frame
     re-executed per micro-batch with moving data could mine a
-    late-arriving oversized bucket un-sliced)."""
+    late-arriving oversized bucket un-sliced).
+
+    ``counts`` (round-14): a precomputed checkpointed
+    ``DataFrame[*part_cols, _n]`` — the sizes agg and the probe then
+    read it instead of re-aggregating ``df``. ``has_oversized`` skips
+    the take(1) probe entirely when the caller already knows the
+    answer (the auto-screen stats carry ``big_rows``; a
+    ``calibration=`` object answers with zero jobs) — same build/plan
+    contract as the probe: the answer is baked into the returned
+    plan."""
     if max_bucket is None:
         if observation is not None:
             raise ValueError(
@@ -666,7 +761,11 @@ def slice_buckets(
         assign_contiguous_ids,
     )
 
-    sizes = df.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    sizes = (
+        counts.withColumnRenamed("_n", "_bn")
+        if counts is not None
+        else df.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    )
     if observation is not None:
         sizes = sizes.observe(
             observation,
@@ -684,8 +783,11 @@ def slice_buckets(
     # agg (<= distinct-key rows move); it makes this builder eager by
     # one job, and the scan it triggers is one the caller's pair join
     # was about to pay. With telemetry on, `sizes` is already
-    # checkpointed and the probe reads cached rows.
-    if not sizes.where(F.col("_bn") > max_bucket).take(1):
+    # checkpointed and the probe reads cached rows. has_oversized
+    # (round-14) answers it without any job at all.
+    if has_oversized is None:
+        has_oversized = bool(sizes.where(F.col("_bn") > max_bucket).take(1))
+    if not has_oversized:
         return df.withColumn("_slice", F.lit(0).cast("long"))
     oversized_keys = sizes.where(F.col("_bn") > max_bucket).select(
         *part_cols
@@ -744,9 +846,19 @@ def minhash_signatures(
     shingle_n: int = 3,
     k: int = 16,
     impl: str = "expr",
+    hash: str = "md5",
 ) -> DataFrame:
     """Scan-side MinHash signature chain → DataFrame[doc_id, sig
     array<long>] (NULL sig for shingle-less docs).
+
+    ``hash`` picks the strong per-shingle hash (see
+    :func:`shingle_ints`): ``"md5"`` is the oracle-replayable default,
+    ``"xxhash64"`` the cheaper production option (round 14 — the md5
+    pass dominates the whole signature build, BASELINE.md r13; the
+    min-wise uniformity argument is hash-agnostic, and the recall
+    probes measure parity on planted corpora). Signatures from
+    different hashes never mix: band joins require both sides built
+    with the same ``hash``.
 
     Staged projections, one expensive expression per step, each
     referenced as a COLUMN downstream: tokens → shingles → shingle
@@ -788,7 +900,7 @@ def minhash_signatures(
             "doc_id",
             F.array_distinct(word_ngrams(F.col("_toks"), shingle_n)).alias("sh"),
         )
-        .select("doc_id", shingle_ints(F.col("sh")).alias("_xs"))
+        .select("doc_id", shingle_ints(F.col("sh"), hash=hash).alias("_xs"))
     )
     if impl == "expr":
         return staged.select(
@@ -866,6 +978,8 @@ def minhash_near_dup_pairs(
     cap_strategy: str = "window",
     pair_screen: str = "auto",
     sig_impl: str = "expr",
+    sig_hash: str = "md5",
+    calibration: dict | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
@@ -911,7 +1025,26 @@ def minhash_near_dup_pairs(
     the cap (few, large); it requires a finite ``max_bucket`` (auto
     resolves to "join" under ``max_bucket=None``, the only legal
     screen there) and is parity pytest-gated across window/slice
-    caps."""
+    caps.
+
+    ``calibration`` (round 14): the ``calibrate_corpus`` report (or
+    its ``"minhash"`` section) for THIS corpus at THESE knobs — the
+    auto-screen decision and the slice-probe answer are then read
+    from its ``screen_stats`` with ZERO build-time Spark jobs. Knob
+    mismatches (k/bands/rows/shingle_n/max_bucket) raise: a stale or
+    foreign calibration would silently pick the wrong regime. Without
+    it, ``"auto"`` pays ONE corpus-scale counts job whose checkpointed
+    (band key, count) frame feeds the screen decision AND the
+    cap/slice detection (``_counts_with_stats`` — previously the
+    decision agg and the cap/slice stage each re-scanned the banded
+    corpus; listener-gated in tests/test_build_jobs.py).
+
+    ``sig_hash`` picks the per-shingle strong hash when signatures are
+    computed here (see :func:`shingle_ints`): ``"md5"`` replays in the
+    DuckDB oracle, ``"xxhash64"`` is the cheaper production option —
+    recall/precision parity measured on planted corpora
+    (tests/test_dedup.py), est_jaccard values differ per pair only in
+    which k min-wise draws they estimate from."""
     _validate_minhash_bands(k, bands, rows)
     if pair_screen not in ("blas", "join", "auto"):
         raise ValueError(
@@ -920,23 +1053,55 @@ def minhash_near_dup_pairs(
     if signatures is None:
         sigs = track_cache(
             minhash_signatures(
-                df, id_col, text_col, shingle_n=shingle_n, k=k, impl=sig_impl
+                df, id_col, text_col, shingle_n=shingle_n, k=k,
+                impl=sig_impl, hash=sig_hash,
             )
         )
     else:
         sigs = signatures
-    if pair_screen == "auto":
+    counts = None
+    has_oversized = None
+    if calibration is not None:
+        cal = calibration.get("minhash", calibration)
+        for knob, val in (
+            ("k", k), ("bands", bands), ("rows", rows),
+            ("shingle_n", shingle_n), ("max_bucket", max_bucket),
+        ):
+            if knob in cal and cal[knob] != val:
+                raise ValueError(
+                    f"calibration was measured at {knob}={cal[knob]!r} "
+                    f"but this build uses {knob}={val!r} — recalibrate "
+                    "or match the knobs (a mismatched distribution "
+                    "would pick the wrong screen regime)"
+                )
+        stats = cal.get("screen_stats")
+        if max_bucket is not None:
+            if stats is None:
+                raise ValueError(
+                    "calibration carries no screen_stats (calibrated "
+                    "with max_bucket=None?) — cannot answer the "
+                    "finite-max_bucket build-time decisions"
+                )
+            has_oversized = stats["big_rows"] > 0
+            if pair_screen == "auto":
+                pair_screen = choose_pair_screen(
+                    stats["small_rows"], stats["small_groups"],
+                    stats["big_rows"], max_bucket, cap_strategy == "slice",
+                )
+        elif pair_screen == "auto":
+            pair_screen = "join"
+    elif pair_screen == "auto":
         if max_bucket is None:
             pair_screen = "join"
         else:
-            pair_screen = choose_pair_screen(
-                *_group_size_stats(
-                    _minhash_banded(sigs, "doc_id", bands, rows),
-                    ("band_id", "band_hash"),
-                    max_bucket,
-                ),
+            counts, (sr, sg, br) = _counts_with_stats(
+                _minhash_banded(sigs, "doc_id", bands, rows),
+                ("band_id", "band_hash"),
                 max_bucket,
-                cap_strategy == "slice",
+            )
+            has_oversized = br > 0
+            pair_screen = choose_pair_screen(
+                sr, sg, br, max_bucket, cap_strategy == "slice"
             )
     if pair_screen == "blas" and max_bucket is not None:
         # Vectorized screen (round 12, the Gram-screen lineage): with
@@ -954,13 +1119,14 @@ def minhash_near_dup_pairs(
         if cap_strategy == "slice":
             banded = slice_buckets(
                 banded, ("band_id", "band_hash"), max_bucket, "doc_id",
-                cap_observation,
+                cap_observation, counts=counts, has_oversized=has_oversized,
             )
             group_cols = ["band_id", "band_hash", "_slice"]
         else:
             banded = cap_buckets(
                 banded, ("band_id", "band_hash"), max_bucket,
                 cap_observation, strategy=cap_strategy,
+                counts=counts if cap_strategy != "representative" else None,
             )
             group_cols = ["band_id", "band_hash"]
         id_type = sigs.schema["doc_id"].dataType
@@ -986,13 +1152,14 @@ def minhash_near_dup_pairs(
     if cap_strategy == "slice":
         banded = slice_buckets(
             banded, ("band_id", "band_hash"), max_bucket, "doc_id",
-            cap_observation,
+            cap_observation, counts=counts, has_oversized=has_oversized,
         )
         extra = F.col("a._slice") == F.col("b._slice")
     else:
         banded = cap_buckets(
             banded, ("band_id", "band_hash"), max_bucket, cap_observation,
             strategy=cap_strategy,
+            counts=counts if cap_strategy != "representative" else None,
         )
         extra = F.lit(True)
     left = banded.alias("a")
@@ -1551,11 +1718,18 @@ def jaccard(a: Column, b: Column) -> Column:
     form was O(|a|·|b|) interpreted (quadratic in doc length exactly
     where the ngram miner's verify piles up long-document candidates).
     array_intersect's cross-engine caveats are element ORDER and null
-    handling — neither reaches ``size()`` on the null-free distinct
-    shingle arrays this verifies, so the oracle formula (DuckDB
-    list_filter counting) stays value-identical; parity is
-    pytest-pinned (test_jaccard_exact_value + the ngram registry
-    oracle row)."""
+    handling — order never reaches ``size()``, and NULL elements are
+    STRIPPED up front (ADVICE r13: array_intersect can emit NULL into
+    the intersection where the previous filter(array_contains) form
+    never did, and sizes always counted nulls — neither is a Jaccard
+    anyone means), so the helper computes Jaccard over the NON-NULL
+    distinct elements for any caller. On the null-free shingle arrays
+    the miners verify, the strip is a no-op scan and the oracle
+    formula (DuckDB list_filter counting) stays value-identical;
+    parity is pytest-pinned (test_jaccard_exact_value + the ngram
+    registry oracle row)."""
+    a = F.filter(a, lambda x: x.isNotNull())
+    b = F.filter(b, lambda x: x.isNotNull())
     da, db = F.array_distinct(a), F.array_distinct(b)
     inter = F.size(F.array_intersect(da, db))
     union = F.size(da) + F.size(db) - inter

@@ -446,6 +446,7 @@ def train_centroids(
     emb_col: str = "embedding",
     *,
     sample_n: int | None = None,
+    n_rows: int | None = None,
     assign_impl: str = "arrow",
 ) -> DataFrame:
     """Spherical k-means (Lloyd) producing REAL trained IVF centroids,
@@ -507,8 +508,12 @@ def train_centroids(
     if sample_n is not None:
         # column-pruned count (the quantize expression is not needed
         # for a count), then a map-side hash-threshold filter — see
-        # the docstring for why NOT orderBy().limit()
-        n = vq_full.count()
+        # the docstring for why NOT orderBy().limit(). n_rows
+        # (round-14, build-job unification): a caller that already
+        # knows the corpus size (a calibrate_corpus pre-flight, a
+        # catalog row count) passes it and this builder runs ZERO
+        # jobs before the Lloyd iterations.
+        n = vq_full.count() if n_rows is None else int(n_rows)
         if n > sample_n:
             denom = 1 << 30
             thresh = max(1, int(denom * (sample_n / n)))
@@ -1361,10 +1366,22 @@ def append_to_ivf_index(
     # layout guard (review r13b): a mixed float/SQ8 dataset would read
     # under ONE file's schema (no mergeSchema), the other half's rows
     # would score NULL in the probe's sniffed column and silently
-    # vanish from every top-k — refuse loudly instead
+    # vanish from every top-k — refuse loudly instead. Only the
+    # PATH_NOT_FOUND case means "first batch" (ADVICE r13): any other
+    # read failure (permissions, corrupt footer, empty dir) must
+    # propagate, or it would silently disarm exactly this guard and
+    # the mismatched rows would vanish from top-k with no error.
+    from pyspark.errors import AnalysisException
+
     try:
         existing = new_vectors.sparkSession.read.parquet(path).columns
-    except Exception:
+    except AnalysisException as e:
+        cond = (
+            getattr(e, "getCondition", None)
+            or getattr(e, "getErrorClass", lambda: None)
+        )()
+        if cond != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(e):
+            raise
         existing = None  # first batch: nothing committed yet
     if existing is not None and (SQ8_CODE_COL in existing) != (
         quantize == "int8"
