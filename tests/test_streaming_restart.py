@@ -187,3 +187,130 @@ def test_flush_pending_sentinel_recovers_control_output(spark, tmp_path):
     write_flush_sentinel(str(stranded_in), max_ts)
     _drain(spark, str(stranded_in), out, ckpt)
     assert _sessions(spark, out) == control
+
+
+import pytest
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_drain_exact_recovers_control_and_cleans_sentinel(
+    spark, tmp_path, provider
+):
+    """round-14 verdict item 5: the one-call bounded-drain helper.
+    Strand a tail deterministically (Trigger.Once — the trial-5
+    kill-in-trailing-flush-window class), then a single drain_exact
+    must emit exactly the control's rows AND leave no sentinel file in
+    the source directory; a second call is idempotent. Gated under
+    both state-store providers."""
+    from mapreduce_implementation_spark.streaming.queries import (
+        ROCKSDB_STATE_STORE_PROVIDER,
+    )
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        drain_exact,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    try:
+        if provider == "rocksdb":
+            spark.conf.set(key, ROCKSDB_STATE_STORE_PROVIDER)
+        elif before is not None:
+            spark.conf.unset(key)
+
+        files = [[(0, 1000, 1)], [(1, 6000, 2)]]
+        control_in = tmp_path / "dc_in"
+        control_in.mkdir()
+        for i, rows in enumerate(files):
+            _write_batch(str(control_in / f"b{i}.parquet"), rows, i)
+        control_out = str(tmp_path / "dc_out")
+        _drain(spark, str(control_in), control_out, str(tmp_path / "dc_ckpt"))
+        control = _sessions(spark, control_out)
+        assert control == [(1, 1000, 1000, 1)]
+
+        stranded_in = tmp_path / "de_in"
+        stranded_in.mkdir()
+        for i, rows in enumerate(files):
+            _write_batch(str(stranded_in / f"b{i}.parquet"), rows, i)
+        out = str(tmp_path / "de_out")
+        ckpt = str(tmp_path / "de_ckpt")
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(SCHEMA).parquet(str(stranded_in)),
+                gap_s=GAP_S,
+                timeout_mode="event",
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert _sessions(spark, out) == []  # tail stranded in state
+
+        drain_exact(
+            spark, str(stranded_in), out, ckpt, schema=SCHEMA, gap_s=GAP_S
+        )
+        assert _sessions(spark, out) == control
+        assert not [
+            f for f in os.listdir(stranded_in) if "sentinel" in f
+        ], "sentinel file must be removed after the drain commits"
+
+        # idempotent: a second managed drain adds nothing
+        drain_exact(
+            spark, str(stranded_in), out, ckpt, schema=SCHEMA, gap_s=GAP_S
+        )
+        assert _sessions(spark, out) == control
+        assert not [f for f in os.listdir(stranded_in) if "sentinel" in f]
+    finally:
+        if before is not None:
+            spark.conf.set(key, before)
+        else:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+
+
+def test_drain_exact_fresh_start_matches_control(spark, tmp_path):
+    """From a cold checkpoint, drain_exact == an uninterrupted drain
+    (the sentinel replays the control's own trailing watermark)."""
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        drain_exact,
+    )
+
+    control_in = tmp_path / "df_in"
+    control_in.mkdir()
+    for i, rows in enumerate(FILES):
+        _write_batch(str(control_in / f"b{i}.parquet"), rows, i)
+    control_out = str(tmp_path / "df_cout")
+    _drain(spark, str(control_in), control_out, str(tmp_path / "df_cckpt"))
+    control = _sessions(spark, control_out)
+
+    fresh_in = tmp_path / "df_fin"
+    fresh_in.mkdir()
+    for i, rows in enumerate(FILES):
+        _write_batch(str(fresh_in / f"b{i}.parquet"), rows, i)
+    out = str(tmp_path / "df_fout")
+    drain_exact(
+        spark, str(fresh_in), out, str(tmp_path / "df_fckpt"),
+        schema=SCHEMA, gap_s=GAP_S, max_files_per_trigger=1,
+    )
+    assert _sessions(spark, out) == control
+    assert not [f for f in os.listdir(fresh_in) if "sentinel" in f]
+
+
+def test_drain_exact_empty_source_is_noop(spark, tmp_path):
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        drain_exact,
+    )
+
+    empty_in = tmp_path / "de2_in"
+    empty_in.mkdir()
+    out = str(tmp_path / "de2_out")
+    drain_exact(
+        spark, str(empty_in), out, str(tmp_path / "de2_ckpt"),
+        schema=SCHEMA, gap_s=GAP_S,
+    )
+    assert os.listdir(empty_in) == []
