@@ -215,21 +215,68 @@ def commit_srp_reference(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     n_buckets: int = 32,
+    quantize: str | None = None,
 ) -> None:
     """Commit the corpus vector set as the BUCKETED SRP reference table
     (bucket bits + norms precomputed; see
     operators/semantic.srp_bucketed_frame) for shuffle-free semantic
     ingest probes. Store ``planes`` alongside — they are the index
-    contract."""
+    contract.
+
+    ``quantize="int8"`` (round-14 verdict item 4 — the SQ8 trade
+    extended from the IVF index to the committed table every
+    micro-batch probe scans): bucket bits and the blocking are
+    computed from the FLOAT vectors (byte-identical blocking to the
+    float layout — quantization noise never flips a committed bucket
+    bit), then SQ8 codes + per-vector scale are stored INSTEAD of the
+    floats (similarity.quantize_sq8) and ``_vn`` becomes the CODE
+    norm, so the probe's cosine — scale-invariant — scores the codes
+    directly with no dequantization column. ~4× fewer list bytes per
+    probe batch at a recall cost bounded by the quantization noise
+    (straddling-pairs parity pinned in tests/test_streaming_pipeline).
+
+    The LAYOUT is part of the table contract (same rule as the SQ8
+    IVF index): the committed layout is stamped in
+    ``mris.srp_layout``, and re-committing an existing table under a
+    DIFFERENT layout refuses loudly — a silent flip would strand any
+    direct parquet reader of ``path`` expecting the other schema.
+    Drop the table (or use a fresh name) to change layouts."""
+    if quantize not in (None, "int8"):
+        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
     from mapreduce_implementation_spark.operators.semantic import (
+        planes_fingerprint,
         srp_bucketed_frame,
     )
     from mapreduce_implementation_spark.sources.bucketed import (
         write_bucketed_table,
     )
 
+    spark = vectors.sparkSession
+    layout = "sq8" if quantize == "int8" else "float"
+    if spark.catalog.tableExists(name):
+        have = _table_properties(spark, name).get("mris.srp_layout")
+        if have is not None and have != layout:
+            raise ValueError(
+                f"reference table {name} is committed with layout "
+                f"{have!r} but this commit is {layout!r}; the layout "
+                "is part of the table contract — drop the table or "
+                "commit under a fresh name to change it"
+            )
+    frame = srp_bucketed_frame(vectors, planes, id_col, emb_col)
+    if quantize == "int8":
+        from mapreduce_implementation_spark.functions.vectors import norm
+        from mapreduce_implementation_spark.operators.similarity import (
+            SQ8_CODE_COL,
+            quantize_sq8,
+        )
+
+        frame = (
+            quantize_sq8(frame, emb_col)
+            .drop(emb_col)
+            .withColumn("_vn", norm(F.col(SQ8_CODE_COL)))
+        )
     write_bucketed_table(
-        srp_bucketed_frame(vectors, planes, id_col, emb_col),
+        frame,
         name,
         path,
         bucket_cols=("bucket",),
@@ -237,13 +284,10 @@ def commit_srp_reference(
     )
     # stamp the plane fingerprint: probing with different planes
     # buckets into a disjoint code space and silently matches nothing
-    from mapreduce_implementation_spark.operators.semantic import (
-        planes_fingerprint,
-    )
-
-    vectors.sparkSession.sql(
+    spark.sql(
         f"ALTER TABLE {name} SET TBLPROPERTIES "
-        f"('mris.planes_md5'='{planes_fingerprint(planes)}')"
+        f"('mris.planes_md5'='{planes_fingerprint(planes)}', "
+        f"'mris.srp_layout'='{layout}')"
     )
 
 

@@ -826,3 +826,126 @@ def test_ingest_reference_contract_mismatch_fails_fast(spark, tmp_path):
         start_ingest_dedup_stream(
             _docs_stream(spark, stream_dir), ref_table="x"
         )
+
+
+def test_srp_sq8_reference_parity_plan_and_layout_guard(spark, tmp_path):
+    """round-14 verdict item 4: the SQ8 trade extended to the
+    committed SRP reference table. (a) blocking is computed from the
+    floats, so the SQ8 table's buckets are byte-identical to the float
+    layout; (b) the probe sniffs the code column and flags the SAME
+    pairs as the float table on planted near-twins (quantization
+    noise << the threshold margin); (c) the committed side still
+    contributes zero exchanges; (d) re-committing an existing table
+    under the other layout refuses loudly."""
+    import random
+
+    import pytest as _pytest
+
+    from mapreduce_implementation_spark.operators.inference import (
+        embed_documents,
+    )
+    from mapreduce_implementation_spark.operators.semantic import (
+        srp_cross_near_dup,
+    )
+    from mapreduce_implementation_spark.operators.similarity import (
+        SQ8_CODE_COL,
+        SQ8_SCALE_COL,
+    )
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        commit_srp_reference,
+    )
+
+    texts = [
+        f"reference corpus document number {i} alpha beta" for i in range(40)
+    ]
+    ref_docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    ref_vecs = embed_documents(ref_docs, dim=8).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    new_docs = spark.createDataFrame(
+        [(100, texts[0]), (101, texts[7]), (102, "novel text zzz")],
+        "doc_id long, text string",
+    )
+    new_vecs = embed_documents(new_docs, dim=8).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    rnd = random.Random(7)
+    planes = spark.createDataFrame(
+        [(p, [rnd.uniform(-1.0, 1.0) for _ in range(8)]) for p in range(2)],
+        "plane_id int, plane_emb array<double>",
+    )
+
+    commit_srp_reference(
+        ref_vecs, planes, "t_ref_srp_f", str(tmp_path / "srp_f"),
+        n_buckets=4,
+    )
+    commit_srp_reference(
+        ref_vecs, planes, "t_ref_srp_q", str(tmp_path / "srp_q"),
+        n_buckets=4, quantize="int8",
+    )
+    try:
+        qt = spark.table("t_ref_srp_q")
+        assert SQ8_CODE_COL in qt.columns and SQ8_SCALE_COL in qt.columns
+        assert "embedding" not in qt.columns
+        # (a) blocking parity: identical (vec_id -> bucket) maps
+        fb = {
+            r.vec_id: r.bucket
+            for r in spark.table("t_ref_srp_f").select(
+                "vec_id", "bucket"
+            ).collect()
+        }
+        qb = {
+            r.vec_id: r.bucket
+            for r in qt.select("vec_id", "bucket").collect()
+        }
+        assert fb == qb
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = srp_cross_near_dup(
+                new_vecs, planes=planes,
+                ref_bucketed=spark.table("t_ref_srp_q"),
+                threshold=0.99, max_bucket=1000,
+            )
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            got = {(r.new_id, r.ref_id) for r in probe.collect()}
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # (c) zero committed-side exchanges (the one bucket exchange
+        # is the NEW side)
+        assert plan.count("Exchange hashpartitioning(bucket") == 1, plan
+        # (b) flag parity vs the float table
+        want = {
+            (r.new_id, r.ref_id)
+            for r in srp_cross_near_dup(
+                new_vecs, planes=planes,
+                ref_bucketed=spark.table("t_ref_srp_f"),
+                threshold=0.99, max_bucket=1000,
+            ).collect()
+        }
+        assert got == want
+        assert {(100, 0), (101, 7)} <= got
+
+        # layout stamped + (d) the flip refused
+        props = {
+            r.key: r.value
+            for r in spark.sql(
+                "SHOW TBLPROPERTIES t_ref_srp_q"
+            ).collect()
+        }
+        assert props.get("mris.srp_layout") == "sq8"
+        with _pytest.raises(ValueError, match="layout"):
+            commit_srp_reference(
+                ref_vecs, planes, "t_ref_srp_q", str(tmp_path / "srp_q"),
+                n_buckets=4,  # float commit onto the sq8 table
+            )
+        with _pytest.raises(ValueError, match="layout"):
+            commit_srp_reference(
+                ref_vecs, planes, "t_ref_srp_f", str(tmp_path / "srp_f"),
+                n_buckets=4, quantize="int8",
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ref_srp_f")
+        spark.sql("DROP TABLE IF EXISTS t_ref_srp_q")
