@@ -28,6 +28,22 @@ This module reproduces that workflow end-to-end on Spark:
 * DELAY is the reference's simulated remote-read sleep — recorded in
   the Start_Job log line, not actually slept (Spark's scheduler owns
   task placement; SURVEY.md §4).
+
+Beyond the reference surface (round-14 verdict item 8), the
+LLM-pipeline pre-flight is also operational from the shell::
+
+    python -m mapreduce_implementation_spark calibrate DOCS_PARQUET \
+        [--id-col doc_id] [--text-col text] [--keep-fraction 0.7] \
+        [--threshold 0.5] [--shingle-n 3] [--k 16] [--bands 4] \
+        [--rows 4] [--max-bucket 1000] [--cap-strategy window] \
+        [--n-sample 300] [--json]
+
+runs ``operators.calibrate.calibrate_corpus`` on the parquet corpus
+and prints the recommendation table (quality floor, measured in-set /
+cross-set recall, bucket-skew top-N with the cap verdict, screen
+regime with its evidence, warnings). ``--json`` emits the raw report
+instead — save it and pass back as ``calibration=`` to the miners for
+zero-decision-job builds.
 """
 
 from __future__ import annotations
@@ -36,11 +52,15 @@ import sys
 
 USAGE = (
     "usage: python -m mapreduce_implementation_spark JOB_NAME NUM_REDUCER "
-    "DELAY INPUT_FILENAME CHUNK_SIZE LOCALITY_CONFIG_FILENAME OUTPUT_DIR"
+    "DELAY INPUT_FILENAME CHUNK_SIZE LOCALITY_CONFIG_FILENAME OUTPUT_DIR\n"
+    "   or: python -m mapreduce_implementation_spark calibrate "
+    "DOCS_PARQUET [options]  (see --help)"
 )
 
 
 def main(argv: list[str]) -> int:
+    if argv and argv[0] == "calibrate":
+        return calibrate_main(argv[1:])
     if len(argv) != 7:
         print(USAGE, file=sys.stderr)
         return 2
@@ -90,6 +110,121 @@ def main(argv: list[str]) -> int:
     for f in files:
         print(f)
     return 0
+
+
+def calibrate_main(argv: list[str]) -> int:
+    """``calibrate`` subcommand: the one-call corpus pre-flight as an
+    operational entry point. Output is the library report verbatim
+    (--json) or rendered as the recommendation table; pytest pins the
+    CLI output against the library call on the same corpus
+    (tests/test_cli.py)."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(
+        prog="python -m mapreduce_implementation_spark calibrate",
+        description="Measure production dedup/quality knobs on a corpus "
+        "BEFORE the first full pass (quality floor, miner recall, "
+        "bucket skew, screen regime).",
+    )
+    p.add_argument("docs_parquet", help="path to a documents parquet")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--keep-fraction", type=float, default=0.7)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--shingle-n", type=int, default=3)
+    p.add_argument("--k", type=int, default=16)
+    p.add_argument("--bands", type=int, default=4)
+    p.add_argument("--rows", type=int, default=4)
+    p.add_argument(
+        "--max-bucket", type=int, default=None,
+        help="LSH bucket cap (default: the miners' DEFAULT_MAX_BUCKET); "
+        "pass 0 for uncapped",
+    )
+    p.add_argument(
+        "--cap-strategy", default="window",
+        choices=["window", "antijoin", "representative", "slice"],
+    )
+    p.add_argument("--n-sample", type=int, default=300)
+    p.add_argument("--skew-top-n", type=int, default=5)
+    p.add_argument(
+        "--json", action="store_true",
+        help="emit the raw report (feed it back as calibration= for "
+        "zero-decision-job miner builds)",
+    )
+    args = p.parse_args(argv)
+
+    from mapreduce_implementation_spark import get_spark
+    from mapreduce_implementation_spark.operators.calibrate import (
+        calibrate_corpus,
+    )
+    from mapreduce_implementation_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+    )
+
+    max_bucket = (
+        DEFAULT_MAX_BUCKET
+        if args.max_bucket is None
+        else (None if args.max_bucket == 0 else args.max_bucket)
+    )
+    spark = get_spark(app_name="mris-calibrate")
+    report = calibrate_corpus(
+        spark.read.parquet(args.docs_parquet),
+        id_col=args.id_col,
+        text_col=args.text_col,
+        keep_fraction=args.keep_fraction,
+        threshold=args.threshold,
+        shingle_n=args.shingle_n,
+        k=args.k,
+        bands=args.bands,
+        rows=args.rows,
+        max_bucket=max_bucket,
+        cap_strategy=args.cap_strategy,
+        n_sample=args.n_sample,
+        skew_top_n=args.skew_top_n,
+    )
+    if args.json:
+        print(json.dumps(report))
+        return 0
+    _print_calibration_table(report)
+    return 0
+
+
+def _print_calibration_table(report: dict) -> None:
+    qual, mh, cross, buckets = (
+        report["quality"], report["minhash"], report["cross"],
+        report["buckets"],
+    )
+
+    def row(k, v):
+        print(f"  {k:<22} {v}")
+
+    print("calibration report")
+    print("quality")
+    row("floor", qual["floor"])
+    row("keep_fraction", qual["keep_fraction"])
+    row("sample_retention", qual["sample_retention"])
+    print("minhash (in-set)")
+    for key in (
+        "k", "bands", "rows", "shingle_n", "threshold", "max_bucket",
+        "cap_strategy", "pair_screen", "mean_bucket_size",
+        "oversized_rows", "recall", "precision", "true_pairs",
+    ):
+        if key in mh:
+            row(key, mh[key])
+    print("cross-set (ingest)")
+    for key in ("cap_strategy", "recall", "flag_recall", "precision",
+                "true_pairs"):
+        if key in cross:
+            row(key, cross[key])
+    print("buckets")
+    row("max_bucket", buckets["max_bucket"])
+    row("cap_bites", buckets["cap_bites"])
+    for band_id, band_hash, n, share in buckets["top"]:
+        row("top", f"band={band_id} n={n} share={share:.4f} {band_hash[:12]}")
+    print("warnings" if report["warnings"] else "warnings: none")
+    for w in report["warnings"]:
+        print(f"  - {w}")
 
 
 if __name__ == "__main__":

@@ -109,3 +109,52 @@ def test_cli_twelve_reducers_numeric_file_order(spark, tmp_path):
             for line in fh:
                 word = line.rsplit(" ", 1)[0]
                 assert _pmod_first_char(word, 12) == rid0, (word, fname)
+
+
+def test_cli_calibrate_json_matches_library(spark, tmp_path, capsys):
+    """round-14 verdict item 8: the `calibrate` subcommand is the
+    library pre-flight, e2e — its --json output must equal
+    calibrate_corpus on the same corpus at the same knobs."""
+    import json
+
+    from mapreduce_implementation_spark.operators.calibrate import (
+        calibrate_corpus,
+    )
+
+    rows = [
+        (i, f"common boilerplate prefix shared text variant {i % 3}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+
+    rc = main([
+        "calibrate", path, "--n-sample", "50", "--shingle-n", "2",
+        "--k", "8", "--bands", "2", "--rows", "4", "--max-bucket", "10",
+        "--json",
+    ])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = calibrate_corpus(
+        spark.read.parquet(path), n_sample=50, shingle_n=2, k=8,
+        bands=2, rows=4, max_bucket=10,
+    )
+    assert got == json.loads(json.dumps(want))  # tuple/list normalize
+    assert got["minhash"]["screen_stats"] is not None
+
+
+def test_cli_calibrate_table_output(spark, tmp_path, capsys):
+    rows = [(i, f"text variant {i % 3} padded words here") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs2.parquet")
+    docs.write.parquet(path)
+    rc = main([
+        "calibrate", path, "--n-sample", "20", "--shingle-n", "2",
+        "--k", "8", "--bands", "2", "--rows", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for needle in ("calibration report", "pair_screen", "max_bucket",
+                   "cap_strategy"):
+        assert needle in out
