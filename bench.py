@@ -112,7 +112,85 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
+    try:
+        append_trend_row(out)
+    except Exception as e:  # the bench result must never die on bookkeeping
+        print(f"trend-table append skipped: {e}", file=sys.stderr)
     spark.stop()
+
+
+# BASELINE.md trend-table column -> headline query name
+TREND_COLS = [
+    ("brute", "similarity_topk_bruteforce"),
+    ("dedup", "dedup_exact"),
+    ("minhash", "minhash_near_dup_pairs"),
+    ("clusters", "dedup_clusters"),
+    ("simhash", "simhash_near_dup_pairs"),
+    ("q1", "tpch_q1_pricing_summary"),
+    ("q3", "tpch_q3_shipping_priority"),
+    ("tumble", "events_tumbling_5min"),
+    ("sess", "events_sessionization"),
+    ("asof", "events_asof_latest_order"),
+    ("wc", "wordcount"),
+    ("tok", "token_stats"),
+    ("docq", "doc_quality"),
+]
+
+
+def _current_round() -> int:
+    """This round's number: explicit $SPARK_GRAFT_ROUND, else one past
+    the newest recorded BENCH_r{N}.json (the driver writes that file
+    AFTER running this bench, so the max existing N is last round's)."""
+    import re
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    here = os.path.dirname(os.path.abspath(__file__))
+    ns = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
+def append_trend_row(out: dict, path: str | None = None) -> None:
+    """Append (or replace) this round's row in BASELINE.md's
+    round-over-round trend table (round-14 verdict item 7: r12's and
+    r13's rows each needed a hand edit, so the table lagged the JSON —
+    now the bench run IS the append). Idempotent per round: a re-run
+    replaces its own row. Table located by its header line; a missing
+    or reshaped table raises and the caller just logs (the JSON on
+    stdout stays the record of truth)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = path or os.path.join(here, "BASELINE.md")
+    with open(path) as f:
+        lines = f.readlines()
+    header = "| round | total | cal |"
+    try:
+        h = next(i for i, l in enumerate(lines) if l.startswith(header))
+    except StopIteration:
+        raise RuntimeError("trend table header not found in BASELINE.md")
+    rnd = _current_round()
+    q = out["queries"]
+    cells = [f"r{rnd}", f"{out['value']:.2f}", f"{out['calibration']:.2f}"]
+    for _, name in TREND_COLS:
+        v = q.get(name)
+        cells.append("—" if v is None else f"{v:.2f}")
+    row = "| " + " | ".join(cells) + " |\n"
+    # walk the contiguous row block under the header (+1 skips the
+    # |---| separator), replacing this round's row if it exists
+    end = h + 2
+    while end < len(lines) and lines[end].startswith("| r"):
+        if lines[end].startswith(f"| r{rnd} |"):
+            lines[end] = row
+            break
+        end += 1
+    else:
+        lines.insert(end, row)
+    with open(path, "w") as f:
+        f.writelines(lines)
 
 
 def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
