@@ -182,9 +182,20 @@ def section_drift(spark) -> None:
 
 # ----------------------------------------------------------------- hash
 def section_hash(spark) -> None:
-    from mapreduce_implementation_spark.operators import dedup as dd
+    """Measured on the scale_rehearsal Zipf corpus — the SAME synth the
+    r13 'md5 dominates the chain' claim was measured on (shingle
+    strings are three ~5-char words; the first zipf_docs attempt here
+    used 4-char tokens whose md5 was too cheap to matter — 4% delta —
+    a corpus-shape artifact, kept in the journal as a negative)."""
+    import shutil
+    import tempfile
 
-    docs = zipf_docs(spark, N).localCheckpoint(eager=True)
+    from mapreduce_implementation_spark.operators import dedup as dd
+    from scale_rehearsal import synth_corpus
+
+    root = tempfile.mkdtemp(prefix="mris_adj14_hash_")
+    synth_corpus(spark, N, os.path.join(root, "docs"))
+    docs = spark.read.parquet(os.path.join(root, "docs"))
     res: dict[str, list[float]] = {}
     nulls: dict[str, int] = {}
 
@@ -222,6 +233,7 @@ def section_hash(spark) -> None:
         "cal": cal_probe(spark),
     }
     print(json.dumps({"hash": OUT["hash"]}), flush=True)
+    shutil.rmtree(root, ignore_errors=True)
 
 
 # ------------------------------------------------------------------ sq8
@@ -237,44 +249,26 @@ def section_sq8(spark) -> None:
         commit_srp_reference,
     )
 
+    from scale_rehearsal import synth_vectors
+
     dim = 64
     nv = min(N, 800_000)
-    vecs = (
-        spark.range(0, nv, 1, 32)
-        .select(
-            F.col("id").alias("vec_id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda j: (
-                    F.pmod(F.xxhash64(F.col("id"), j), F.lit(2001)) - 1000
-                ).cast("double")
-                / 1000.0,
-            ).alias("embedding"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    root = tempfile.mkdtemp(prefix="mris_adj14_sq8_")
+    synth_vectors(spark, nv, os.path.join(root, "vecs"))
+    vecs = spark.read.parquet(os.path.join(root, "vecs"))
     rnd = random.Random(14)
     planes = spark.createDataFrame(
         [(p, [rnd.uniform(-1, 1) for _ in range(dim)]) for p in range(8)],
         "plane_id int, plane_emb array<double>",
     )
-    # probe batch: 2k vectors, half committed twins (flags expected)
+    # probe batch: 2k committed twins under fresh ids (flags expected)
     batch = (
-        spark.range(0, 2000, 1, 8)
+        vecs.where(F.col("vec_id") < 2000)
         .select(
-            (F.col("id") + 10_000_000).alias("vec_id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda j: (
-                    F.pmod(F.xxhash64(F.col("id") % 1000, j), F.lit(2001))
-                    - 1000
-                ).cast("double")
-                / 1000.0,
-            ).alias("embedding"),
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
         )
         .localCheckpoint(eager=True)
     )
-    root = tempfile.mkdtemp(prefix="mris_adj14_sq8_")
     try:
         builds = {}
         t0 = time.perf_counter()

@@ -161,12 +161,17 @@ def shingle_ints(shingle_col: Column, hash: str = "md5") -> Column:
     reduced mod the Mersenne prime — the ORACLE hash (DuckDB replays
     it bit-for-bit via its own md5/conv, plans/dedup_queries.py).
     ``hash="xxhash64"`` (round-14 verdict item 3): the JVM-intrinsic
-    64-bit xxHash reduced mod the same prime — the PRODUCTION option;
-    several× cheaper per shingle (no hex round-trip, no crypto
-    rounds), same [0, p) domain so every downstream permutation /
-    banding / estimation step is unchanged. Signatures from the two
-    hashes are mutually incompatible (different min-wise draws): both
-    sides of any cross-set/banded join must agree, and DuckDB cannot
+    64-bit xxHash reduced mod the same prime — cheaper per shingle
+    (no hex round-trip, no crypto rounds), same [0, p) domain so
+    every downstream permutation / banding / estimation step is
+    unchanged. MEASURED NEGATIVE at the build level (BASELINE.md
+    r14): the strong hash is only ~1 s of the ~30 s 1M-doc signature
+    chain — tokenize + ngram + array_distinct own ~20 s — so the
+    swap is a ~2% wash and md5 stays the default everywhere (the r13
+    'md5 dominates the chain' reading of the arrow-wash was wrong:
+    the SHARED scan chain dominates). Signatures from the two hashes
+    are mutually incompatible (different min-wise draws): both sides
+    of any cross-set/banded join must agree, and DuckDB cannot
     replay Spark's xxhash64 seed — oracle rows stay on md5."""
     if hash == "md5":
         return F.transform(
@@ -852,13 +857,14 @@ def minhash_signatures(
     array<long>] (NULL sig for shingle-less docs).
 
     ``hash`` picks the strong per-shingle hash (see
-    :func:`shingle_ints`): ``"md5"`` is the oracle-replayable default,
-    ``"xxhash64"`` the cheaper production option (round 14 — the md5
-    pass dominates the whole signature build, BASELINE.md r13; the
-    min-wise uniformity argument is hash-agnostic, and the recall
-    probes measure parity on planted corpora). Signatures from
-    different hashes never mix: band joins require both sides built
-    with the same ``hash``.
+    :func:`shingle_ints`): ``"md5"`` is the oracle-replayable default
+    AND the production default — the round-14 decomposition measured
+    the strong hash at ~1 s of the ~30 s 1M-doc chain, so
+    ``"xxhash64"`` is a ~2% wash at the build level (BASELINE.md
+    r14), kept as the option for engines whose md5 is costlier. The
+    min-wise uniformity argument is hash-agnostic; recall parity is
+    probe-pinned. Signatures from different hashes never mix: band
+    joins require both sides built with the same ``hash``.
 
     Staged projections, one expensive expression per step, each
     referenced as a COLUMN downstream: tokens → shingles → shingle
@@ -1040,11 +1046,12 @@ def minhash_near_dup_pairs(
     corpus; listener-gated in tests/test_build_jobs.py).
 
     ``sig_hash`` picks the per-shingle strong hash when signatures are
-    computed here (see :func:`shingle_ints`): ``"md5"`` replays in the
-    DuckDB oracle, ``"xxhash64"`` is the cheaper production option —
-    recall/precision parity measured on planted corpora
-    (tests/test_dedup.py), est_jaccard values differ per pair only in
-    which k min-wise draws they estimate from."""
+    computed here (see :func:`shingle_ints` — md5 is both the oracle
+    hash and, per the round-14 decomposition, the build-level wash
+    winner by default); recall/precision parity across hashes is
+    probe-pinned (tests/test_minhash_hash.py), est_jaccard values
+    differ per pair only in which k min-wise draws they estimate
+    from."""
     _validate_minhash_bands(k, bands, rows)
     if pair_screen not in ("blas", "join", "auto"):
         raise ValueError(
