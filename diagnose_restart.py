@@ -58,9 +58,15 @@ def main() -> None:
             "RocksDBStateStoreProvider",
         )
     from mapreduce_implementation_spark.streaming.sessionize import (
+        drain_exact,
         sessionize_stream,
         write_flush_sentinel,
     )
+
+    # round-14 verdict item 5: rerun the resume-and-finish protocol
+    # THROUGH the one-call helper (sentinel staged, drained, removed
+    # inside drain_exact) instead of the manual three-step below
+    drain_exact_mode = "--drain-exact" in sys.argv
 
     root = tempfile.mkdtemp(prefix="mris_diag_")
     events_dir = os.path.join(root, "events")
@@ -145,6 +151,39 @@ def main() -> None:
         q.stop()
         offsets_before = batch_ids(ckpt_i, "offsets")
         commits_before = batch_ids(ckpt_i, "commits")
+        if drain_exact_mode:
+            drain_exact(
+                spark, events_dir, out_i, ckpt_i,
+                schema="event_id long, user_id long, ts timestamp, "
+                "event_type string, value double",
+                gap_s=150,
+                drop_late=drop_late,
+                max_files_per_trigger=int(per_trigger),
+            )
+            offsets_after = batch_ids(ckpt_i, "offsets")
+            commits_after = batch_ids(ckpt_i, "commits")
+            leftover = [
+                f for f in os.listdir(events_dir) if "sentinel" in f
+            ]
+            assert not leftover, f"sentinel not cleaned: {leftover}"
+            got = spark.read.parquet(out_i)
+            n_i = got.count()
+            row = {
+                "trial": trial,
+                "kill_target": target,
+                "rows": n_i,
+                "rows_match": bool(n_i == n_c),
+                "kill_offsets": offsets_before,
+                "kill_commits": commits_before,
+                "final_offsets": offsets_after,
+                "final_commits": commits_after,
+                "via": "drain_exact",
+            }
+            print(json.dumps(row), flush=True)
+            if n_i != n_c:
+                print("MISMATCH (drain_exact mode)", flush=True)
+                break
+            continue
         q = start(ckpt_i, out_i)
         q.awaitTermination()
         if drop_late:

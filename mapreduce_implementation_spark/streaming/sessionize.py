@@ -361,8 +361,13 @@ def drain_exact(
     ``query_builder`` (optional) maps the raw file-source stream to
     the stateful query — defaults to ``sessionize_stream(stream,
     gap_s, timeout_mode="event", watermark_delay_s, drop_late)``; pass
-    your own to drain a different sentinel-aware fold (the funnel)
-    through the same completion protocol.
+    your own for sessionize variants (extra projections, different
+    source options). The completion step only matters for folds whose
+    event-time TIMERS own output rows — the funnel does not qualify
+    (its timers only garbage-collect incomplete chains and emit
+    nothing, so an interrupted funnel drain resumed without a
+    sentinel loses no rows; it also filters non-step rows before its
+    watermark, so a sentinel would not even advance it).
 
     The checkpoint records the sentinel file as processed, so its
     removal is safe: a later drain on the same checkpoint never
