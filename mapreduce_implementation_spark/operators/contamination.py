@@ -87,6 +87,7 @@ def duplicate_span_stats(
     *,
     sample_rate: int | None = None,
     heavy_hitter_support: float | None = 0.001,
+    span_impl: str = "tokhash",
 ) -> DataFrame:
     """Substring-level SELF-duplication: per document, the fraction of
     its distinct word-``n``-grams that appear verbatim in at least one
@@ -132,6 +133,26 @@ def duplicate_span_stats(
     probability — at 10¹² spans that is a handful of FALSE dup marks,
     the right trade against shuffling span strings (tighten to the
     md5 hex the other miners use if exactness ever matters).
+
+    ``span_impl`` (round 14) picks how the span hashes are produced:
+
+    * ``"tokhash"`` (default) — hash each TOKEN once to int64, then
+      each span hash is ``xxhash64`` of the n-long token-hash SLICE.
+      No 20-word concat string is ever built: per span the engine
+      allocates one n-long slice instead of constructing a
+      ~hundreds-of-bytes string, and the per-doc distinct runs over
+      fixed-width longs instead of variable strings. Measured
+      interleaved min-of-2 at 4M rehearsal docs (span explode +
+      holder agg): string 179.1 s → tokhash 62.2 s (**2.9×**); the
+      full operator (both tokenize branches) 289.0 → 110.8 s
+      (**2.6×**). The
+      dup/unique classification is value-identical up to the SAME
+      64-bit collision contract as above, with one addition: a
+      WITHIN-doc collision (two distinct spans of one doc hashing
+      equal) now merges them in the per-doc distinct (~spans²/2⁶⁵ —
+      vanishing; the string form computed within-doc distinctness
+      exactly). Parity is pytest-pinned exact on the test corpora.
+    * ``"string"`` — the concat-and-hash A/B arm (the pre-r14 form).
 
     ``sample_rate=m`` (round-10 verdict item 7) keeps only spans with
     ``pmod(span_hash, m) == 0`` — ~1/m of spans, sampled by CONTENT
@@ -187,11 +208,53 @@ def duplicate_span_stats(
             f"heavy_hitter_support must be in (0, 1) or None, got "
             f"{heavy_hitter_support}"
         )
-    sp = shingles(text_col, n)
-    base = spread(docs)
-    spans = base.select(
-        F.col(id_col), F.explode(sp).alias("span")
-    ).select(F.col(id_col), F.xxhash64("span").alias("h"))
+    if span_impl not in ("tokhash", "string"):
+        raise ValueError(
+            f"span_impl must be 'tokhash' or 'string', got {span_impl!r}"
+        )
+    if span_impl == "tokhash":
+        from mapreduce_implementation_spark.functions.text import tokens
+
+        # staged projections (one expensive expression per step — the
+        # minhash_signatures staging rule): tokens → token hashes →
+        # per-doc distinct span hashes over n-long slices
+        spans = (
+            spread(docs.select(F.col(id_col), F.col(text_col)))
+            .select(
+                F.col(id_col),
+                tokens(F.lower(F.col(text_col)), mode="simple").alias("_t"),
+            )
+            .select(
+                F.col(id_col),
+                F.transform(
+                    F.col("_t"), lambda t: F.xxhash64(t)
+                ).alias("_th"),
+            )
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.when(
+                        F.size(F.col("_th")) >= n,
+                        F.array_distinct(
+                            F.transform(
+                                F.sequence(
+                                    F.lit(0), F.size(F.col("_th")) - F.lit(n)
+                                ),
+                                lambda i: F.xxhash64(
+                                    F.slice(F.col("_th"), i + 1, n)
+                                ),
+                            )
+                        ),
+                    ).otherwise(F.array().cast("array<long>"))
+                ).alias("h"),
+            )
+        )
+    else:
+        sp = shingles(text_col, n)
+        base = spread(docs)
+        spans = base.select(
+            F.col(id_col), F.explode(sp).alias("span")
+        ).select(F.col(id_col), F.xxhash64("span").alias("h"))
     scale = 1 if sample_rate is None else sample_rate
     # weight of a kept span in the per-doc totals: 1 in exact mode,
     # the rate in single-stratum sampled mode, per-stratum (1 heavy /
