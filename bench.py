@@ -137,22 +137,42 @@ TREND_COLS = [
 ]
 
 
-def _current_round() -> int:
-    """This round's number: explicit $SPARK_GRAFT_ROUND, else one past
-    the newest recorded BENCH_r{N}.json (the driver writes that file
-    AFTER running this bench, so the max existing N is last round's)."""
+def _current_round(here: str | None = None) -> int:
+    """This round's number: explicit $SPARK_GRAFT_ROUND, else inferred
+    from the newest recorded BENCH_r{N}.json. The driver writes that
+    file AFTER running this bench, then COMMITS it when the next round
+    starts — so a committed BENCH_r{N}.json means round N is closed
+    (we're in N+1), while an uncommitted one means the bench is being
+    RE-RUN inside round N after the driver's write (ADVICE r14: the
+    bare max+1 rule appended a spurious r{N+1} row there instead of
+    replacing r{N}'s own). Unreadable git state falls back to max+1."""
     import re
+    import subprocess
 
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
         return int(env)
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = here or os.path.dirname(os.path.abspath(__file__))
     ns = [
         int(m.group(1))
         for f in os.listdir(here)
         if (m := re.match(r"BENCH_r(\d+)\.json$", f))
     ]
-    return (max(ns) + 1) if ns else 1
+    if not ns:
+        return 1
+    newest = max(ns)
+    try:
+        committed = (
+            subprocess.run(
+                ["git", "-C", here, "ls-files", "--error-unmatch",
+                 f"BENCH_r{newest}.json"],
+                capture_output=True, timeout=10,
+            ).returncode
+            == 0
+        )
+    except Exception:
+        committed = True  # can't tell — keep the historical rule
+    return newest + 1 if committed else newest
 
 
 def append_trend_row(out: dict, path: str | None = None) -> None:
@@ -162,19 +182,32 @@ def append_trend_row(out: dict, path: str | None = None) -> None:
     now the bench run IS the append). Idempotent per round: a re-run
     replaces its own row. Table located by its header line; a missing
     or reshaped table raises and the caller just logs (the JSON on
-    stdout stays the record of truth)."""
+    stdout stays the record of truth).
+
+    The row carries ``per_cal`` COMPUTED FROM THIS RUN's own total and
+    calibration (round-15 verdict item 5: the r14 prose quoted a
+    per_cal from a different run than the row it annotated — 59.4 vs
+    the driver JSON's 55.5; stamping it here makes the normalized
+    number and the raw row inseparable)."""
     here = os.path.dirname(os.path.abspath(__file__))
     path = path or os.path.join(here, "BASELINE.md")
     with open(path) as f:
         lines = f.readlines()
-    header = "| round | total | cal |"
+    header = "| round | total | cal | per_cal |"
     try:
         h = next(i for i, l in enumerate(lines) if l.startswith(header))
     except StopIteration:
         raise RuntimeError("trend table header not found in BASELINE.md")
     rnd = _current_round()
     q = out["queries"]
-    cells = [f"r{rnd}", f"{out['value']:.2f}", f"{out['calibration']:.2f}"]
+    cal = out["calibration"]
+    per_cal = (out["value"] / cal) if cal else None
+    cells = [
+        f"r{rnd}",
+        f"{out['value']:.2f}",
+        f"{cal:.2f}",
+        "—" if per_cal is None else f"{per_cal:.1f}",
+    ]
     for _, name in TREND_COLS:
         v = q.get(name)
         cells.append("—" if v is None else f"{v:.2f}")

@@ -45,6 +45,8 @@ def calibrate_corpus(
     rows: int = 4,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     cap_strategy: str = "window",
+    sig_hash: str = "md5",
+    shingle_impl: str = "string",
     n_sample: int = 300,
     skew_top_n: int = 5,
     recall_floor: float = 0.8,
@@ -137,6 +139,7 @@ def calibrate_corpus(
         return minhash_near_dup_pairs(
             s, id_col, text_col, shingle_n=shingle_n, k=k, bands=bands,
             rows=rows, threshold=threshold, max_bucket=max_bucket,
+            sig_hash=sig_hash, shingle_impl=shingle_impl,
         )
 
     inset = miner_recall_probe(
@@ -147,10 +150,12 @@ def calibrate_corpus(
     # 3) cross-set ingest recall through the production chain
     def cross(new: DataFrame, ref: DataFrame) -> DataFrame:
         new_sigs = minhash_signatures(
-            new, id_col, text_col, shingle_n=shingle_n, k=k
+            new, id_col, text_col, shingle_n=shingle_n, k=k,
+            hash=sig_hash, shingle_impl=shingle_impl,
         )
         ref_sigs = minhash_signatures(
-            ref, id_col, text_col, shingle_n=shingle_n, k=k
+            ref, id_col, text_col, shingle_n=shingle_n, k=k,
+            hash=sig_hash, shingle_impl=shingle_impl,
         )
         return minhash_cross_near_dup(
             new_sigs, ref_sigs, k=k, bands=bands, rows=rows,
@@ -169,7 +174,10 @@ def calibrate_corpus(
     # (key, count) frame on the executors, and derive both the top-N
     # skew rows and the pair_screen="auto" decision from it)
     banded = _minhash_banded(
-        minhash_signatures(docs, id_col, text_col, shingle_n=shingle_n, k=k),
+        minhash_signatures(
+            docs, id_col, text_col, shingle_n=shingle_n, k=k,
+            hash=sig_hash, shingle_impl=shingle_impl,
+        ),
         "doc_id", bands, rows,
     )
     counts = (
@@ -251,6 +259,11 @@ def calibrate_corpus(
         "minhash": {
             "k": k, "bands": bands, "rows": rows,
             "shingle_n": shingle_n, "threshold": threshold,
+            # the signature FAMILY the distribution was measured under
+            # (ADVICE r14): a build at a different sig_hash/shingle_impl
+            # has different band-bucket counts, so the miner's knob
+            # check raises on mismatch like the structural knobs
+            "sig_hash": sig_hash, "shingle_impl": shingle_impl,
             "max_bucket": max_bucket, "cap_strategy": cap_strategy,
             "pair_screen": screen, "mean_bucket_size": mean_bucket,
             "oversized_rows": int(big_rows),

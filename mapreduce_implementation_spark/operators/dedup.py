@@ -188,6 +188,51 @@ def shingle_ints(shingle_col: Column, hash: str = "md5") -> Column:
     raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
 
 
+def token_hash_ints(toks: Column) -> Column:
+    """xxhash64 per token — project this as a COLUMN (``_th``) before
+    :func:`shingle_ints_from_token_hashes` so each token hashes ONCE
+    (the staged-projection rule: Catalyst has no CSE across output
+    columns, and the shingle transform references the array once per
+    n-gram position)."""
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def shingle_ints_from_token_hashes(
+    th: Column, n: int, *, mod_p: bool = True
+) -> Column:
+    """Distinct shingle int64s DIRECTLY from token-hash slices — no
+    shingle string is ever materialized (round-15 verdict item 1: the
+    ``span_impl="tokhash"`` kernel from operators/contamination.py
+    applied to the signature chain, where the r14 decomposition
+    measured tokenize + ngram-concat + array_distinct-over-strings at
+    ~20.5 s of the ~31 s 1M-doc build while the strong hash itself was
+    ~1 s). Each n-gram hashes as xxhash64 over the n-long int64 slice
+    of ``th``; ``mod_p`` reduces into [0, MERSENNE_P) — the MinHash
+    permutation domain (same SHAPE as :func:`shingle_ints`, different
+    VALUES: tokhash is a third signature family, mutually incompatible
+    with md5/xxhash64-over-strings builds — both sides of any banded or
+    cross-set join must agree). ``mod_p=False`` keeps the full 64-bit
+    domain for set-membership uses (exact-Jaccard rides, winnowing
+    fingerprints) where the tighter 2³¹ domain would raise the
+    within-doc collision rate for no benefit. Token arrays shorter
+    than ``n`` yield an EMPTY array (NULL signature downstream — the
+    same contract as the string path). Collision contract: two
+    distinct n-grams merge at ~1/2⁶⁴ (1/2³¹ after mod_p, identical to
+    the md5-path's post-mod domain), the bound already accepted for
+    shingle_ints."""
+    gram = (
+        (lambda i: F.pmod(F.xxhash64(F.slice(th, i + 1, n)), F.lit(MERSENNE_P)))
+        if mod_p
+        else (lambda i: F.xxhash64(F.slice(th, i + 1, n)))
+    )
+    return F.when(
+        F.size(th) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(0), F.size(th) - F.lit(n)), gram)
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def minhash_signature_from_ints(xs: Column, k: int = 16) -> Column:
     """k-component MinHash signature via k linear permutations
     ``(a_i * x + b_i) mod p`` over pre-hashed shingle ints — the
@@ -451,6 +496,7 @@ def cap_buckets(
     n_representatives: int = 1,
     rep_stratum_col: str | None = None,
     counts: DataFrame | None = None,
+    keys_nonnull: bool = False,
 ) -> DataFrame:
     """Drop rows in LSH buckets larger than ``max_bucket`` — the
     boilerplate-cohort guard shared by every banded pair miner (a band
@@ -543,7 +589,19 @@ def cap_buckets(
     NULL-keyed oversized group would be dropped by the window form
     but retained by the anti-join). ``"representative"`` rejects
     ``counts`` — its detection agg also computes the per-bucket
-    representative mins, which a bare counts frame lacks."""
+    representative mins, which a bare counts frame lacks.
+
+    The ``counts`` frame is a SNAPSHOT and the same build/plan
+    contract as slice_buckets' probe applies (ADVICE r14): detection
+    reads the snapshot while the caller's pair join re-executes
+    ``df`` at action time, so ``df`` (and anything it derives from —
+    e.g. a caller-supplied signatures frame) must be deterministic
+    and stable between the counts job and the action, else an
+    oversized bucket that only materializes later escapes the
+    anti-join's list. The in-set miner satisfies this by
+    track_cache-ing self-computed signatures; hand a PRECOMPUTED
+    (materialized or cached) frame when supplying both ``signatures``
+    and a counts-fed cap yourself."""
     if max_bucket is None:
         if observation is not None:
             # fail at call time: a never-attached Observation makes the
@@ -575,6 +633,22 @@ def cap_buckets(
         raise ValueError(
             "counts= reuse supports the drop strategies only: "
             "representative detection also needs per-bucket rep mins"
+        )
+    if counts is not None and strategy == "window" and not keys_nonnull:
+        # ADVICE r14: counts= turns the window drop into the anti-join
+        # plan, whose semantics differ ON NULL KEYS ONLY (window drops
+        # a NULL-keyed oversized group, anti-join equality never
+        # matches NULL so it is retained). The internal miners pass
+        # keys_nonnull=True (band hashes are md5 strings, bucket ids
+        # ints — non-null by construction); an external caller must
+        # either attest the same or request strategy="antijoin" so the
+        # plan change is explicit, not keyed on an optimization param.
+        raise ValueError(
+            "counts= with strategy='window' executes as an anti-join, "
+            "which RETAINS a NULL-keyed oversized group the window "
+            "form would drop — pass keys_nonnull=True if the key "
+            "columns cannot be NULL, or strategy='antijoin' to opt "
+            "into anti-join semantics explicitly"
         )
     if counts is None and observation is None and strategy == "window":
         from pyspark.sql.window import Window
@@ -852,19 +926,41 @@ def minhash_signatures(
     k: int = 16,
     impl: str = "expr",
     hash: str = "md5",
+    shingle_impl: str = "string",
 ) -> DataFrame:
     """Scan-side MinHash signature chain → DataFrame[doc_id, sig
     array<long>] (NULL sig for shingle-less docs).
 
     ``hash`` picks the strong per-shingle hash (see
     :func:`shingle_ints`): ``"md5"`` is the oracle-replayable default
-    AND the production default — the round-14 decomposition measured
-    the strong hash at ~1 s of the ~30 s 1M-doc chain, so
-    ``"xxhash64"`` is a ~2% wash at the build level (BASELINE.md
-    r14), kept as the option for engines whose md5 is costlier. The
-    min-wise uniformity argument is hash-agnostic; recall parity is
-    probe-pinned. Signatures from different hashes never mix: band
-    joins require both sides built with the same ``hash``.
+    — the round-14 decomposition measured the strong hash at ~1 s of
+    the ~30 s 1M-doc chain, so ``"xxhash64"`` is a ~2% wash at the
+    build level (BASELINE.md r14), kept as the option for engines
+    whose md5 is costlier. The min-wise uniformity argument is
+    hash-agnostic; recall parity is probe-pinned. Signatures from
+    different hashes never mix: band joins require both sides built
+    with the same ``hash``.
+
+    ``shingle_impl`` (round-15 verdict item 1) picks how shingle ints
+    are produced:
+
+    * ``"string"`` (default, the oracle arm): tokens → n-gram CONCAT
+      STRINGS → ``array_distinct`` over strings → strong hash per
+      string (``hash``). DuckDB replays this bit-for-bit.
+    * ``"tokhash"`` (the production recommendation at scale): tokens
+      → xxhash64 per token → shingle int64 = xxhash64 over each
+      n-long token-hash slice, distinct over fixed-width longs — no
+      shingle string is ever materialized and no per-string strong
+      hash runs (see :func:`shingle_ints_from_token_hashes`; the
+      measured r14 decomposition puts ~20.5 s of the ~31 s 1M-doc
+      build in exactly the stages this skips). ``hash`` must stay at
+      its default — there are no shingle strings to strong-hash —
+      and the resulting signatures are a THIRD family, incompatible
+      with either string-hash build (both sides of any banded or
+      cross-set join must use the same ``shingle_impl``). Recall /
+      precision parity vs md5 is probe-pinned
+      (tests/test_minhash_hash.py) — min-wise sampling quality does
+      not depend on which injective map drew the shingle ints.
 
     Staged projections, one expensive expression per step, each
     referenced as a COLUMN downstream: tokens → shingles → shingle
@@ -896,18 +992,34 @@ def minhash_signatures(
     both impls (pytest-pinned digest parity)."""
     if impl not in ("arrow", "expr"):
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
-    staged = (
-        spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
-        .select(
-            "doc_id",
-            tokens(F.lower(F.col(text_col)), mode="simple").alias("_toks"),
+    if shingle_impl not in ("string", "tokhash"):
+        raise ValueError(
+            f"shingle_impl must be 'string' or 'tokhash', got {shingle_impl!r}"
         )
-        .select(
+    if shingle_impl == "tokhash" and hash != "md5":
+        raise ValueError(
+            "hash= selects the strong hash over shingle STRINGS; the "
+            "tokhash impl never materializes them — leave hash at its "
+            "default (the two knobs name disjoint signature families)"
+        )
+    base = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
+        tokens(F.lower(F.col(text_col)), mode="simple").alias("_toks"),
+    )
+    if shingle_impl == "tokhash":
+        staged = base.select(
+            "doc_id", token_hash_ints(F.col("_toks")).alias("_th")
+        ).select(
+            "doc_id",
+            shingle_ints_from_token_hashes(F.col("_th"), shingle_n).alias("_xs"),
+        )
+    else:
+        staged = base.select(
             "doc_id",
             F.array_distinct(word_ngrams(F.col("_toks"), shingle_n)).alias("sh"),
-        )
-        .select("doc_id", shingle_ints(F.col("sh"), hash=hash).alias("_xs"))
-    )
+        ).select("doc_id", shingle_ints(F.col("sh"), hash=hash).alias("_xs"))
     if impl == "expr":
         return staged.select(
             "doc_id", minhash_signature_from_ints(F.col("_xs"), k).alias("sig")
@@ -985,6 +1097,7 @@ def minhash_near_dup_pairs(
     pair_screen: str = "auto",
     sig_impl: str = "expr",
     sig_hash: str = "md5",
+    shingle_impl: str = "string",
     calibration: dict | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
@@ -1011,7 +1124,13 @@ def minhash_near_dup_pairs(
     three readers (band explode + both verify-join sides). When omitted,
     the chain is computed here and session-cached as a small-scale
     stand-in (released by the next registry query via
-    caching.release_caches).
+    caching.release_caches). A caller-supplied frame must be
+    DETERMINISTIC AND STABLE for the build's lifetime (materialized
+    table, cached frame — ADVICE r14): under ``pair_screen="auto"``
+    with a finite cap, the screen/cap decisions read a checkpointed
+    counts SNAPSHOT of it while the pair join re-executes it at
+    action time, and a frame that shifts in between can grow an
+    oversized bucket the anti-join's list never saw.
 
     ``pair_screen``: ``"auto"`` (default, round 13) measures the
     band-bucket size distribution with one bounded partial agg at
@@ -1051,7 +1170,12 @@ def minhash_near_dup_pairs(
     winner by default); recall/precision parity across hashes is
     probe-pinned (tests/test_minhash_hash.py), est_jaccard values
     differ per pair only in which k min-wise draws they estimate
-    from."""
+    from. ``shingle_impl="tokhash"`` (round 15) skips shingle-string
+    materialization entirely — the build-level lever sig_hash was not
+    (see :func:`minhash_signatures`); md5-over-strings stays the
+    oracle arm and the default. Both knobs stamp into the calibration
+    report and mismatch-raise like the structural knobs: signatures
+    from different (sig_hash, shingle_impl) families never mix."""
     _validate_minhash_bands(k, bands, rows)
     if pair_screen not in ("blas", "join", "auto"):
         raise ValueError(
@@ -1061,7 +1185,7 @@ def minhash_near_dup_pairs(
         sigs = track_cache(
             minhash_signatures(
                 df, id_col, text_col, shingle_n=shingle_n, k=k,
-                impl=sig_impl, hash=sig_hash,
+                impl=sig_impl, hash=sig_hash, shingle_impl=shingle_impl,
             )
         )
     else:
@@ -1070,9 +1194,17 @@ def minhash_near_dup_pairs(
     has_oversized = None
     if calibration is not None:
         cal = calibration.get("minhash", calibration)
+        # sig_hash/shingle_impl ride the loop too (ADVICE r14): a
+        # calibration measured under one signature family answering
+        # for another would hand screen_stats/has_oversized from the
+        # wrong band-bucket distribution (e.g. a false
+        # has_oversized=False skips the slice probe and an oversized
+        # bucket mines un-sliced — the quadratic cost the cap exists
+        # to bound)
         for knob, val in (
             ("k", k), ("bands", bands), ("rows", rows),
             ("shingle_n", shingle_n), ("max_bucket", max_bucket),
+            ("sig_hash", sig_hash), ("shingle_impl", shingle_impl),
         ):
             if knob in cal and cal[knob] != val:
                 raise ValueError(
@@ -1134,6 +1266,7 @@ def minhash_near_dup_pairs(
                 banded, ("band_id", "band_hash"), max_bucket,
                 cap_observation, strategy=cap_strategy,
                 counts=counts if cap_strategy != "representative" else None,
+                keys_nonnull=True,
             )
             group_cols = ["band_id", "band_hash"]
         id_type = sigs.schema["doc_id"].dataType
@@ -1167,6 +1300,7 @@ def minhash_near_dup_pairs(
             banded, ("band_id", "band_hash"), max_bucket, cap_observation,
             strategy=cap_strategy,
             counts=counts if cap_strategy != "representative" else None,
+            keys_nonnull=True,
         )
         extra = F.lit(True)
     left = banded.alias("a")
@@ -1416,6 +1550,7 @@ def ngram_jaccard_pairs(
     cap_observation=None,
     fingerprint=None,
     cap_strategy: str = "window",
+    shingle_impl: str = "string",
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a winnowing
     fingerprint (cheap bucket join, never all-pairs). ``cap_strategy``
@@ -1424,6 +1559,22 @@ def ngram_jaccard_pairs(
     slices — note the shingle arrays ride the sliced rows through the
     positioning exchange, so slice here moves heavier rows than the
     hash-only miners).
+
+    ``shingle_impl`` (round-15 verdict item 1, the minhash_signatures
+    knob applied to this miner's even heavier string chain):
+    ``"string"`` (default, the oracle arm) rides the distinct n-gram
+    CONCAT STRINGS on every banded row and fingerprints by md5
+    winnowing; ``"tokhash"`` rides distinct int64 shingle hashes
+    (xxhash64 over token-hash slices, full 64-bit domain — see
+    :func:`shingle_ints_from_token_hashes`) and fingerprints by the
+    N smallest of those ints (fallback for shingle-less docs:
+    xxhash64 of the joined tokens, mirroring the content-hash
+    fallback). The verify is then exact Jaccard over HASHED shingle
+    sets — equal to string Jaccard up to the accepted ~1/2⁶⁴
+    collision contract — and the rows the fp self-join shuffles carry
+    fixed-width longs instead of ~shingle_n-word strings. A custom
+    ``fingerprint=`` fn is string-impl only (it maps the token array
+    under string semantics).
 
     ``max_bucket`` routes the fingerprint-blocked self-join through
     ``cap_buckets`` — the same boilerplate-cohort guard as the MinHash/
@@ -1461,13 +1612,44 @@ def ngram_jaccard_pairs(
             "a custom fingerprint fn is single-fp only; leave it unset "
             "when n_fingerprints > 1"
         )
+    if shingle_impl not in ("string", "tokhash"):
+        raise ValueError(
+            f"shingle_impl must be 'string' or 'tokhash', got {shingle_impl!r}"
+        )
+    if shingle_impl == "tokhash" and fingerprint is not None:
+        raise ValueError(
+            "fingerprint= is string-impl only (it maps the token array "
+            "under string semantics); leave it unset with tokhash"
+        )
     staged = (
         spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select(
             "doc_id", tokens(F.lower(F.col(text_col)), mode="simple").alias("_toks")
         )
     )
-    if n_fingerprints == 1:
+    if shingle_impl == "tokhash":
+        # staged projections: token hashes once, then the distinct
+        # int64 shingle hashes (full 64-bit domain — set membership,
+        # not permutation input) plus the shingle-less fallback key
+        g = staged.select(
+            "doc_id", token_hash_ints(F.col("_toks")).alias("_th"), "_toks"
+        ).select(
+            "doc_id",
+            shingle_ints_from_token_hashes(
+                F.col("_th"), shingle_n, mod_p=False
+            ).alias("sh"),
+            F.xxhash64(F.concat_ws(" ", F.col("_toks"))).alias("_fb"),
+        )
+        fps = F.when(
+            F.size(F.col("sh")) > 0,
+            F.slice(F.array_sort(F.col("sh")), 1, n_fingerprints),
+        ).otherwise(F.array(F.col("_fb")))
+        f = (
+            g.select("doc_id", F.explode(fps).alias("fp"), F.col("sh"))
+            if n_fingerprints > 1
+            else g.select("doc_id", fps[0].alias("fp"), F.col("sh"))
+        )
+    elif n_fingerprints == 1:
         fp_fn = fingerprint or (
             lambda toks_col: doc_fingerprint(
                 text_col, shingle=shingle_n, toks=toks_col

@@ -712,6 +712,7 @@ def srp_near_dup_pairs(
             bucketed, ("bucket",), max_bucket, cap_observation,
             strategy=cap_strategy,
             counts=counts if cap_strategy != "representative" else None,
+            keys_nonnull=True,  # SRP buckets are bit strings, never NULL
         )
         slice_eq = F.lit(True)
     if pair_screen == "blas" and max_bucket is not None:

@@ -372,6 +372,11 @@ def drain_exact(
     The checkpoint records the sentinel file as processed, so its
     removal is safe: a later drain on the same checkpoint never
     re-reads it, and a later ``drain_exact`` stages a fresh one.
+    If the completion drain RAISES, the sentinel is deliberately left
+    in place (ADVICE r14): the failure may have landed after the
+    sentinel batch's offsets were logged, and the resumed drain must
+    be able to re-read the file — a retry of ``drain_exact`` tolerates
+    the stale row and sweeps all sentinels once it succeeds.
     Concurrent readers of ``in_dir`` during the (bounded) sentinel
     window still see the fake row — run the completion step when the
     directory is quiet, or point readers at the sink."""
@@ -420,10 +425,26 @@ def drain_exact(
     sentinel = write_flush_sentinel(
         in_dir, int(row.m), user_col=user_col, ts_col=ts_col
     )
-    try:
-        _drain()
-    finally:
+    # Remove the sentinel ONLY after the drain returns successfully
+    # (ADVICE r14): if _drain() raises after the sentinel batch's
+    # offsets were logged but before its commit, a resumed drain MUST
+    # replay that batch from the source — deleting the file first
+    # would wedge the checkpoint on FileNotFound, permanently. A
+    # sentinel left behind by a failed drain is already tolerated
+    # (the max-ts agg above filters WATERMARK_SENTINEL_USER and the
+    # fold discards the row); the next drain_exact stages a fresh one
+    # and cleans both on success.
+    _drain()
+    # success: this drain has consumed every available file, so every
+    # default-named sentinel in the directory (ours plus any stale one
+    # a failed earlier drain left) is committed and safe to delete
+    stale = [
+        os.path.join(in_dir, f)
+        for f in os.listdir(in_dir)
+        if f.startswith("zz-flush-sentinel-") and f.endswith(".parquet")
+    ]
+    for path in {sentinel, *stale}:
         try:
-            os.remove(sentinel)
+            os.remove(path)
         except OSError:
             pass  # already gone; the drain committed either way

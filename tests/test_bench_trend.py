@@ -17,10 +17,10 @@ _spec.loader.exec_module(bench)
 
 TABLE = """# fake baseline
 
-| round | total | cal | brute | dedup | minhash | clusters | simhash | q1 | q3 | tumble | sess | asof | wc | tok | docq |
-|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|
-| r12 | 14.24 | 0.28 | 0.88 | 0.82 | 2.55 | 2.82 | 1.18 | 1.18 | 1.22 | 0.39 | 0.50 | 0.89 | 0.23 | 0.32 | 1.27 |
-| r13 | 12.35 | 0.19 | 0.53 | 0.60 | 2.50 | 2.89 | 0.87 | 1.00 | 1.14 | 0.35 | 0.44 | 0.72 | 0.21 | 0.28 | 0.81 |
+| round | total | cal | per_cal | brute | dedup | minhash | clusters | simhash | q1 | q3 | tumble | sess | asof | wc | tok | docq |
+|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|
+| r12 | 14.24 | 0.28 | 50.9 | 0.88 | 0.82 | 2.55 | 2.82 | 1.18 | 1.18 | 1.22 | 0.39 | 0.50 | 0.89 | 0.23 | 0.32 | 1.27 |
+| r13 | 12.35 | 0.19 | 65.0 | 0.53 | 0.60 | 2.50 | 2.89 | 0.87 | 1.00 | 1.14 | 0.35 | 0.44 | 0.72 | 0.21 | 0.28 | 0.81 |
 
 tail text stays put
 """
@@ -49,7 +49,8 @@ def test_appends_row_after_last(baseline):
     bench.append_trend_row(OUT, path=baseline)
     lines = open(baseline).read().splitlines()
     i13 = next(i for i, l in enumerate(lines) if l.startswith("| r13 |"))
-    assert lines[i13 + 1].startswith("| r14 | 13.50 | 0.21 | 0.50 | 0.61 |")
+    # per_cal is stamped from THIS run's own total/cal (13.5/0.21)
+    assert lines[i13 + 1].startswith("| r14 | 13.50 | 0.21 | 64.3 | 0.50 | 0.61 |")
     # missing headline queries render as em-dash, tail text untouched
     assert "| — |" in lines[i13 + 1]
     assert lines[-1] == "tail text stays put"
@@ -75,3 +76,28 @@ def test_round_inferred_from_bench_files(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
     # the repo currently records BENCH_r*.json through last round
     assert bench._current_round() >= 14
+
+
+def test_rerun_after_driver_write_replaces_not_appends(tmp_path, monkeypatch):
+    """ADVICE r14: once the driver has written BENCH_r{N}.json (still
+    uncommitted — the driver commits round artifacts when the NEXT
+    round starts), a bench re-run must identify as round N, not N+1."""
+    import subprocess
+
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    subprocess.run(["git", "init", "-q", str(tmp_path)], check=True)
+    committed = tmp_path / "BENCH_r7.json"
+    committed.write_text("{}")
+    subprocess.run(
+        ["git", "-C", str(tmp_path), "add", "BENCH_r7.json"], check=True
+    )
+    subprocess.run(
+        ["git", "-C", str(tmp_path), "-c", "user.email=t@t",
+         "-c", "user.name=t", "commit", "-qm", "r7"],
+        check=True,
+    )
+    # only committed files: normal mid-round run -> next round
+    assert bench._current_round(str(tmp_path)) == 8
+    # driver wrote r8's JSON but hasn't committed it: re-run stays r8
+    (tmp_path / "BENCH_r8.json").write_text("{}")
+    assert bench._current_round(str(tmp_path)) == 8

@@ -342,10 +342,25 @@ class TestCapBucketsCounts:
         )
         fed = sorted(
             r.id
-            for r in dd.cap_buckets(df, ("key",), 10, counts=counts).collect()
+            for r in dd.cap_buckets(
+                df, ("key",), 10, counts=counts, keys_nonnull=True
+            ).collect()
         )
         assert plain == fed
         assert len(plain) == 20  # the 20-row "big" cohort dropped
+
+    def test_counts_with_window_requires_nonnull_attestation(self, spark):
+        """ADVICE r14: counts= silently turned strategy='window' into
+        anti-join semantics (NULL-keyed oversized groups retained, not
+        dropped) — external callers must now either attest non-null
+        keys or request the anti-join plan explicitly."""
+        df = spark.createDataFrame([(1, "a")], "id long, key string")
+        counts = df.groupBy("key").agg(dd.F.count(dd.F.lit(1)).alias("_n"))
+        with pytest.raises(ValueError, match="keys_nonnull"):
+            dd.cap_buckets(df, ("key",), 10, counts=counts)
+        # both explicit outs are accepted
+        dd.cap_buckets(df, ("key",), 10, counts=counts, keys_nonnull=True)
+        dd.cap_buckets(df, ("key",), 10, counts=counts, strategy="antijoin")
 
     def test_counts_rejected_for_representative(self, spark):
         df = spark.createDataFrame([(1, "a")], "id long, key string")

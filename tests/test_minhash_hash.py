@@ -123,3 +123,207 @@ def test_xxhash64_pairs_match_md5_on_exact_twins(spark, planted):
 def test_invalid_hash_raises(spark, planted):
     with pytest.raises(ValueError, match="hash"):
         dd.minhash_signatures(planted, hash="sha2").collect()
+
+
+# ---------------------------------------------------------------------------
+# Round-15 verdict item 1: shingle_impl="tokhash" — shingle int64s from
+# token-hash slices, no shingle string ever materialized. The span-kernel
+# template (contamination.py span_impl="tokhash", 2.6x at 4M docs) applied
+# to the signature chain, where the r14 decomposition measured the
+# string stages (tokenize+ngram-concat+array_distinct) at ~20.5 s of the
+# ~31 s 1M-doc build. md5-over-strings stays the oracle arm.
+# ---------------------------------------------------------------------------
+
+
+def test_tokhash_sig_domain_and_null_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, None),
+            (3, ""),
+            (4, "one two"),  # fewer tokens than shingle_n=3
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = {
+        r.doc_id: None if r.sig is None else tuple(r.sig)
+        for r in dd.minhash_signatures(docs, shingle_impl="tokhash").collect()
+    }
+    for d in (2, 3, 4):
+        assert sigs[d] is None
+    assert sigs[1] == sigs[5] and sigs[1] is not None
+    assert len(sigs[1]) == 16
+    assert all(0 <= v < dd.MERSENNE_P for v in sigs[1])
+    # a different shingle family produces different min-wise draws
+    md5 = {
+        r.doc_id: None if r.sig is None else tuple(r.sig)
+        for r in dd.minhash_signatures(docs, shingle_impl="string").collect()
+    }
+    assert md5[1] != sigs[1]
+
+
+def test_tokhash_arrow_expr_parity(spark, planted):
+    """The arrow kernel consumes the staged shingle ints whatever
+    produced them — bitwise parity with the expr form must hold under
+    tokhash exactly as under the string hashes."""
+    expr = {
+        r.doc_id: None if r.sig is None else tuple(r.sig)
+        for r in dd.minhash_signatures(
+            planted, impl="expr", shingle_impl="tokhash"
+        ).collect()
+    }
+    arrow = {
+        r.doc_id: None if r.sig is None else tuple(r.sig)
+        for r in dd.minhash_signatures(
+            planted, impl="arrow", shingle_impl="tokhash"
+        ).collect()
+    }
+    assert expr == arrow
+
+
+def test_tokhash_miner_recall_parity(spark, planted):
+    """Planted-corpus recall/precision through the REAL miner chain is
+    identical under tokhash: min-wise sampling quality does not depend
+    on which injective map drew the shingle ints."""
+
+    def miner(shingle_impl):
+        return lambda s: dd.minhash_near_dup_pairs(
+            s, "doc_id", "text", k=16, bands=4, rows=4,
+            threshold=0.5, max_bucket=None, shingle_impl=shingle_impl,
+        )
+
+    md5 = dd.miner_recall_probe(
+        planted, miner("string"), n_sample=60, threshold=0.5
+    )
+    tok = dd.miner_recall_probe(
+        planted, miner("tokhash"), n_sample=60, threshold=0.5
+    )
+    assert md5["true_pairs"] == tok["true_pairs"] == 10
+    assert md5["recall"] == tok["recall"] == 1.0
+    assert md5["precision"] == tok["precision"] == 1.0
+
+
+def test_tokhash_cross_miner_recall_parity(spark, planted):
+    """The cross-set ingest chain (signatures -> minhash_cross_near_dup)
+    under tokhash flags the straddling twins exactly like md5 — both
+    sides of the band join share the family, so blocking holds."""
+
+    def cross(shingle_impl):
+        def run(new, ref):
+            new_sigs = dd.minhash_signatures(
+                new, "doc_id", "text", k=16, shingle_impl=shingle_impl
+            )
+            ref_sigs = dd.minhash_signatures(
+                ref, "doc_id", "text", k=16, shingle_impl=shingle_impl
+            )
+            return dd.minhash_cross_near_dup(
+                new_sigs, ref_sigs, k=16, bands=4, rows=4,
+                threshold=0.5, max_bucket=None,
+            )
+        return run
+
+    md5 = dd.cross_miner_recall_probe(
+        planted, cross("string"), n_sample=60, threshold=0.5
+    )
+    tok = dd.cross_miner_recall_probe(
+        planted, cross("tokhash"), n_sample=60, threshold=0.5
+    )
+    assert md5["true_pairs"] == tok["true_pairs"] > 0
+    assert md5["recall"] == tok["recall"] == 1.0
+    assert md5["precision"] == tok["precision"] == 1.0
+
+
+def test_tokhash_pairs_match_md5_on_exact_twins(spark, planted):
+    """Exact twins estimate 1.0 under any family — the pair SET on this
+    corpus is family-invariant even though the signatures differ."""
+
+    def pairs(shingle_impl):
+        return sorted(
+            (r.doc_a, r.doc_b, r.est_jaccard)
+            for r in dd.minhash_near_dup_pairs(
+                planted, threshold=0.5, max_bucket=None,
+                shingle_impl=shingle_impl,
+            ).collect()
+        )
+
+    assert pairs("string") == pairs("tokhash")
+
+
+def test_tokhash_ngram_jaccard_matches_string(spark, planted):
+    """Exact Jaccard over HASHED shingle sets equals string Jaccard up
+    to the ~1/2^64 collision contract — identical on the planted
+    corpus, for both single- and multi-fingerprint blocking."""
+    for nfp in (1, 3):
+        s = sorted(
+            (r.doc_a, r.doc_b, r.jaccard_sim)
+            for r in dd.ngram_jaccard_pairs(
+                planted, threshold=0.5, max_bucket=None,
+                n_fingerprints=nfp, shingle_impl="string",
+            ).collect()
+        )
+        t = sorted(
+            (r.doc_a, r.doc_b, r.jaccard_sim)
+            for r in dd.ngram_jaccard_pairs(
+                planted, threshold=0.5, max_bucket=None,
+                n_fingerprints=nfp, shingle_impl="tokhash",
+            ).collect()
+        )
+        assert s == t and len(s) == 10
+
+
+def test_tokhash_ngram_jaccard_shingleless_fallback(spark):
+    """Shingle-less docs take the joined-tokens fallback KEY (non-null,
+    equal for byte-identical docs — same contract as the string path's
+    content-hash fallback: the fp stays groupable for the cap, while
+    the empty-set jaccard verify still emits no pair — exact twins are
+    exact_dedup's job). Both impls must agree."""
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "other thing")],
+        ["doc_id", "text"],
+    )
+    for impl in ("string", "tokhash"):
+        got = dd.ngram_jaccard_pairs(
+            docs, threshold=0.0, max_bucket=None, shingle_impl=impl
+        ).collect()
+        assert got == []
+
+
+def test_tokhash_knob_validation(spark, planted):
+    with pytest.raises(ValueError, match="shingle_impl"):
+        dd.minhash_signatures(planted, shingle_impl="bogus")
+    with pytest.raises(ValueError, match="strong hash over shingle"):
+        dd.minhash_signatures(planted, hash="xxhash64", shingle_impl="tokhash")
+    with pytest.raises(ValueError, match="string-impl only"):
+        dd.ngram_jaccard_pairs(
+            planted, shingle_impl="tokhash",
+            fingerprint=lambda t: t[0],
+        )
+
+
+def test_calibration_family_mismatch_raises(spark, planted):
+    """ADVICE r14: a calibration measured under one signature family
+    must refuse to answer for a build under another — the band-bucket
+    distribution (screen_stats, has_oversized) is family-specific."""
+    cal = {
+        "minhash": {
+            "k": 16, "bands": 4, "rows": 4, "shingle_n": 3,
+            "max_bucket": 1000, "sig_hash": "md5",
+            "shingle_impl": "string",
+            "screen_stats": {
+                "small_rows": 10, "small_groups": 5, "big_rows": 0,
+            },
+        }
+    }
+    with pytest.raises(ValueError, match="shingle_impl"):
+        dd.minhash_near_dup_pairs(
+            planted, max_bucket=1000, shingle_impl="tokhash",
+            calibration=cal,
+        )
+    with pytest.raises(ValueError, match="sig_hash"):
+        dd.minhash_near_dup_pairs(
+            planted, max_bucket=1000, sig_hash="xxhash64",
+            calibration=cal,
+        )
+    # matched family: accepted (plan-only check, no action needed)
+    dd.minhash_near_dup_pairs(planted, max_bucket=1000, calibration=cal)
