@@ -152,7 +152,7 @@ def main() -> None:
         offsets_before = batch_ids(ckpt_i, "offsets")
         commits_before = batch_ids(ckpt_i, "commits")
         if drain_exact_mode:
-            drain_exact(
+            resume_report = drain_exact(
                 spark, events_dir, out_i, ckpt_i,
                 schema="event_id long, user_id long, ts timestamp, "
                 "event_type string, value double",
@@ -178,6 +178,9 @@ def main() -> None:
                 "final_offsets": offsets_after,
                 "final_commits": commits_after,
                 "via": "drain_exact",
+                # r15: the resume-state report — a wobble-class
+                # mismatch should coincide with resume_consumed_orphan
+                "resume_report": resume_report,
             }
             print(json.dumps(row), flush=True)
             if n_i != n_c:

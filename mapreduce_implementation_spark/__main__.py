@@ -44,6 +44,35 @@ cross-set recall, bucket-skew top-N with the cap verdict, screen
 regime with its evidence, warnings). ``--json`` emits the raw report
 instead — save it and pass back as ``calibration=`` to the miners for
 zero-decision-job builds.
+
+Round-15 additions (verdict items 4 and 6) — the remaining library
+one-calls, operational from the shell:
+
+    python -m mapreduce_implementation_spark calibrate-ann EMB_PARQUET \
+        [--k 10] [--target-recall 0.9] [--sample-n 20000] [--json]
+
+measures the IVF knobs (√N nlist, recall-targeted nprobe with its
+curve, the SQ8 layout verdict) via ``operators.calibrate.calibrate_ann``
+— feed the JSON back as ``calibration=`` to
+``materialize_ivf_index`` / ``ivf_topk_from_index``.
+
+    python -m mapreduce_implementation_spark drain IN_DIR OUT_DIR \
+        CHECKPOINT --schema "user_id long, ts timestamp" \
+        [--gap-s 1800] [--watermark-delay-s N] [--drop-late] \
+        [--max-files-per-trigger N] [--json]
+
+runs ``streaming.sessionize.drain_exact`` (the managed
+resume-and-finish bounded drain) and prints its resume-state report —
+the 100 TB operational story no longer needs a Python shim.
+
+    python -m mapreduce_implementation_spark diagnose-restart \
+        CHECKPOINT [--json]
+
+prints ``streaming.sessionize.inspect_resume_state`` for an existing
+checkpoint: whether a resume will replay an in-flight batch and
+whether an ORPHAN file-source log entry will make it consume two file
+groups under a lower watermark (the r14 wobble class). The trial-loop
+rehearsal harness remains ``diagnose_restart.py`` at the repo root.
 """
 
 from __future__ import annotations
@@ -54,13 +83,25 @@ USAGE = (
     "usage: python -m mapreduce_implementation_spark JOB_NAME NUM_REDUCER "
     "DELAY INPUT_FILENAME CHUNK_SIZE LOCALITY_CONFIG_FILENAME OUTPUT_DIR\n"
     "   or: python -m mapreduce_implementation_spark calibrate "
-    "DOCS_PARQUET [options]  (see --help)"
+    "DOCS_PARQUET [options]  (see --help)\n"
+    "   or: python -m mapreduce_implementation_spark calibrate-ann "
+    "EMB_PARQUET [options]  (see --help)\n"
+    "   or: python -m mapreduce_implementation_spark drain IN_DIR "
+    "OUT_DIR CHECKPOINT --schema SCHEMA [options]  (see --help)\n"
+    "   or: python -m mapreduce_implementation_spark diagnose-restart "
+    "CHECKPOINT [--json]"
 )
 
 
 def main(argv: list[str]) -> int:
     if argv and argv[0] == "calibrate":
         return calibrate_main(argv[1:])
+    if argv and argv[0] == "calibrate-ann":
+        return calibrate_ann_main(argv[1:])
+    if argv and argv[0] == "drain":
+        return drain_main(argv[1:])
+    if argv and argv[0] == "diagnose-restart":
+        return diagnose_restart_main(argv[1:])
     if len(argv) != 7:
         print(USAGE, file=sys.stderr)
         return 2
@@ -188,6 +229,161 @@ def calibrate_main(argv: list[str]) -> int:
         return 0
     _print_calibration_table(report)
     return 0
+
+
+def calibrate_ann_main(argv: list[str]) -> int:
+    """``calibrate-ann`` subcommand (round-15 verdict item 4): the IVF
+    knob calibrator as an operational entry point. ``--json`` emits
+    the raw report — feed it back as ``calibration=`` to
+    ``materialize_ivf_index`` / ``ivf_topk_from_index``."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(
+        prog="python -m mapreduce_implementation_spark calibrate-ann",
+        description="Measure IVF knobs (sqrt-N nlist, recall-targeted "
+        "nprobe, SQ8 layout) on an embeddings corpus BEFORE the index "
+        "build.",
+    )
+    p.add_argument("emb_parquet", help="path to an embeddings parquet")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--emb-col", default="embedding")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--target-recall", type=float, default=0.9)
+    p.add_argument("--sample-n", type=int, default=20_000)
+    p.add_argument("--n-queries", type=int, default=32)
+    p.add_argument("--nprobe-max", type=int, default=8)
+    p.add_argument("--kmeans-iters", type=int, default=3)
+    p.add_argument(
+        "--json", action="store_true",
+        help="emit the raw report (feed back as calibration=)",
+    )
+    args = p.parse_args(argv)
+
+    from mapreduce_implementation_spark import get_spark
+    from mapreduce_implementation_spark.operators.calibrate import (
+        calibrate_ann,
+    )
+
+    spark = get_spark(app_name="mris-calibrate-ann")
+    report = calibrate_ann(
+        spark.read.parquet(args.emb_parquet),
+        id_col=args.id_col,
+        emb_col=args.emb_col,
+        k=args.k,
+        target_recall=args.target_recall,
+        sample_n=args.sample_n,
+        n_queries=args.n_queries,
+        nprobe_max=args.nprobe_max,
+        kmeans_iters=args.kmeans_iters,
+    )
+    if args.json:
+        print(json.dumps(report))
+        return 0
+    ann = report["ann"]
+    print("ann calibration report")
+    for key in (
+        "n_rows", "dim", "nlist", "points_per_list", "nprobe",
+        "target_recall", "recall", "quantize", "sq8_recall",
+        "est_index_bytes",
+    ):
+        print(f"  {key:<22} {ann[key]}")
+    for nprobe, rec in ann["recall_curve"]:
+        print(f"  curve                  nprobe={nprobe} recall={rec}")
+    print("warnings" if report["warnings"] else "warnings: none")
+    for w in report["warnings"]:
+        print(f"  - {w}")
+    return 0
+
+
+def drain_main(argv: list[str]) -> int:
+    """``drain`` subcommand (round-15 verdict item 6): the one-call
+    exact bounded drain, shell-operational. Prints the resume-state
+    report (one line per field, or raw with --json); exit code 0 even
+    when the wobble class is detected — the report is the signal, the
+    drain itself is correct under the at-least-delay contract."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(
+        prog="python -m mapreduce_implementation_spark drain",
+        description="Run streaming.sessionize.drain_exact: bounded "
+        "availableNow sessionize drain + managed trailing-flush "
+        "sentinel, safe to kill and re-run.",
+    )
+    p.add_argument("in_dir", help="parquet source directory")
+    p.add_argument("out_dir", help="parquet sink directory")
+    p.add_argument("checkpoint", help="checkpoint location")
+    p.add_argument(
+        "--schema", required=True,
+        help='file-source schema, e.g. "user_id long, ts timestamp"',
+    )
+    p.add_argument("--gap-s", type=int, default=1800)
+    p.add_argument("--watermark-delay-s", type=int, default=None)
+    p.add_argument("--drop-late", action="store_true")
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    from mapreduce_implementation_spark import get_spark
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        drain_exact,
+    )
+
+    spark = get_spark(app_name="mris-drain")
+    report = drain_exact(
+        spark,
+        args.in_dir,
+        args.out_dir,
+        args.checkpoint,
+        schema=args.schema,
+        gap_s=args.gap_s,
+        watermark_delay_s=args.watermark_delay_s,
+        drop_late=args.drop_late,
+        user_col=args.user_col,
+        ts_col=args.ts_col,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    if args.json:
+        print(json.dumps(report))
+    else:
+        for key, val in report.items():
+            print(f"  {key:<26} {val}")
+    return 0
+
+
+def diagnose_restart_main(argv: list[str]) -> int:
+    """``diagnose-restart`` subcommand (round-15 verdict item 6): what
+    will a resume of this checkpoint do — replay an in-flight batch?
+    consume an orphan-staged file group under a lower watermark (the
+    r14 wobble class)? Reads the metadata logs only; no SparkSession,
+    no jobs. Exit 1 when the orphan condition is present so shell
+    pipelines can gate on it."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(
+        prog="python -m mapreduce_implementation_spark diagnose-restart",
+        description="Classify a streaming checkpoint's resume state "
+        "from its offsets/commits/file-source logs.",
+    )
+    p.add_argument("checkpoint", help="checkpoint location")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        inspect_resume_state,
+    )
+
+    report = inspect_resume_state(args.checkpoint)
+    if args.json:
+        print(json.dumps(report))
+    else:
+        for key, val in report.items():
+            print(f"  {key:<26} {val}")
+    return 1 if report["resume_consumed_orphan"] else 0
 
 
 def _print_calibration_table(report: dict) -> None:

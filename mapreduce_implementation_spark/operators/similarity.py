@@ -1277,6 +1277,11 @@ def quantize_sq8(
     return with_scale.withColumn(code_col, codes)
 
 
+def _ann_calibration_section(calibration: dict) -> dict:
+    """The ``calibrate_ann`` report (or its ``"ann"`` section)."""
+    return calibration.get("ann", calibration)
+
+
 def materialize_ivf_index(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -1284,6 +1289,7 @@ def materialize_ivf_index(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     quantize: str | None = None,
+    calibration: dict | None = None,
 ) -> None:
     """Write the IVF assignment as a ``centroid_id``-partitioned parquet
     dataset — the at-scale index layout: one directory per inverted
@@ -1302,13 +1308,41 @@ def materialize_ivf_index(
     float embeddings — ~4× smaller inverted lists, which is ~4× less
     probe scan I/O; ``ivf_topk_from_index`` detects the layout from
     the index schema and scores the codes directly (cosine is
-    scale-invariant)."""
+    scale-invariant). ``quantize="auto"`` takes the storage layout
+    from the ``calibration`` report.
+
+    ``calibration`` (round-15 verdict item 4, the miners' pattern):
+    the ``calibrate_ann`` report for THIS corpus. The trained centroid
+    count must equal the calibrated ``nlist`` — a mismatch means the
+    recall-vs-nprobe curve was measured at a different points-per-list
+    and its nprobe recommendation does not transfer, so it raises
+    like the miners' knob checks."""
     from mapreduce_implementation_spark.sources.sinks import (
         write_partitioned_dataset,
     )
 
-    if quantize not in (None, "int8"):
-        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+    if quantize not in (None, "int8", "auto"):
+        raise ValueError(
+            f"quantize must be None, 'int8' or 'auto', got {quantize!r}"
+        )
+    if quantize == "auto" and calibration is None:
+        raise ValueError(
+            "quantize='auto' reads the layout from a calibrate_ann "
+            "report — pass calibration=, or pin the layout explicitly"
+        )
+    if calibration is not None:
+        cal = _ann_calibration_section(calibration)
+        if "nlist" in cal:
+            n_cents = centroids.count()
+            if n_cents != cal["nlist"]:
+                raise ValueError(
+                    f"calibration recommends nlist={cal['nlist']} but "
+                    f"{n_cents} centroids were trained — the measured "
+                    "recall-vs-nprobe curve holds at the calibrated "
+                    "points-per-list only; retrain or recalibrate"
+                )
+        if quantize == "auto":
+            quantize = cal.get("quantize")
     assigned = assign_inverted_lists(
         vectors, centroids, 1, id_col, emb_col, keep_cols=(emb_col,)
     )
@@ -1415,11 +1449,12 @@ def ivf_topk_from_index(
     queries: DataFrame,
     centroids: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
     max_queries: int = 100_000,
+    calibration: dict | None = None,
 ) -> DataFrame:
     """IVF top-k probing a MATERIALIZED index (materialize_ivf_index).
 
@@ -1436,7 +1471,30 @@ def ivf_topk_from_index(
     query × ~embedding bytes each — 100k queries ≈ low-GB driver heap)
     and raises before collecting anything larger. A corpus-sized query
     set belongs in ``ivf_topk`` (distributed join against the
-    assignment table), not here."""
+    assignment table), not here.
+
+    ``calibration`` (round-15 verdict item 4): the ``calibrate_ann``
+    report. ``nprobe=None`` probes at the calibrated depth; an
+    explicit nprobe SHALLOWER than calibrated raises (it would probe
+    below the measured recall target — the knob the curve exists to
+    set), while a deeper one is allowed (recall only rises)."""
+    if calibration is not None:
+        cal = _ann_calibration_section(calibration)
+        if nprobe is None:
+            nprobe = cal["nprobe"]
+        elif "nprobe" in cal and nprobe < cal["nprobe"]:
+            raise ValueError(
+                f"nprobe={nprobe} probes shallower than the calibrated "
+                f"{cal['nprobe']} (measured recall "
+                f"{cal.get('recall')} at target "
+                f"{cal.get('target_recall')}) — pass nprobe=None to "
+                "adopt the calibration, or probe at least as deep"
+            )
+    elif nprobe is None:
+        raise ValueError(
+            "nprobe=None adopts the calibrated depth — pass "
+            "calibration=, or set nprobe explicitly"
+        )
     # The guard rides the collect itself (no extra job): cap+1 rows is
     # the most that ever reaches the driver, corpus-sized input or not.
     cap_rows = max_queries * max(1, nprobe)

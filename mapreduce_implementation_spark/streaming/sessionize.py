@@ -7,9 +7,13 @@ Semantics: per user, a session closes when no event arrives within
 the open tail session stays in state across micro-batches and is
 flushed on state timeout.
 
-State per user is O(1) (open-session triple), so state-store size is
-bounded by |active users| — the scalable shape for 100 TB/day streams;
-the shuffle is the same single hash partition on user_id as batch.
+State per user is a small bounded list of PENDING sessions — in event
+mode, those the watermark has not yet made provably unextendable, at
+most ~(watermark lag / gap_s) + 1 of them (round 15; the
+"processing"/"none" modes keep exactly one open tail) — so state-store
+size is still bounded by |active users| × a small constant, the
+scalable shape for 100 TB/day streams; the shuffle is the same single
+hash partition on user_id as batch.
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -35,12 +40,18 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
-# open session: (start_s, last_s, n_events)
+# pending sessions, parallel arrays sorted by start (round 15: event
+# mode keeps EVERY session the watermark has not yet made unextendable,
+# not just the newest — see _sessionize_fn; "none"/"processing" modes
+# store exactly one). Per user the pending count is bounded by
+# (watermark lag / gap_s) + 1 ≈ (watermark_delay_s / gap_s) + 2 — O(1)
+# w.r.t. stream length, so the state-store bound is still |active
+# users| × a small constant.
 STATE_SCHEMA = StructType(
     [
-        StructField("start_s", LongType()),
-        StructField("last_s", LongType()),
-        StructField("n_events", LongType()),
+        StructField("start_s", ArrayType(LongType())),
+        StructField("last_s", ArrayType(LongType())),
+        StructField("n_events", ArrayType(LongType())),
     ]
 )
 
@@ -70,15 +81,61 @@ def _sessionize_fn(
     removes the late-row/timer race: a kept row (ts ≥ watermark) can
     only belong to a session whose flush timer (armed at
     last_s + gap_s < ts) has NOT fired yet, so it always MERGES —
-    the flushed-then-reopened divergence class disappears."""
+    the flushed-then-reopened divergence class disappears.
 
-    def _arm(state: GroupState, last_s: int) -> None:
+    CLOSE RULE (round 15, the wobble class mechanically removed): in
+    EVENT mode a session is emitted only when the WATERMARK passes
+    ``last_s + gap_s`` — the documented "provably unextendable"
+    moment — whether that happens inside a data batch or on the timer.
+    The pre-r15 fold closed every non-newest session EAGERLY when a
+    batch's events opened a later one, which on OUT-OF-ORDER input
+    made the merge STRUCTURE batch-boundary-dependent: an in-delay
+    (not late) straggler could no longer bridge a session another
+    batch cut had already emitted, so even ``watermark_delay_s`` ≥
+    the staging disorder could not guarantee restart parity
+    (tests/test_streaming_restart.py::test_orphan_band_empty... is
+    the disproof fixture). Now every not-yet-unextendable session
+    stays PENDING in state — per user at most ~(watermark lag /
+    gap_s) + 1 of them, an O(1) bound — and with delay ≥ disorder
+    the output is a pure function of the data, independent of
+    batching, kills, and orphan log entries. "processing"/"none"
+    modes keep the eager close (their single-batch drains rely on
+    it; the oracle row pins that shape)."""
+
+    def _arm(state: GroupState, oldest_last_s: int) -> None:
         if timeout_mode == "processing":
             state.setTimeoutDuration(gap_s * 1000)
         elif timeout_mode == "event":
-            target = (last_s + gap_s) * 1000 + 1
+            target = (oldest_last_s + gap_s) * 1000 + 1
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(target, wm + 1))
+
+    def _pending(state: GroupState) -> list[tuple[int, int, int]]:
+        starts, lasts, ns = state.get
+        return sorted(zip(starts, lasts, ns))
+
+    def _store(
+        state: GroupState, sessions: list[tuple[int, int, int]]
+    ) -> None:
+        state.update(
+            (
+                [s[0] for s in sessions],
+                [s[1] for s in sessions],
+                [s[2] for s in sessions],
+            )
+        )
+        _arm(state, min(s[1] for s in sessions))
+
+    def _split_unextendable(
+        sessions: list[tuple[int, int, int]], wm_ms: int
+    ) -> tuple[list, list]:
+        """(closeable, still_pending) by the watermark rule — same
+        inequality the timer target encodes: unextendable iff
+        (last_s + gap_s) * 1000 < wm_ms."""
+        closeable = [s for s in sessions if (s[1] + gap_s) * 1000 < wm_ms]
+        return closeable, [
+            s for s in sessions if (s[1] + gap_s) * 1000 >= wm_ms
+        ]
 
     def fn(
         key: tuple[Any, ...],
@@ -95,9 +152,16 @@ def _sessionize_fn(
         closed: list[tuple[int, int, int]] = []
         if state.hasTimedOut:
             if state.exists:
-                start_s, last_s, n = state.get
-                closed.append((start_s, last_s, n))
-                state.remove()
+                pending = _pending(state)
+                if timeout_mode == "event":
+                    wm = state.getCurrentWatermarkMs()
+                    closed, pending = _split_unextendable(pending, wm)
+                else:
+                    closed, pending = pending, []
+                if pending:
+                    _store(state, pending)
+                else:
+                    state.remove()
         else:
             ts_list: list[int] = []
             for pdf in pdfs:
@@ -111,13 +175,13 @@ def _sessionize_fn(
                     ts_list = [t for t in ts_list if t * 1000 >= wm]
             ts_list.sort()
             # Sessionize the batch's events among themselves, then merge
-            # the resulting intervals with the open-state interval by the
-            # same gap rule. Gap logic only needs interval BOUNDS, so the
-            # merge is exactly the batch sessionize over every event seen
-            # so far: a cross-batch late event lands inside/adjacent to
-            # the open session and extends it, while one older than
-            # start_s - gap_s forms its own earlier session — emitted as
-            # CLOSED below instead of being wrongly folded in.
+            # the resulting intervals with the pending-state intervals by
+            # the same gap rule. Gap logic only needs interval BOUNDS, so
+            # the merge is exactly the batch sessionize over every event
+            # seen so far: a cross-batch late event lands inside/adjacent
+            # to a pending session and extends it (possibly bridging
+            # two), while one older than every pending start - gap_s
+            # forms its own earlier session.
             sessions: list[tuple[int, int, int]] = []
             for t in ts_list:
                 if sessions and t - sessions[-1][1] <= gap_s:
@@ -126,8 +190,8 @@ def _sessionize_fn(
                 else:
                     sessions.append((t, t, 1))
             if state.exists:
-                intervals = sorted(sessions + [tuple(state.get)])
-                sessions = [intervals[0]]
+                intervals = sorted(sessions + _pending(state))
+                sessions = [intervals[0]] if intervals else []
                 for s0, l0, n0 in intervals[1:]:
                     ps, pl, pn = sessions[-1]
                     if s0 - pl <= gap_s:
@@ -135,9 +199,17 @@ def _sessionize_fn(
                     else:
                         sessions.append((s0, l0, n0))
             if sessions:
-                closed.extend(sessions[:-1])
-                state.update(sessions[-1])
-                _arm(state, sessions[-1][1])
+                if timeout_mode == "event":
+                    wm = state.getCurrentWatermarkMs()
+                    closed, sessions = _split_unextendable(sessions, wm)
+                else:
+                    # eager close: everything but the newest (the
+                    # single-batch drain shape, oracle-pinned)
+                    closed, sessions = sessions[:-1], sessions[-1:]
+                if sessions:
+                    _store(state, sessions)
+                elif state.exists:
+                    state.remove()
         if closed:
             yield pd.DataFrame(
                 {
@@ -193,8 +265,15 @@ def sessionize_stream(
       re-planning legitimately change: output for late rows is
       therefore only REPEATABLE, not replan-invariant (root-caused
       from a kill-resume parity mismatch, offsets-log evidence in
-      BASELINE.md round 12). Feed time-ordered-within-delay input
-      when byte parity across restarts matters. Bounded-drain note
+      BASELINE.md round 12). Round-15 strengthening (the close rule
+      in _sessionize_fn): rows WITHIN the delay now merge identically
+      regardless of batching — sessions close only when the watermark
+      makes them unextendable, never eagerly on a later arrival — so
+      with ``watermark_delay_s`` ≥ the staging disorder the output is
+      a pure function of the data (restart/replan/orphan-invariant,
+      pytest-pinned); only genuinely-late rows stay merely
+      repeatable. Feed time-ordered-within-delay input when byte
+      parity across restarts matters. Bounded-drain note
       (also measured): the trailing no-data micro-batch owns the
       final timer flushes; a crash in the one-batch window between
       the last data commit and that trailing commit leaves pending
@@ -328,6 +407,82 @@ def write_flush_sentinel(
     return path
 
 
+def inspect_resume_state(checkpoint: str) -> dict:
+    """Read a streaming checkpoint's three metadata logs (offsets /
+    commits / the file source's own ``sources/0`` log) and classify
+    what a resumed drain will do — the round-15 verdict item 3 check,
+    built from the round-14 wobble root-cause: a kill inside the
+    batch-construction window can leave an ORPHAN file-source log
+    entry (a staged file group never bound into a planned batch), and
+    the resumed batch then consumes that group TOGETHER with newly
+    listed files under the LAST LOGGED watermark — a lower watermark
+    than an uninterrupted run would have applied to the orphan group,
+    so with ``drop_late`` borderline rows flip from dropped to
+    kept-and-merged (the documented drop-vs-merge wobble band;
+    BASELINE.md round 14).
+
+    Returns::
+
+        {"resumed":  offsets log non-empty (this checkpoint has run),
+         "replayed_inflight_batch":  last offsets entry has no commit
+                                     (normal at-least-once replay),
+         "resume_consumed_orphan":   sources log extends past the last
+                                     offsets entry's logOffset,
+         "orphan_source_entries":    how many staged groups are orphan,
+         "last_batch_watermark_ms":  the watermark the resumed batch
+                                     will run under (None pre-start)}
+
+    Detection only — both possible outputs are valid sessionizations
+    under the at-least-delay contract. To EMPTY the wobble band,
+    run the pipeline (control and resume alike) with
+    ``watermark_delay_s`` ≥ the source's staging disorder: then no
+    row is ever late under either watermark and restart parity is
+    exact (pytest-pinned in tests/test_streaming_restart.py)."""
+    import json as _json
+    import os
+
+    def log_ids(sub: str) -> list[int]:
+        d = os.path.join(checkpoint, sub)
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(f) for f in os.listdir(d) if f.isdigit())
+
+    offsets_ids = log_ids("offsets")
+    commits_ids = log_ids("commits")
+    sources_ids = log_ids(os.path.join("sources", "0"))
+    last_log_offset = None
+    last_wm_ms = None
+    if offsets_ids:
+        with open(os.path.join(checkpoint, "offsets", str(offsets_ids[-1]))) as f:
+            lines = [l for l in f.read().splitlines() if l and l != "v1"]
+        # line 1: batch metadata (watermark); later lines: one offset
+        # JSON per source — this drain has exactly the one file source
+        meta = _json.loads(lines[0])
+        last_wm_ms = meta.get("batchWatermarkMs")
+        offs = [
+            o.get("logOffset")
+            for l in lines[1:]
+            if isinstance((o := _json.loads(l)), dict) and "logOffset" in o
+        ]
+        last_log_offset = max(offs) if offs else None
+    orphans = (
+        max(sources_ids) - last_log_offset
+        if sources_ids and last_log_offset is not None
+        and max(sources_ids) > last_log_offset
+        else 0
+    )
+    return {
+        "resumed": bool(offsets_ids),
+        "replayed_inflight_batch": bool(
+            offsets_ids
+            and (not commits_ids or max(offsets_ids) > max(commits_ids))
+        ),
+        "resume_consumed_orphan": orphans > 0,
+        "orphan_source_entries": orphans,
+        "last_batch_watermark_ms": last_wm_ms,
+    }
+
+
 def drain_exact(
     spark,
     in_dir: str,
@@ -342,7 +497,7 @@ def drain_exact(
     ts_col: str = "ts",
     max_files_per_trigger: int | None = None,
     query_builder=None,
-) -> None:
+) -> dict:
     """One-call EXACT bounded drain (round-14 verdict item 5): run the
     available-now sessionize drain, then complete the trailing-flush
     contract — derive ``max_ts_s`` from the drained data, stage the
@@ -379,10 +534,25 @@ def drain_exact(
     the stale row and sweeps all sentinels once it succeeds.
     Concurrent readers of ``in_dir`` during the (bounded) sentinel
     window still see the fake row — run the completion step when the
-    directory is quiet, or point readers at the sink."""
+    directory is quiet, or point readers at the sink.
+
+    Returns the :func:`inspect_resume_state` report taken BEFORE the
+    drain, extended with ``{"drained": bool}`` (False when the source
+    was empty and no completion step ran). Round-15 verdict item 3:
+    when the report says ``resume_consumed_orphan=True``, this resume
+    is in the ~1/35 wobble class — the first batch consumed an
+    orphan-staged file group together with newly listed files under
+    the last logged watermark, so with ``drop_late`` the output may
+    keep-and-merge borderline rows an uninterrupted run dropped. Both
+    outputs satisfy the at-least-delay contract; for byte-exact
+    restart parity run with ``watermark_delay_s`` ≥ the staging
+    disorder (no row is then late under EITHER watermark — the band
+    is empty, pytest-pinned)."""
     import os
 
     from pyspark.sql import functions as F
+
+    report = inspect_resume_state(checkpoint)
 
     if query_builder is None:
         def query_builder(stream):
@@ -421,7 +591,8 @@ def drain_exact(
         .first()
     )
     if row.m is None:
-        return  # empty source: nothing drained, nothing pending
+        # empty source: nothing drained, nothing pending
+        return {**report, "drained": False}
     sentinel = write_flush_sentinel(
         in_dir, int(row.m), user_col=user_col, ts_col=ts_col
     )
@@ -448,3 +619,4 @@ def drain_exact(
             os.remove(path)
         except OSError:
             pass  # already gone; the drain committed either way
+    return {**report, "drained": True}

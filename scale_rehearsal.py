@@ -690,6 +690,28 @@ def run_listing_ab(spark, data_dir: str) -> dict[str, float]:
     return out
 
 
+def run_spans_only(spark, docs_dir: str) -> dict[str, float]:
+    """Round-15 verdict item 2: re-measure the duplicate_span_stats
+    wall alone (the operator the r14 octave flagged as the largest
+    absolute 8M wall, 707 s, measured on the STRING span kernel) now
+    that ``span_impl="tokhash"`` is the default — fresh same-binary
+    points for the exponent re-fit, one cold run per size per the
+    rehearsal protocol. Run with stderr captured: the r14 8M string
+    run emitted JVM GCLocker allocation warnings during the 20-gram
+    explode; whether they are gone under tokhash is part of the
+    verdict's done-criterion (grep the driver stderr for GCLocker)."""
+    from mapreduce_implementation_spark.operators.contamination import (
+        duplicate_span_stats,
+    )
+
+    docs = spark.read.parquet(docs_dir)
+    out: dict[str, float] = {}
+    t0 = time.perf_counter()
+    materialize(duplicate_span_stats(docs, n=20))
+    out["duplicate_span_stats"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
 def run_observe_cost(spark, docs_dir: str) -> dict[str, float]:
     """Measure the observe-telemetry zero-cost claim (round-9 verdict
     item 7): drain the SAME staged document stream through
@@ -843,6 +865,7 @@ def main() -> None:
     observe_cost = "--observe-cost" in argv
     ingest_ref_ab = "--ingest-ref-ab" in argv
     compactor_listing = "--compactor-listing" in argv
+    spans_only = "--spans" in argv
     argv = [
         a
         for a in argv
@@ -855,6 +878,7 @@ def main() -> None:
             "--observe-cost",
             "--ingest-ref-ab",
             "--compactor-listing",
+            "--spans",
         )
     ]
     sizes = [int(s) for s in argv] or (
@@ -862,6 +886,8 @@ def main() -> None:
         if restart_mode
         else [125_000, 500_000, 2_000_000]
         if (vectors_mode or streaming_mode)
+        else [4_000_000, 8_000_000]
+        if spans_only
         else [500_000]
         if (observe_cost or ingest_ref_ab)
         else [10_000, 40_000]
@@ -880,7 +906,9 @@ def main() -> None:
 
         use_rocksdb_state_store(spark)
     cal = calibration(spark)
-    if compactor_listing:
+    if spans_only:
+        synth, run = synth_corpus, run_spans_only
+    elif compactor_listing:
         synth, run = synth_leaves, run_listing_ab
     elif ingest_ref_ab:
         synth, run = synth_corpus, run_ingest_ref_ab

@@ -7,6 +7,7 @@ a retention-true quality floor."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mapreduce_implementation_spark.operators.calibrate import calibrate_corpus
 
@@ -82,3 +83,157 @@ def test_calibrate_surfaces_biting_cap(spark, planted):
     assert any("BITES" in w for w in out["warnings"])
     # dropping the cohort shows up as measured recall loss (10/76)
     assert out["minhash"]["recall"] == pytest.approx(10 / 76, abs=0.01)
+
+
+# ---------------------------------------------------------------------------
+# Round-15 verdict item 4: calibrate_ann — measured IVF knobs (√N nlist,
+# recall-targeted nprobe, SQ8 layout verdict) + the calibration= feed
+# into materialize_ivf_index / ivf_topk_from_index.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted_emb(spark):
+    """8 orthonormal cluster centers, 40 unit vectors each at noise
+    0.05 (the test_similarity planted law): every query's true top-k
+    is provably its own cluster, so IVF recall is a pure function of
+    how many of the cluster's lists the probe covers."""
+    import math
+    import random
+
+    rng = random.Random(20260816)
+    DIM, NC, PER = 16, 8, 40
+    centers: list[list[float]] = []
+    while len(centers) < NC:
+        v = [rng.gauss(0, 1) for _ in range(DIM)]
+        for c in centers:
+            d = sum(x * y for x, y in zip(v, c))
+            v = [x - d * y for x, y in zip(v, c)]
+        n = math.sqrt(sum(x * x for x in v))
+        if n > 1e-6:
+            centers.append([x / n for x in v])
+    rows = []
+    for i in range(NC * PER):
+        c = i % NC
+        v = [centers[c][j] + rng.gauss(0, 0.05) for j in range(DIM)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [float(x / n) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+@pytest.fixture(scope="module")
+def ann_report(spark, planted_emb):
+    from mapreduce_implementation_spark.operators.calibrate import (
+        calibrate_ann,
+    )
+
+    return calibrate_ann(
+        planted_emb, k=5, target_recall=0.9, sample_n=320,
+        n_queries=16, nprobe_max=4,
+    )
+
+
+class TestCalibrateAnn:
+    def test_sqrt_n_rule_and_probe_scaling(self, ann_report):
+        ann = ann_report["ann"]
+        assert ann["n_rows"] == 320 and ann["dim"] == 16
+        assert ann["nlist"] == round(320 ** 0.5)  # 18
+        # sample == corpus here, so the probe ran at the exact knobs
+        assert ann["probe"]["nlist_probe"] == ann["nlist"]
+        assert ann["probe"]["sample_n"] == 320
+
+    def test_recall_target_met_with_evidence(self, ann_report):
+        ann = ann_report["ann"]
+        assert ann["recall"] is not None and ann["recall"] >= 0.9
+        # the recommendation is the curve's LAST point (smallest
+        # nprobe meeting the target — the loop early-stops there)
+        assert ann["recall_curve"][-1] == [ann["nprobe"], ann["recall"]]
+        assert 1 <= ann["nprobe"] <= 4
+        # SQ8 codes score within quantization noise of the float arm
+        assert ann["sq8_recall"] is not None
+        assert ann["sq8_recall"] >= ann["recall"] - 0.1
+        # tiny corpus: float layout recommended
+        assert ann["quantize"] is None
+        assert ann["est_index_bytes"] == 320 * 16 * 4
+
+    def test_feed_materialize_index_knob_check(
+        self, spark, planted_emb, ann_report, tmp_path
+    ):
+        from mapreduce_implementation_spark.operators import (
+            similarity as sim,
+        )
+
+        nlist = ann_report["ann"]["nlist"]
+        good = sim.train_centroids(planted_emb, k=nlist, iters=2)
+        bad = sim.train_centroids(planted_emb, k=nlist + 1, iters=2)
+        with pytest.raises(ValueError, match="nlist"):
+            sim.materialize_ivf_index(
+                planted_emb, bad, str(tmp_path / "bad"),
+                calibration=ann_report,
+            )
+        with pytest.raises(ValueError, match="auto"):
+            sim.materialize_ivf_index(
+                planted_emb, good, str(tmp_path / "noauto"),
+                quantize="auto",
+            )
+        idx = str(tmp_path / "idx")
+        sim.materialize_ivf_index(
+            planted_emb, good, idx, quantize="auto",
+            calibration=ann_report,
+        )
+        # auto resolved to the calibrated float layout
+        assert sim.SQ8_CODE_COL not in spark.read.parquet(idx).columns
+
+        # probe feed: nprobe=None adopts the calibrated depth and
+        # matches the explicit setting exactly
+        queries = planted_emb.where(F.col("vec_id") < 3)
+        reco = ann_report["ann"]["nprobe"]
+        adopted = sorted(
+            (r.query_id, r.vec_id, r.rank)
+            for r in sim.ivf_topk_from_index(
+                spark, idx, queries, good, k=5, nprobe=None,
+                calibration=ann_report,
+            ).collect()
+        )
+        explicit = sorted(
+            (r.query_id, r.vec_id, r.rank)
+            for r in sim.ivf_topk_from_index(
+                spark, idx, queries, good, k=5, nprobe=reco,
+            ).collect()
+        )
+        assert adopted == explicit and len(adopted) == 15
+
+    def test_probe_depth_guards(self, spark, planted_emb, tmp_path):
+        from mapreduce_implementation_spark.operators import (
+            similarity as sim,
+        )
+
+        cents = sim.train_centroids(planted_emb, k=4, iters=1)
+        idx = str(tmp_path / "guard_idx")
+        sim.materialize_ivf_index(planted_emb, cents, idx)
+        queries = planted_emb.where(F.col("vec_id") < 2)
+        cal = {"ann": {"nprobe": 3, "recall": 0.95, "target_recall": 0.9}}
+        with pytest.raises(ValueError, match="shallower"):
+            sim.ivf_topk_from_index(
+                spark, idx, queries, cents, k=3, nprobe=2, calibration=cal
+            )
+        with pytest.raises(ValueError, match="nprobe=None"):
+            sim.ivf_topk_from_index(
+                spark, idx, queries, cents, k=3, nprobe=None
+            )
+        # deeper than calibrated is allowed (recall only rises)
+        sim.ivf_topk_from_index(
+            spark, idx, queries, cents, k=3, nprobe=4, calibration=cal
+        ).collect()
+
+    def test_validation(self, spark, planted_emb):
+        from mapreduce_implementation_spark.operators.calibrate import (
+            calibrate_ann,
+        )
+
+        with pytest.raises(ValueError, match="target_recall"):
+            calibrate_ann(planted_emb, target_recall=0.0)
+        with pytest.raises(ValueError, match="nprobe_max"):
+            calibrate_ann(planted_emb, nprobe_max=0)
+        with pytest.raises(ValueError, match="empty"):
+            calibrate_ann(planted_emb.where(F.col("vec_id") < 0))

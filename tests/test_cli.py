@@ -158,3 +158,108 @@ def test_cli_calibrate_table_output(spark, tmp_path, capsys):
     for needle in ("calibration report", "pair_screen", "max_bucket",
                    "cap_strategy"):
         assert needle in out
+
+
+def test_cli_calibrate_ann_json_matches_library(spark, tmp_path, capsys):
+    """round-15 verdict items 4+6: `calibrate-ann` is the library IVF
+    calibrator, e2e — --json output equals calibrate_ann on the same
+    corpus at the same knobs."""
+    import json
+    import math
+    import random
+
+    from mapreduce_implementation_spark.operators.calibrate import (
+        calibrate_ann,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(64):
+        c = i % 4
+        v = [0.0] * 8
+        v[c] = 1.0
+        v = [x + rng.gauss(0, 0.05) for x in v]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [float(x / n) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "emb.parquet")
+    emb.write.parquet(path)
+
+    rc = main([
+        "calibrate-ann", path, "--k", "3", "--sample-n", "64",
+        "--n-queries", "8", "--nprobe-max", "3", "--kmeans-iters", "1",
+        "--json",
+    ])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = calibrate_ann(
+        spark.read.parquet(path), k=3, sample_n=64, n_queries=8,
+        nprobe_max=3, kmeans_iters=1,
+    )
+    assert got == json.loads(json.dumps(want))
+    assert got["ann"]["nlist"] == 8  # round(sqrt(64))
+
+
+def test_cli_drain_and_diagnose_restart(spark, tmp_path, capsys):
+    """round-15 verdict item 6: the exact bounded drain and the
+    resume-state diagnostic, shell-operational."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = tmp_path / "drain_in"
+    in_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    [t * 1_000_000 for t in (1000, 1100, 9000)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(in_dir / "f0.parquet"),
+    )
+    out_dir = str(tmp_path / "drain_out")
+    ckpt = str(tmp_path / "drain_ckpt")
+    rc = main([
+        "drain", str(in_dir), out_dir, ckpt,
+        "--schema", "user_id long, ts timestamp",
+        "--gap-s", "300", "--json",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["drained"] is True
+    assert report["resumed"] is False
+    assert report["resume_consumed_orphan"] is False
+    # the drain produced the closed session and cleaned its sentinel
+    got = sorted(
+        (r.user_id, r.session_start_s, r.session_end_s, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [(1, 1000, 1100, 2)]
+    assert not [f for f in os.listdir(in_dir) if "sentinel" in f]
+
+    # diagnose-restart on the now-complete checkpoint: clean resume
+    rc = main(["diagnose-restart", ckpt, "--json"])
+    assert rc == 0
+    diag = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert diag["resumed"] is True
+    assert diag["resume_consumed_orphan"] is False
+
+    # inject an orphan file-source entry: exit code flips to 1
+    src = os.path.join(ckpt, "sources", "0")
+    nxt = max(int(f) for f in os.listdir(src) if f.isdigit()) + 1
+    with open(os.path.join(src, str(nxt)), "w") as f:
+        f.write(
+            'v1\n{"path":"file:///nowhere.parquet","timestamp":1,'
+            f'"batchId":{nxt}}}\n'
+        )
+    rc = main(["diagnose-restart", ckpt, "--json"])
+    assert rc == 1
+    diag = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert diag["resume_consumed_orphan"] is True
+    assert diag["orphan_source_entries"] == 1

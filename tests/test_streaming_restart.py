@@ -314,3 +314,147 @@ def test_drain_exact_empty_source_is_noop(spark, tmp_path):
         schema=SCHEMA, gap_s=GAP_S,
     )
     assert os.listdir(empty_in) == []
+
+
+# ---------------------------------------------------------------------------
+# Round-15 verdict item 3: the ~1/35 disordered-input wobble, detected.
+# A kill inside the batch-construction window leaves an ORPHAN entry in
+# the file source's own log (a staged file group no offsets entry ever
+# bound); the resumed batch then consumes that group together with
+# newly listed files under the LAST LOGGED watermark, and with
+# drop_late borderline rows flip from dropped to kept-and-merged. These
+# tests inject the orphan entry deterministically and pin (a) the
+# detection, (b) the documented drop-vs-merge bound, (c) that
+# watermark_delay_s >= the staging disorder empties the band.
+# ---------------------------------------------------------------------------
+
+
+def _write_now(path, rows, order: int) -> None:
+    """_write_batch with NOW-based mtimes: the orphan protocol adds
+    files AFTER a drain whose sentinel carries a real-now mtime, and
+    the file source ignores files older than (latest seen - 7d)."""
+    import time
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+            }
+        ),
+        path,
+    )
+    mtime = int(time.time()) + order * 60
+    os.utime(path, (mtime, mtime))
+
+
+def _inject_orphan_entry(ckpt: str, file_path: str) -> int:
+    """Hand-write the file-source log entry a kill inside the
+    batch-construction window leaves behind: sources/0/<last+1> listing
+    ``file_path``, with no offsets entry binding it."""
+    import json
+
+    src = os.path.join(ckpt, "sources", "0")
+    nxt = max(int(f) for f in os.listdir(src) if f.isdigit()) + 1
+    entry = {
+        "path": "file://" + os.path.abspath(file_path),
+        "timestamp": int(os.path.getmtime(file_path) * 1000),
+        "batchId": nxt,
+    }
+    with open(os.path.join(src, str(nxt)), "w") as f:
+        f.write("v1\n" + json.dumps(entry) + "\n")
+    return nxt
+
+
+ORPHAN_GAP_S = 2500
+# f0 seeds the session; f1 advances the watermark past f2's event time
+# (f2 is the borderline row: late under the control's per-file batching,
+# NOT late under the orphan batch's lower watermark); f3 advances the
+# watermark far enough to flush every user-7 timer in both arms.
+ORPHAN_FILES = [
+    [(0, 1000, 7)],
+    [(1, 5000, 7)],
+    [(2, 3000, 7)],
+    [(3, 100_000, 99)],
+]
+
+
+def _orphan_drain(spark, tmp_path, tag: str, delay_s: int):
+    """Control arm: all four files drained one-per-trigger, fresh."""
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        drain_exact,
+    )
+
+    in_dir = tmp_path / f"{tag}_in"
+    in_dir.mkdir()
+    for i, rows in enumerate(ORPHAN_FILES):
+        _write_now(str(in_dir / f"f{i}.parquet"), rows, i)
+    out = str(tmp_path / f"{tag}_out")
+    report = drain_exact(
+        spark, str(in_dir), out, str(tmp_path / f"{tag}_ckpt"),
+        schema=SCHEMA, gap_s=ORPHAN_GAP_S, watermark_delay_s=delay_s,
+        drop_late=True, max_files_per_trigger=1,
+    )
+    return _sessions(spark, out), report
+
+
+def _orphan_arm(spark, tmp_path, tag: str, delay_s: int):
+    """Orphan arm: drain f0, add f1-f3, inject f1's orphan log entry,
+    resume — the resumed batch consumes f1+f2+f3 together under f0's
+    watermark."""
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        drain_exact,
+    )
+
+    in_dir = tmp_path / f"{tag}_in"
+    in_dir.mkdir()
+    _write_now(str(in_dir / "f0.parquet"), ORPHAN_FILES[0], 0)
+    out = str(tmp_path / f"{tag}_out")
+    ckpt = str(tmp_path / f"{tag}_ckpt")
+    first = drain_exact(
+        spark, str(in_dir), out, ckpt,
+        schema=SCHEMA, gap_s=ORPHAN_GAP_S, watermark_delay_s=delay_s,
+        drop_late=True, max_files_per_trigger=1,
+    )
+    assert first["resumed"] is False
+    assert first["resume_consumed_orphan"] is False
+    for i, rows in enumerate(ORPHAN_FILES[1:], start=1):
+        _write_now(str(in_dir / f"f{i}.parquet"), rows, i)
+    _inject_orphan_entry(ckpt, str(in_dir / "f1.parquet"))
+    report = drain_exact(
+        spark, str(in_dir), out, ckpt,
+        schema=SCHEMA, gap_s=ORPHAN_GAP_S, watermark_delay_s=delay_s,
+        drop_late=True, max_files_per_trigger=1,
+    )
+    return _sessions(spark, out), report
+
+
+def test_orphan_resume_detected_and_diff_is_drop_vs_merge(spark, tmp_path):
+    control, _ = _orphan_drain(spark, tmp_path, "oc", delay_s=0)
+    # control (per-file watermarks): f2's 3000 is late vs 5000, dropped
+    assert control == [(7, 1000, 1000, 1), (7, 5000, 5000, 1)]
+
+    got, report = _orphan_arm(spark, tmp_path, "oa", delay_s=0)
+    assert report["resumed"] is True
+    assert report["resume_consumed_orphan"] is True
+    assert report["orphan_source_entries"] == 1
+    assert report["drained"] is True
+    # the resumed batch ran f1+f2 under f0's watermark (1000), so the
+    # borderline 3000 was KEPT and bridged 1000..5000 into ONE session
+    # — exactly the documented drop-vs-merge bound: same user, same
+    # events, merge instead of drop; nothing else differs
+    assert got == [(7, 1000, 5000, 3)]
+
+
+def test_orphan_band_empty_when_delay_covers_disorder(spark, tmp_path):
+    """watermark_delay_s >= the staging disorder (here 2000 s: f2
+    arrives one file after a 2000-s-newer event) means NO row is late
+    under either arm's watermark — restart parity is exact even
+    through the injected orphan, which is still detected."""
+    control, _ = _orphan_drain(spark, tmp_path, "mc", delay_s=4000)
+    got, report = _orphan_arm(spark, tmp_path, "ma", delay_s=4000)
+    assert report["resume_consumed_orphan"] is True
+    assert got == control == [(7, 1000, 5000, 3)]
