@@ -270,6 +270,19 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
             ),
         )
         warm["minhash_signatures_build"] = round(time.perf_counter() - t0, 3)
+        # the r15 tokhash kernel, tracked per round next to the string
+        # build it's measured against (noop — not an ensure_table: the
+        # string table above is the one the warm probe reuses)
+        t0 = time.perf_counter()
+        materialize(
+            dd.minhash_signatures(
+                docs, "doc_id", "text", shingle_n=3, k=MH_K,
+                shingle_impl="tokhash",
+            )
+        )
+        warm["minhash_signatures_build_tokhash"] = round(
+            time.perf_counter() - t0, 3
+        )
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

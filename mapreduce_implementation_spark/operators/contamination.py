@@ -152,7 +152,15 @@ def duplicate_span_stats(
       equal) now merges them in the per-doc distinct (~spans²/2⁶⁵ —
       vanishing; the string form computed within-doc distinctness
       exactly). Parity is pytest-pinned exact on the test corpora.
-    * ``"string"`` — the concat-and-hash A/B arm (the pre-r14 form).
+    * ``"string"`` — the concat-and-hash pre-r14 form, RETIRED to
+      tests-only (round-15 verdict item 7): after the clean 8M
+      re-measure under tokhash (269.8 s vs the r14 string 707 s —
+      the projected 2.6× exactly, raw 4M→8M exponent 1.1, and the
+      r14 JVM GCLocker allocation warnings GONE: the humongous
+      concat-string allocations were their source), the A/B arm has
+      served its purpose. It remains only as the parity oracle in
+      tests/test_contamination.py; production callers should never
+      pass it.
 
     ``sample_rate=m`` (round-10 verdict item 7) keeps only spans with
     ``pmod(span_hash, m) == 0`` — ~1/m of spans, sampled by CONTENT

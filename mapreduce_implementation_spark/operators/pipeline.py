@@ -95,6 +95,13 @@ class CorpusPipelineConfig:
     # operators/dedup.py) — None is the explicit keep-every-bucket
     # opt-out for oracle-exact parity runs
     near_dup_max_bucket: int | None = DEFAULT_MAX_BUCKET
+    # signature family for the near-dup stage (round 15): "string"
+    # (md5 over n-gram concat strings — the oracle-replayable default)
+    # or "tokhash" (shingle int64s from token-hash slices — measured
+    # 1.38x signature build / 1.21x miner at 1M docs, BASELINE.md r15;
+    # re-probe recall per corpus via calibrate_corpus at the same
+    # family before adopting)
+    near_dup_shingle_impl: str = "string"
     split_weights: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.9, "holdout": 0.1}
     )
@@ -217,6 +224,7 @@ def build_training_corpus(
             lambda: minhash_signatures(
                 deduped, id_col, text_col,
                 shingle_n=cfg.near_dup_shingle_n, k=k,
+                shingle_impl=cfg.near_dup_shingle_impl,
             ),
         )
         pairs = minhash_near_dup_pairs(
@@ -230,6 +238,7 @@ def build_training_corpus(
             threshold=cfg.near_dup_threshold,
             max_bucket=cfg.near_dup_max_bucket,
             signatures=sigs,
+            shingle_impl=cfg.near_dup_shingle_impl,
         )
         clusters = connected_components(pairs, "doc_a", "doc_b")
         near_drops = clusters.where(

@@ -320,6 +320,18 @@ def test_build_training_corpus_near_dup_stage(spark):
     kept_off = {r.doc_id for r in off["split_train"].select("doc_id").collect()}
     assert kept_off == {1, 2, 3}  # exact dedup only
 
+    # r15: the tokhash signature family plumbs through the composed
+    # build and clusters these high-J near-dups identically
+    tok = build_training_corpus(
+        docs,
+        CorpusPipelineConfig(
+            split_weights={"train": 1.0}, chunk_tokens=8, near_dup=True,
+            near_dup_shingle_impl="tokhash",
+        ),
+    )
+    kept_tok = {r.doc_id for r in tok["split_train"].select("doc_id").collect()}
+    assert kept_tok == {1, 3}
+
 
 def test_build_drop_list_dup_spans_reason(spark):
     """max_dup_span_frac adds the substring-duplication reason: docs

@@ -787,6 +787,18 @@ def test_ingest_reference_contract_mismatch_fails_fast(spark, tmp_path):
                 k=16, bands=8, rows=2,
                 ref_table="t_contract_bands",
             )
+        # r15: the signature FAMILY is part of the contract too — a
+        # tokhash probe against an md5-string table band-matches
+        # nothing, so it must refuse up front like the shape knobs
+        with _pytest.raises(ValueError, match="shingle_impl"):
+            start_ingest_dedup_stream(
+                _docs_stream(spark, stream_dir),
+                out_dir=str(tmp_path / "f1b"),
+                checkpoint_dir=str(tmp_path / "c1b"),
+                k=16, bands=4, rows=4,
+                shingle_impl="tokhash",
+                ref_table="t_contract_bands",
+            )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_contract_bands")
 
