@@ -61,6 +61,39 @@ def main() -> None:
         )
         calibration_runs.append(round(time.perf_counter() - t0, 3))
 
+    # Slow-JIT-process guard (round 15, BASELINE.md finding 1): on
+    # this box a process draws a fast or slow JIT profile for the
+    # interpreted higher-order-function eval path around its first
+    # heavy plan and keeps it for life — the same minhash chain runs
+    # 26 s or 190 s in the same quiet window depending on the draw,
+    # while the pure-codegen calibration probe reads QUIET either way
+    # (so cal-normalization cannot correct it). The canary times an
+    # IO-free HOF permutation fold against the calibration probe:
+    # fast draws measure hof/cal ≈ 1.6-2.0 (5/5 fresh processes),
+    # slow draws ~6x that. Above the threshold the bench restarts
+    # itself in a fresh process (bounded retries); the ratio is
+    # stamped into the JSON either way so a draw that slips through
+    # is visible, not silent.
+    hof_ratio = _hof_canary_ratio(spark, min(calibration_runs))
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY", "0"))
+    if hof_ratio > 4.0 and retries < 2:
+        print(
+            f"slow-JIT process draw (hof/cal {hof_ratio:.1f} > 4.0); "
+            f"restarting bench in a fresh process (retry {retries + 1})",
+            file=sys.stderr,
+        )
+        spark.stop()
+        import subprocess
+
+        env = {**os.environ, "SPARK_GRAFT_BENCH_RETRY": str(retries + 1)}
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        sys.stdout.write(r.stdout)
+        sys.stderr.write(r.stderr)
+        raise SystemExit(r.returncode)
+
     # First-slot plan warmup (round-10 verdict item 3): the generic
     # scan+shuffle warmup above doesn't compile the FIRST query's own
     # plan shape, so slot 1 absorbed 2-3x of cold whole-stage-codegen /
@@ -106,6 +139,8 @@ def main() -> None:
         "calibration": cal,
         "calibration_runs": calibration_runs,
         "total_per_cal": round(sum(timings.values()) / cal, 2) if cal else None,
+        "hof_canary_ratio": hof_ratio,
+        "bench_retries": retries,
         "warm_queries": warm,
         "runs_per_query": 2,
         "first_slot_warmup": True,
@@ -117,6 +152,38 @@ def main() -> None:
     except Exception as e:  # the bench result must never die on bookkeeping
         print(f"trend-table append skipped: {e}", file=sys.stderr)
     spark.stop()
+
+
+def _hof_canary_ratio(spark, cal: float) -> float:
+    """IO-free interpreted-HOF canary vs the codegen calibration probe
+    (see the slow-JIT guard in main): transform + array_min + modular
+    arithmetic per element — the exact eval path whose per-process JIT
+    quality varies 6x."""
+    from pyspark.sql import functions as F
+
+    P = 2_147_483_647
+    xs = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.pmod(F.xxhash64(F.col("id"), i), F.lit(P)),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("_xs"), lambda x, a=a: (a * x + 17) % P)
+            )
+            for a in (7, 11, 13, 19)
+        ]
+    )
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        materialize(
+            spark.range(0, 200_000, 1, 32)
+            .select(xs.alias("_xs"))
+            .select(sig.alias("s"))
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best / cal, 2) if cal else 0.0
 
 
 # BASELINE.md trend-table column -> headline query name
