@@ -449,28 +449,32 @@ def inspect_resume_state(checkpoint: str) -> dict:
 
     offsets_ids = log_ids("offsets")
     commits_ids = log_ids("commits")
-    sources_ids = log_ids(os.path.join("sources", "0"))
-    last_log_offset = None
     last_wm_ms = None
+    per_source_offsets: list[int | None] = []
     if offsets_ids:
         with open(os.path.join(checkpoint, "offsets", str(offsets_ids[-1]))) as f:
             lines = [l for l in f.read().splitlines() if l and l != "v1"]
         # line 1: batch metadata (watermark); later lines: one offset
-        # JSON per source — this drain has exactly the one file source
+        # JSON per source, in source-index order (sources/<i> dirs)
         meta = _json.loads(lines[0])
         last_wm_ms = meta.get("batchWatermarkMs")
-        offs = [
-            o.get("logOffset")
-            for l in lines[1:]
-            if isinstance((o := _json.loads(l)), dict) and "logOffset" in o
-        ]
-        last_log_offset = max(offs) if offs else None
-    orphans = (
-        max(sources_ids) - last_log_offset
-        if sources_ids and last_log_offset is not None
-        and max(sources_ids) > last_log_offset
-        else 0
-    )
+        for l in lines[1:]:
+            try:
+                o = _json.loads(l)
+            except ValueError:
+                o = None
+            per_source_offsets.append(
+                o.get("logOffset") if isinstance(o, dict) else None
+            )
+    # per-source orphan check: a staged file-source log entry beyond
+    # the last offsets entry's logOffset for THAT source (multi-source
+    # queries — e.g. stream-stream joins — have sources/0, sources/1,
+    # ...; the offsets lines are in the same index order)
+    orphans = 0
+    for i, off in enumerate(per_source_offsets):
+        src_ids = log_ids(os.path.join("sources", str(i)))
+        if src_ids and off is not None and max(src_ids) > off:
+            orphans += max(src_ids) - off
     return {
         "resumed": bool(offsets_ids),
         "replayed_inflight_batch": bool(
