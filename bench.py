@@ -73,7 +73,14 @@ def main() -> None:
     # slow draws ~6x that. Above the threshold the bench restarts
     # itself in a fresh process (bounded retries); the ratio is
     # stamped into the JSON either way so a draw that slips through
-    # is visible, not silent.
+    # is visible, not silent. The canary also PREVENTS: as this
+    # process's first heavy HOF plan it seeds the interpreted-eval
+    # JIT profile with the shape that matters (8/8 canary-first
+    # processes drew fast vs 2/6 slow when a giant synth plan ran
+    # first — BASELINE.md r15), which is why it runs before the
+    # first-slot warmup and every timed query. First-position ratios
+    # run 1.7-3.2 (cold first-plan cost included); slow draws
+    # measured 4.6/5.8 — 4.0 splits with margin both sides.
     hof_ratio = _hof_canary_ratio(spark, min(calibration_runs))
     retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY", "0"))
     if hof_ratio > 4.0 and retries < 2:
