@@ -856,6 +856,40 @@ def calibration(spark) -> float:
     return round(best, 3)
 
 
+def hof_seed(spark) -> float:
+    """Seed this process's interpreted-HOF JIT profile AND measure the
+    draw (round-15 finding 1, BASELINE.md): run the IO-free
+    permutation-fold canary as the FIRST heavy plan — 8/8
+    canary-first processes drew fast where synth-first drew 2/6 slow
+    — and return its min-of-2 seconds; main() divides by the
+    calibration probe so every rehearsal summary carries its
+    process-draw evidence (fast band ≲3.2; slow draws measured
+    4.6/5.8)."""
+    P = 2_147_483_647
+    xs = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.pmod(F.xxhash64(F.col("id"), i), F.lit(P)),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("_xs"), lambda x, a=a: (a * x + 17) % P)
+            )
+            for a in (7, 11, 13, 19)
+        ]
+    )
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        materialize(
+            spark.range(0, 200_000, 1, 32)
+            .select(xs.alias("_xs"))
+            .select(sig.alias("s"))
+        )
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     argv = sys.argv[1:]
     vectors_mode = "--vectors" in argv
@@ -905,7 +939,9 @@ def main() -> None:
         )
 
         use_rocksdb_state_store(spark)
+    hof_t = hof_seed(spark)  # FIRST heavy plan — see hof_seed
     cal = calibration(spark)
+    hof_ratio = round(hof_t / cal, 2) if cal else 0.0
     if spans_only:
         synth, run = synth_corpus, run_spans_only
     elif compactor_listing:
@@ -968,6 +1004,7 @@ def main() -> None:
         json.dumps(
             {
                 "calibration": cal,
+                "hof_canary_ratio": hof_ratio,
                 "sizes": sizes,
                 "scaling_exponents": exponents,
                 "state_store": "rocksdb" if rocksdb else "default",
