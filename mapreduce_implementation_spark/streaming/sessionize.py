@@ -254,12 +254,18 @@ def sessionize_stream(
       ones beyond the watermark). Exact, replay-speed-independent, and
       the flush fires from data progress, so bounded drains see it in
       the trailing no-data batch. The 100 TB-shape choice; mirrors
-      streaming/funnel.py. Late-data contract (round-12 correction —
-      measured, not assumed): unlike the built-in windowed
-      aggregations, applyInPandasWithState does NOT filter
-      late-beyond-watermark input rows; a late row still reaches the
-      state fold, where it either merges into the still-open session
-      or — if the event-time timer already flushed it — opens a NEW
+      streaming/funnel.py. Late-data contract (round-12 measurement,
+      CORRECTED in round 15 with an offsets-log trace + sink-manifest
+      evidence): Spark's two-watermark late-record filtering DOES
+      drop input rows older than the PREVIOUS batch's watermark
+      before the fold — the r12 "does not filter" reading observed
+      only the one-batch LAG WINDOW (rows between the previous
+      batch's watermark and the current one), which is the only
+      late-row population the fold ever sees
+      (tests/test_streaming_restart.py::test_spark_filters_rows_older_than_previous_batch_watermark).
+      A lag-window row reaches the state fold, where it either
+      merges into the still-open session or — if the event-time
+      timer already flushed it — opens a NEW
       session. Which of the two happens depends on the watermark
       trajectory, i.e. on micro-batch boundaries, which restarts and
       re-planning legitimately change: output for late rows is
@@ -287,20 +293,23 @@ def sessionize_stream(
       closed-session output (a bounded run never reaches a timeout),
       terminates under Trigger.AvailableNow; open tails stay in state.
 
-    ``drop_late=True`` (event mode only — round 13): filter
-    late-beyond-watermark rows inside the operator, matching the
-    built-in windowed-agg semantics that applyInPandasWithState omits.
-    The trade: late rows are DROPPED instead of merged into (or
-    splitting) their session — buy this when restart determinism on
-    disordered input matters more than late-row inclusion. It
-    eliminates the late-row/timer race above (a kept row provably
-    precedes its session's flush timer, so it always merges;
-    kill-resume gated 10/10 per provider on the AS-STAGED disordered
-    fixture in tests/test_streaming_restart.py). Caveat shared with
-    the built-ins: whether a borderline row is late depends on the
-    batch watermark, which restarts re-plan — rows later than the
-    delay in BOTH runs behave identically, rows inside the wobble
-    band are dropped-vs-merged; the default (False) keeps every row.
+    ``drop_late=True`` (event mode only — round 13): filter the
+    lag-window rows against the CURRENT batch watermark inside the
+    operator — closing the one-batch window Spark's own
+    previous-batch-watermark filter leaves open (the r15-corrected
+    contract above). The trade: lag-window rows are DROPPED instead
+    of merged into (or splitting) their session — buy this when
+    restart determinism on disordered input matters more than
+    late-row inclusion. It eliminates the late-row/timer race above
+    (a kept row provably precedes its session's flush timer, so it
+    always merges; kill-resume gated 10/10 per provider on the
+    AS-STAGED disordered fixture in tests/test_streaming_restart.py).
+    Caveat shared with the built-ins: whether a borderline row is in
+    the lag window depends on the watermark trajectory, which
+    restarts re-plan — rows later than the delay against EVERY
+    per-batch watermark behave identically (Spark drops them either
+    way), rows inside the wobble band are dropped-vs-merged; the
+    default (False) keeps every lag-window row.
     """
     from pyspark.sql import functions as F
 

@@ -458,3 +458,112 @@ def test_orphan_band_empty_when_delay_covers_disorder(spark, tmp_path):
     got, report = _orphan_arm(spark, tmp_path, "ma", delay_s=4000)
     assert report["resume_consumed_orphan"] is True
     assert got == control == [(7, 1000, 5000, 3)]
+
+
+def test_event_sessionize_batching_invariant_when_delay_covers_disorder(
+    spark, tmp_path
+):
+    """Round-15 close rule, the general form: with watermark_delay_s >=
+    the staging disorder, the CLOSED-session output of an event-mode
+    drain is a pure function of the data — identical across trigger
+    sizes (different micro-batch cuts of the same files) and equal to
+    the batch-twin sessionization of every session the final watermark
+    made unextendable. The pre-r15 eager close failed this on any
+    disordered fixture where a straggler bridged a session another
+    batch cut had already emitted."""
+    from mapreduce_implementation_spark.operators.events import (
+        sessionize as batch_sessionize,
+    )
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        drain_exact,
+    )
+
+    # disorder: stragglers jump back up to 9000-1150 = 7850 s behind
+    # the max ts already staged; delay MUST cover that (Spark itself
+    # drops rows older than the PREVIOUS batch's watermark — the
+    # two-watermark late-record filtering pinned below — so "no row
+    # is ever late" must hold against every per-batch watermark, not
+    # just the final one)
+    gap, delay = 200, 8000
+    files = [
+        [(0, 1000, 1), (1, 9000, 2)],
+        [(2, 5000, 1), (3, 1150, 1)],
+        [(4, 5150, 1), (5, 9100, 2), (6, 1300, 3)],
+        [(7, 40_000, 9)],  # watermark advancer
+    ]
+
+    outs = []
+    for tag, mfpt in (("t1", 1), ("t2", 2), ("tall", None)):
+        in_dir = tmp_path / f"{tag}_in"
+        in_dir.mkdir()
+        for i, rows in enumerate(files):
+            _write_now(str(in_dir / f"f{i}.parquet"), rows, i)
+        out = str(tmp_path / f"{tag}_out")
+        drain_exact(
+            spark, str(in_dir), out, str(tmp_path / f"{tag}_ckpt"),
+            schema=SCHEMA, gap_s=gap, watermark_delay_s=delay,
+            max_files_per_trigger=mfpt,
+        )
+        outs.append(_sessions(spark, out))
+    assert outs[0] == outs[1] == outs[2]
+
+    # batch-twin ground truth: closed = sessions whose last event +
+    # gap lies strictly behind the final watermark (max_ts - delay)
+    rows = [r for f in files for r in f]
+    bdf = spark.createDataFrame(
+        [(e, u, t) for e, t, u in rows], "event_id long, user_id long, ts long"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    sess = (
+        batch_sessionize(bdf, gap_s=gap)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts_s").alias("s"), F.max("ts_s").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    wm = max(t for _, t, _ in rows) - delay
+    truth = sorted(
+        (r.user_id, r.s, r.e, r.n)
+        for r in sess.collect()
+        if (r.e + gap) < wm
+    )
+    assert outs[0] == truth
+
+
+def test_spark_filters_rows_older_than_previous_batch_watermark(
+    spark, tmp_path
+):
+    """Engine semantics pin (round 15, corrects the r12 'the operator
+    does not filter late rows' reading): Spark 4.1's two-watermark
+    late-record filtering DROPS an input row older than the PREVIOUS
+    batch's watermark before it ever reaches the applyInPandasWithState
+    fold — even with drop_late=False. Only rows inside the one-batch
+    lag window (between the previous batch's watermark and the current
+    one) reach the fold; that lag window is exactly where the r12
+    merge-vs-new-session late-row class lives, and drop_late closes it
+    by filtering against the CURRENT watermark."""
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        drain_exact,
+    )
+
+    in_dir = tmp_path / "lf_in"
+    in_dir.mkdir()
+    files = [
+        [(0, 9000, 2)],   # b0 runs at wm 0; wm after = 8000
+        [(1, 9100, 2)],   # b1 runs at wm 8000 (late-filter for b1: 0)
+        [(2, 5000, 1)],   # b2's late-filter = b1's wm = 8000 > 5000
+        [(3, 40_000, 9)],
+    ]
+    for i, rows in enumerate(files):
+        _write_now(str(in_dir / f"f{i}.parquet"), rows, i)
+    out = str(tmp_path / "lf_out")
+    drain_exact(
+        spark, str(in_dir), out, str(tmp_path / "lf_ckpt"),
+        schema=SCHEMA, gap_s=100, watermark_delay_s=1000,
+        max_files_per_trigger=1,
+    )
+    got = _sessions(spark, out)
+    # user 1's row was dropped BY SPARK (no session, not even a
+    # merged or late-opened one); user 2's session flushed normally
+    assert [r for r in got if r[0] == 1] == []
+    assert (2, 9000, 9100, 2) in got
