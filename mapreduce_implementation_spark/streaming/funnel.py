@@ -130,9 +130,11 @@ def _funnel_fn(
         for pdf in pdfs:
             evs.extend(zip((int(t) for t in pdf["t"]), (int(s) for s in pdf["si"])))
         if drop_late:
-            # built-in-agg late filter applyInPandasWithState omits
-            # (see sessionize._sessionize_fn): rows behind the batch
-            # watermark never reach the order-sensitive fold
+            # close the one-batch lag window Spark's previous-batch
+            # watermark filter leaves open (see the corrected contract
+            # in sessionize.sessionize_stream): rows behind the
+            # CURRENT batch watermark never reach the order-sensitive
+            # fold
             wm = state.getCurrentWatermarkMs()
             if wm > 0:
                 evs = [(t, s) for t, s in evs if t * 1000 >= wm]
@@ -188,9 +190,11 @@ def streaming_funnel(
     """Append-mode stream of completed conversions. Filter to funnel
     event types rides the scan (pushed down).
 
-    ``drop_late=True`` (event mode only — round 13): filter
-    late-beyond-watermark rows inside the fold, the built-in-agg
-    semantics applyInPandasWithState omits — the determinism-over-
+    ``drop_late=True`` (event mode only — round 13; contract
+    corrected round 15): Spark's own late-record filtering already
+    drops rows older than the PREVIOUS batch's watermark before the
+    fold — this flag closes the remaining one-batch LAG WINDOW by
+    filtering against the CURRENT watermark, the determinism-over-
     inclusion trade documented at
     streaming/sessionize.sessionize_stream.
 
