@@ -41,6 +41,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
 from mapreduce_implementation_spark.operators.events import funnel_events
+from mapreduce_implementation_spark.streaming.sessionize import (
+    WATERMARK_SENTINEL_USER,
+)
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -53,8 +56,19 @@ OUTPUT_SCHEMA = StructType(
 _UNSET = -1  # slot sentinel (GroupState round-trips plain longs)
 
 
-def _state_schema(k: int) -> StructType:
-    return StructType([StructField(f"s{i}", LongType()) for i in range(k)])
+def _state_schema(k: int, ordering: str = "arrival") -> StructType:
+    fields = [StructField(f"s{i}", LongType()) for i in range(k)]
+    if ordering == "watermark":
+        # pending not-yet-matured events ride in state until the
+        # watermark passes them (see _funnel_fn_wm) — bounded by the
+        # per-user event count inside one watermark-delay window
+        from pyspark.sql.types import ArrayType
+
+        fields += [
+            StructField("buf_t", ArrayType(LongType())),
+            StructField("buf_si", ArrayType(LongType())),
+        ]
+    return StructType(fields)
 
 
 def _funnel_fn(
@@ -95,6 +109,13 @@ def _funnel_fn(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if user_id == WATERMARK_SENTINEL_USER:
+            # flush sentinel (write_flush_sentinel with a step-typed
+            # event_type so it survives the pre-watermark filter): its
+            # watermark job is done before the fold runs
+            if state.exists:
+                state.remove()
+            return
         if state.hasTimedOut:
             slots = list(state.get) if state.exists else [_UNSET] * k
             if slots[k - 1] != _UNSET:
@@ -174,6 +195,130 @@ def _funnel_fn(
     return fn
 
 
+def _funnel_fn_wm(k: int, within_s: int):
+    """WATERMARK-ORDERED state fold (round 15; event mode only): the
+    order-insensitive counterpart of _funnel_fn. Arriving events BUFFER
+    in state; an event is folded only once the watermark passes it
+    (matured), and matured events fold in global EVENT-TIME order —
+    Spark's late-record filter guarantees no future arrival can precede
+    the current watermark (an event with t < wm would be dropped
+    against the next batch's late-watermark ≥ wm), so the matured
+    sequence is a deterministic, batching-independent serialization of
+    the delivered data.
+
+    Semantics over that sequence — GREEDY-RESTART: t1 = the first
+    step-0 event of the CURRENT attempt; when a later event proves the
+    open attempt's window closed (t > t1 + within_s, chain incomplete)
+    the attempt expires IN-FOLD and the next step-0 event seeds a
+    fresh one. Equal to the batch twin's greedy-earliest whenever the
+    user's FIRST attempt is the converting one (pytest-pinned);
+    after a failed attempt the batch twin stays dead forever (its t1
+    is fixed at the first step-0 event ever) while this fold retries —
+    the operational "sliding first-touch" reading, chosen so state
+    stays O(mid-funnel + converted) instead of one dead-marker per
+    user who ever emitted a view. Conversion stays once-per-user
+    terminal (done-marker), exactly like the arrival fold.
+
+    Because conversions emit only when MATURED, a bounded drain must
+    push the final watermark past every real event: drain with
+    sessionize.drain_exact(sentinel_lead_s=delay+1,
+    sentinel_extra_cols={"event_type": steps[0]}) — the step-typed
+    sentinel survives the funnel's pre-watermark type filter and the
+    reserved-key guard keeps it out of state and output."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if user_id == WATERMARK_SENTINEL_USER:
+            if state.exists:
+                state.remove()
+            return
+        if state.exists:
+            vals = state.get
+            slots = list(vals[:k])
+            buf = sorted(zip(vals[k] or [], vals[k + 1] or []))
+        else:
+            slots = [_UNSET] * k
+            buf = []
+        if slots[k - 1] != _UNSET:
+            # converted done-marker: terminal, once per user ever; no
+            # timer is armed so it simply stays
+            yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
+            return
+        if not state.hasTimedOut:
+            evs: list[tuple[int, int]] = []
+            for pdf in pdfs:
+                evs.extend(
+                    zip(
+                        (int(t) for t in pdf["t"]),
+                        (int(s) for s in pdf["si"]),
+                    )
+                )
+            buf = sorted(buf + evs)
+        wm = state.getCurrentWatermarkMs()
+        matured = [(t, si) for t, si in buf if t * 1000 < wm]
+        rest = [(t, si) for t, si in buf if t * 1000 >= wm]
+        done: tuple[int, int] | None = None
+        for t, si in matured:
+            if (
+                slots[0] != _UNSET
+                and t - slots[0] > within_s
+            ):
+                # the open attempt's window is provably closed at this
+                # event's time: expire IN-FOLD (event-time, not
+                # batch-time — keeps the fold a pure function of the
+                # matured sequence) and let this event seed a retry
+                slots = [_UNSET] * k
+            if si == 0:
+                if slots[0] == _UNSET:
+                    slots[0] = t
+            elif (
+                slots[si] == _UNSET
+                and slots[si - 1] != _UNSET
+                and t >= slots[si - 1]
+                and t - slots[0] <= within_s
+            ):
+                slots[si] = t
+                if si == k - 1:
+                    done = (slots[0], t)
+                    break
+        if done is not None:
+            state.update(tuple(slots) + ([], []))  # done marker, buf dropped
+            yield pd.DataFrame(
+                {"user_id": [user_id], "t0": [done[0]], "t_final": [done[1]]}
+            )
+            return
+        # batch-time cleanup (semantically idempotent with the in-fold
+        # expiry): an open attempt whose window the watermark closed
+        # can never convert, and with an empty buffer the state holds
+        # nothing a future event needs
+        if slots[0] != _UNSET and (slots[0] + within_s) * 1000 < wm:
+            slots = [_UNSET] * k
+        if slots[0] == _UNSET and not rest:
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
+            return
+        state.update(
+            tuple(slots)
+            + ([t for t, _ in rest], [s for _, s in rest])
+        )
+        # wake when the earliest buffered event matures or the open
+        # attempt's window closes, whichever first
+        targets = []
+        if rest:
+            targets.append(min(t for t, _ in rest) * 1000 + 1)
+        if slots[0] != _UNSET:
+            targets.append((slots[0] + within_s) * 1000 + 1)
+        state.setTimeoutTimestamp(max(min(targets), wm + 1))
+        yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
+
+    return fn
+
+
 def streaming_funnel(
     events_stream: DataFrame,
     steps: tuple[str, ...] | list[str],
@@ -186,9 +331,23 @@ def streaming_funnel(
     timeout_mode: str | None = None,
     watermark_delay_s: int | None = None,
     drop_late: bool = False,
+    ordering: str = "arrival",
 ) -> DataFrame:
     """Append-mode stream of completed conversions. Filter to funnel
     event types rides the scan (pushed down).
+
+    ``ordering`` (round 15): ``"arrival"`` (default) folds events as
+    micro-batches deliver them — sorted within a batch, order-
+    sensitive ACROSS batches (the documented cross-batch-disorder
+    divergence from the batch twin, pinned in
+    tests/test_streaming_funnel.py); ``"watermark"`` (event mode
+    only) buffers events in state until the watermark matures them
+    and folds in global EVENT-TIME order — the sessionize close-rule
+    principle applied to the order-sensitive funnel recurrence, so
+    with watermark_delay_s ≥ the staging disorder the conversion set
+    is a pure function of the data, independent of batching and
+    restarts (see _funnel_fn_wm for the greedy-restart expiry
+    semantics and the bounded-drain sentinel contract).
 
     ``drop_late=True`` (event mode only — round 13; contract
     corrected round 15): Spark's own late-record filtering already
@@ -236,6 +395,21 @@ def streaming_funnel(
             "drop_late requires timeout_mode='event' (there is no "
             "watermark to be late against in the other modes)"
         )
+    if ordering not in ("arrival", "watermark"):
+        raise ValueError(
+            f"ordering must be 'arrival' or 'watermark', got {ordering!r}"
+        )
+    if ordering == "watermark" and timeout_mode != "event":
+        raise ValueError(
+            "ordering='watermark' requires timeout_mode='event' — "
+            "maturity IS the watermark"
+        )
+    if ordering == "watermark" and drop_late:
+        raise ValueError(
+            "ordering='watermark' already folds deterministically in "
+            "event-time order; drop_late would only shrink the "
+            "delivered set for no determinism gain — drop one"
+        )
     # shared input contract with the batch fold — validation, the
     # (user_id, t, si) projection, NULL-ts drop — one definition
     ev = funnel_events(
@@ -254,16 +428,21 @@ def streaming_funnel(
         conf = GroupStateTimeout.ProcessingTimeTimeout
     else:
         conf = GroupStateTimeout.NoTimeout
-    return ev.groupBy("user_id").applyInPandasWithState(
-        _funnel_fn(
+    fold = (
+        _funnel_fn_wm(k, within_s)
+        if ordering == "watermark"
+        else _funnel_fn(
             k,
             within_s,
             state_ttl_factor * within_s * 1000,
             timeout_mode,
             drop_late,
-        ),
+        )
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fold,
         outputStructType=OUTPUT_SCHEMA,
-        stateStructType=_state_schema(k),
+        stateStructType=_state_schema(k, ordering),
         outputMode="append",
         timeoutConf=conf,
     )

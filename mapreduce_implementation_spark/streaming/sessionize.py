@@ -358,6 +358,7 @@ def write_flush_sentinel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     filename: str | None = None,
+    extra_cols: dict[str, str] | None = None,
 ) -> str:
     """Stage a watermark-advancing FLUSH SENTINEL into a file-source
     directory — the bounded-drain completion step for the
@@ -384,8 +385,14 @@ def write_flush_sentinel(
     end-of-corpus); passing the true max reproduces the control.
 
     Returns the staged file path. Only ``user_col``/``ts_col`` are
-    written; other source-schema columns read as NULL, which the
-    sessionize projection never touches.
+    written by default; other source-schema columns read as NULL,
+    which the sessionize projection never touches. ``extra_cols``
+    (round 15) adds constant STRING columns — operators that FILTER
+    before their watermark (the funnel's ``event_type
+    isin(steps)``) would otherwise never see the sentinel row, so it
+    could not advance their watermark: pass e.g. ``{"event_type":
+    "view"}`` so the row survives the filter; the fold's reserved-key
+    guard still keeps it out of state and output.
 
     WARNING (round-13 judge finding 4): the sentinel lands in the LIVE
     source directory — until it is cleaned up, any CONCURRENT reader
@@ -404,15 +411,13 @@ def write_flush_sentinel(
     if name.startswith(("_", ".")):
         raise ValueError("sentinel filename must not be hidden (_/. prefix)")
     path = os.path.join(in_dir, name)
-    pq.write_table(
-        pa.table(
-            {
-                user_col: pa.array([WATERMARK_SENTINEL_USER], pa.int64()),
-                ts_col: pa.array([max_ts_s * 1_000_000], pa.timestamp("us")),
-            }
-        ),
-        path,
-    )
+    cols = {
+        user_col: pa.array([WATERMARK_SENTINEL_USER], pa.int64()),
+        ts_col: pa.array([max_ts_s * 1_000_000], pa.timestamp("us")),
+    }
+    for col, val in (extra_cols or {}).items():
+        cols[col] = pa.array([val], pa.string())
+    pq.write_table(pa.table(cols), path)
     return path
 
 
@@ -510,6 +515,8 @@ def drain_exact(
     ts_col: str = "ts",
     max_files_per_trigger: int | None = None,
     query_builder=None,
+    sentinel_lead_s: int = 0,
+    sentinel_extra_cols: dict[str, str] | None = None,
 ) -> dict:
     """One-call EXACT bounded drain (round-14 verdict item 5): run the
     available-now sessionize drain, then complete the trailing-flush
@@ -606,8 +613,17 @@ def drain_exact(
     if row.m is None:
         # empty source: nothing drained, nothing pending
         return {**report, "drained": False}
+    # sentinel_lead_s (round 15): stage the sentinel AHEAD of the real
+    # max event time — operators that emit only MATURED results (the
+    # watermark-ordered funnel buffers events until the watermark
+    # passes them) need the final watermark pushed past every real
+    # event (lead >= delay + 1), where the sessionize timer contract
+    # only needs the control's own watermark (lead 0, the default).
+    # sentinel_extra_cols rides through to write_flush_sentinel for
+    # operators that filter before their watermark (funnel steps).
     sentinel = write_flush_sentinel(
-        in_dir, int(row.m), user_col=user_col, ts_col=ts_col
+        in_dir, int(row.m) + sentinel_lead_s, user_col=user_col,
+        ts_col=ts_col, extra_cols=sentinel_extra_cols,
     )
     # Remove the sentinel ONLY after the drain returns successfully
     # (ADVICE r14): if _drain() raises after the sentinel batch's

@@ -296,3 +296,156 @@ def test_event_mode_divergence_window_vs_batch(spark, tmp_path):
         for r in funnel(batch, STEPS, within_s=WITHIN).collect()
     }[len(STEPS) - 1]
     assert n_last == 2  # batch sees the full ordered history: both convert
+
+
+# ---------------------------------------------------------------------------
+# Round-15: ordering="watermark" — the sessionize close-rule principle
+# applied to the order-sensitive funnel recurrence. Events buffer until
+# the watermark matures them and fold in global event-time order, so
+# the conversion set is batching/restart-invariant for any disorder
+# within the delay. Bounded drains complete through drain_exact with a
+# step-typed sentinel staged past every real event.
+# ---------------------------------------------------------------------------
+
+FUNNEL_SCHEMA = "user_id long, ts timestamp, event_type string"
+
+
+def _stage_wm(tmp_path, tag, files):
+    """files: list of [(user, t, type), ...] — one parquet per batch,
+    mtime-ordered from NOW (the file source ignores files older than
+    latest-seen - 7d once a sentinel has been staged)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = tmp_path / f"{tag}_in"
+    in_dir.mkdir()
+    for i, rows in enumerate(files):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                    ),
+                    "event_type": pa.array(
+                        [r[2] for r in rows], pa.string()
+                    ),
+                }
+            ),
+            str(in_dir / f"f{i}.parquet"),
+        )
+        m = int(time.time()) + i * 60
+        os.utime(str(in_dir / f"f{i}.parquet"), (m, m))
+    return in_dir
+
+
+def _drain_wm_funnel(spark, tmp_path, tag, files, delay_s, mfpt=1):
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        drain_exact,
+    )
+
+    in_dir = _stage_wm(tmp_path, tag, files)
+    out = str(tmp_path / f"{tag}_out")
+    drain_exact(
+        spark, str(in_dir), out, str(tmp_path / f"{tag}_ckpt"),
+        schema=FUNNEL_SCHEMA,
+        max_files_per_trigger=mfpt,
+        sentinel_lead_s=delay_s + 1,
+        sentinel_extra_cols={"event_type": STEPS[0]},
+        query_builder=lambda stream: streaming_funnel(
+            stream, STEPS, within_s=WITHIN, timeout_mode="event",
+            watermark_delay_s=delay_s, ordering="watermark",
+        ),
+    )
+    return sorted(
+        (r.user_id, r.t0, r.t_final)
+        for r in spark.read.parquet(out).collect()
+    )
+
+
+def test_watermark_ordering_matches_batch_under_cross_batch_disorder(
+    spark, tmp_path
+):
+    """The r13-pinned divergence case, now CONVERGENT: u11's middle
+    step arrives a batch after its purchase was seen — arrival
+    ordering loses the conversion (test_event_mode_divergence...),
+    watermark ordering folds in event-time order and matches batch."""
+    # times start at 1000, not 0: rows exactly at the initial epoch-0
+    # watermark are dropped by the engine (the FILES-fixture caveat)
+    files = [
+        [(11, 1000, "view"), (11, 1008, "purchase")],
+        [(11, 1005, "click"), (12, 1020, "view"), (12, 1028, "purchase"),
+         (12, 1025, "click")],
+    ]
+    got = _drain_wm_funnel(spark, tmp_path, "wmd", files, delay_s=1000)
+    assert got == [(11, 1000, 1008), (12, 1020, 1028)]
+
+    batch = spark.createDataFrame(
+        [(u, t, e) for f in files for u, t, e in f],
+        "user_id long, t long, event_type string",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "event_type")
+    n_last = {
+        r.step_idx: r.n_users
+        for r in funnel(batch, STEPS, within_s=WITHIN).collect()
+    }[len(STEPS) - 1]
+    assert n_last == len(got) == 2
+
+
+def test_watermark_ordering_batching_invariant(spark, tmp_path):
+    """Same disordered data, three trigger sizes: identical
+    conversion sets (the arrival fold is batch-cut-sensitive here)."""
+    files = [
+        [(1, 1000, "view"), (2, 1300, "view")],
+        [(1, 1040, "purchase"), (2, 1310, "click")],
+        [(1, 1020, "click"), (2, 1320, "purchase"), (3, 1500, "click")],
+    ]
+    results = [
+        _drain_wm_funnel(
+            spark, tmp_path, f"inv{i}", files, delay_s=1000, mfpt=m
+        )
+        for i, m in enumerate((1, 2, None))
+    ]
+    assert results[0] == results[1] == results[2]
+    assert results[0] == [(1, 1000, 1040), (2, 1300, 1320)]
+
+
+def test_watermark_ordering_greedy_restart_and_terminal(spark, tmp_path):
+    """Expiry semantics: a failed attempt expires in-fold and a later
+    chain converts (greedy-RESTART — the documented divergence from
+    the batch twin's fixed-first-view greedy-earliest, which would
+    stay dead); conversion remains once-per-user terminal."""
+    files = [
+        # u1: view at 1000 never completes; full chain at 1500 converts
+        [(1, 1000, "view"), (1, 1500, "view")],
+        [(1, 1510, "click"), (1, 1520, "purchase")],
+        # u7: converts, then a SECOND full chain must not re-emit
+        [(7, 1000, "view"), (7, 1001, "click"), (7, 1002, "purchase")],
+        [(7, 1300, "view"), (7, 1301, "click"), (7, 1302, "purchase")],
+    ]
+    got = _drain_wm_funnel(spark, tmp_path, "gr", files, delay_s=1000)
+    assert got == [(1, 1500, 1520), (7, 1000, 1002)]
+
+
+def test_watermark_ordering_validation(spark, tmp_path):
+    stream = (
+        spark.readStream.schema(FUNNEL_SCHEMA)
+        .parquet(str(tmp_path))
+    )
+    with pytest.raises(ValueError, match="watermark"):
+        streaming_funnel(
+            stream, STEPS, within_s=10, use_timeout=False,
+            ordering="watermark",
+        )
+    with pytest.raises(ValueError, match="drop_late"):
+        streaming_funnel(
+            stream, STEPS, within_s=10, timeout_mode="event",
+            ordering="watermark", drop_late=True,
+        )
+    with pytest.raises(ValueError, match="ordering"):
+        streaming_funnel(
+            stream, STEPS, within_s=10, timeout_mode="event",
+            ordering="bogus",
+        )
