@@ -619,6 +619,12 @@ def drain_exact(
     # passes them) need the final watermark pushed past every real
     # event (lead >= delay + 1), where the sessionize timer contract
     # only needs the control's own watermark (lead 0, the default).
+    # A lead-completed drain is TERMINAL for event times <= max_ts +
+    # lead - delay: appending older data afterwards is out of
+    # contract (Spark's late filter drops it at the advanced
+    # watermark) — resume-equivalence applies to INTERRUPTED runs,
+    # which never staged the sentinel (pytest-pinned in
+    # tests/test_streaming_funnel.py).
     # sentinel_extra_cols rides through to write_flush_sentinel for
     # operators that filter before their watermark (funnel steps).
     sentinel = write_flush_sentinel(

@@ -449,3 +449,90 @@ def test_watermark_ordering_validation(spark, tmp_path):
             stream, STEPS, within_s=10, timeout_mode="event",
             ordering="bogus",
         )
+
+
+def test_watermark_ordering_resume_matches_one_shot(spark, tmp_path):
+    """Kill-resume invariance: an UNCOMPLETED plain drain over half the
+    files (the interrupted-run shape — no sentinel, watermark still at
+    the real data), then the rest of the files appear, then one
+    drain_exact — the final conversion set equals the one-shot drain's
+    (the buffered fold's output is a pure function of the delivered
+    data and the final watermark). Note the completion step is
+    TERMINAL by design: drain_exact's lead sentinel advances the
+    watermark past max_ts + lead − delay, so appending OLDER data
+    after a completed drain is out of contract (Spark's late filter
+    drops it) — resume-equivalence holds for interrupted runs, which
+    never staged the sentinel."""
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        drain_exact,
+    )
+
+    files = [
+        [(11, 1000, "view"), (11, 1008, "purchase")],
+        [(11, 1005, "click"), (12, 1020, "view")],
+        [(12, 1028, "purchase"), (12, 1025, "click")],
+    ]
+    one_shot = _drain_wm_funnel(spark, tmp_path, "os", files, delay_s=1000)
+
+    in_dir = _stage_wm(tmp_path, "rs", files[:1])
+    out = str(tmp_path / "rs_out")
+    ckpt = str(tmp_path / "rs_ckpt")
+
+    def build(stream):
+        return streaming_funnel(
+            stream, STEPS, within_s=WITHIN, timeout_mode="event",
+            watermark_delay_s=1000, ordering="watermark",
+        )
+
+    # interrupted-run shape: a bare availableNow drain, no completion
+    q = (
+        build(
+            spark.readStream.schema(FUNNEL_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(in_dir))
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, rows in enumerate(files[1:], start=1):
+        p = str(in_dir / f"f{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                    ),
+                    "event_type": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        m = int(time.time()) + 300 + i * 60
+        os.utime(p, (m, m))
+    report = drain_exact(
+        spark, str(in_dir), out, ckpt,
+        schema=FUNNEL_SCHEMA,
+        max_files_per_trigger=1,
+        sentinel_lead_s=1001,
+        sentinel_extra_cols={"event_type": STEPS[0]},
+        query_builder=build,
+    )
+    assert report["resumed"] is True
+    got = sorted(
+        (r.user_id, r.t0, r.t_final)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == one_shot == [(11, 1000, 1008), (12, 1020, 1028)]
