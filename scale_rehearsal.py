@@ -422,6 +422,17 @@ def run_streaming_ops(spark, events_dir: str) -> dict[str, float]:
             FUNNEL_WITHIN_S,
             timeout_mode="event",
         ),
+        # round 15: the watermark-ordered (buffered, order-insensitive)
+        # funnel — same data, same steps; peak state additionally holds
+        # the not-yet-matured event buffers (bounded by the per-user
+        # event count inside one watermark-delay window)
+        "funnel_event_wm": lambda: streaming_funnel(
+            read(),
+            ("view", "click", "purchase"),
+            FUNNEL_WITHIN_S,
+            timeout_mode="event",
+            ordering="watermark",
+        ),
     }
     out: dict[str, float] = {}
     for name, build in ops.items():
