@@ -451,7 +451,8 @@ def test_watermark_ordering_validation(spark, tmp_path):
         )
 
 
-def test_watermark_ordering_resume_matches_one_shot(spark, tmp_path):
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_watermark_ordering_resume_matches_one_shot(spark, tmp_path, provider):
     """Kill-resume invariance: an UNCOMPLETED plain drain over half the
     files (the interrupted-run shape — no sentinel, watermark still at
     the real data), then the rest of the files appear, then one
@@ -463,9 +464,21 @@ def test_watermark_ordering_resume_matches_one_shot(spark, tmp_path):
     after a completed drain is out of contract (Spark's late filter
     drops it) — resume-equivalence holds for interrupted runs, which
     never staged the sentinel."""
+    from mapreduce_implementation_spark.streaming.queries import (
+        ROCKSDB_STATE_STORE_PROVIDER,
+    )
     from mapreduce_implementation_spark.streaming.sessionize import (
         drain_exact,
     )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    if provider == "rocksdb":
+        spark.conf.set(key, ROCKSDB_STATE_STORE_PROVIDER)
+    elif before is not None:
+        spark.conf.unset(key)
+    tmp_path = tmp_path / provider
+    tmp_path.mkdir()
 
     files = [
         [(11, 1000, "view"), (11, 1008, "purchase")],
@@ -536,3 +549,10 @@ def test_watermark_ordering_resume_matches_one_shot(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == one_shot == [(11, 1000, 1008), (12, 1020, 1028)]
+    if before is not None:
+        spark.conf.set(key, before)
+    else:
+        try:
+            spark.conf.unset(key)
+        except Exception:
+            pass
