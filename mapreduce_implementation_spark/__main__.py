@@ -64,6 +64,10 @@ curve, the SQ8 layout verdict) via ``operators.calibrate.calibrate_ann``
 runs ``streaming.sessionize.drain_exact`` (the managed
 resume-and-finish bounded drain) and prints its resume-state report —
 the 100 TB operational story no longer needs a Python shim.
+``--operator funnel --steps view,click,purchase --within-s N
+[--ordering watermark|arrival]`` drains the streaming funnel instead,
+staging the step-typed lead sentinel the watermark-ordered fold's
+completion contract requires.
 
     python -m mapreduce_implementation_spark diagnose-restart \
         CHECKPOINT [--json]
@@ -324,6 +328,24 @@ def drain_main(argv: list[str]) -> int:
     p.add_argument("--user-col", default="user_id")
     p.add_argument("--ts-col", default="ts")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument(
+        "--operator", default="sessionize",
+        choices=["sessionize", "funnel"],
+        help="the stateful query to drain (funnel: pass --steps; its "
+        "completion sentinel is staged step-typed and past every real "
+        "event so matured conversions flush)",
+    )
+    p.add_argument(
+        "--steps", default="view,click,purchase",
+        help="funnel step event types, comma-separated, in order",
+    )
+    p.add_argument("--within-s", type=int, default=1800)
+    p.add_argument(
+        "--ordering", default="watermark",
+        choices=["watermark", "arrival"],
+        help="funnel fold ordering (watermark = order-insensitive, "
+        "the bounded-drain recommendation)",
+    )
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
 
@@ -333,6 +355,36 @@ def drain_main(argv: list[str]) -> int:
     )
 
     spark = get_spark(app_name="mris-drain")
+    extra = {}
+    if args.operator == "funnel":
+        from mapreduce_implementation_spark.streaming.funnel import (
+            streaming_funnel,
+        )
+
+        steps = tuple(s for s in args.steps.split(",") if s)
+        delay = (
+            args.within_s
+            if args.watermark_delay_s is None
+            else args.watermark_delay_s
+        )
+        extra = {
+            "query_builder": lambda stream: streaming_funnel(
+                stream, steps, within_s=args.within_s,
+                timeout_mode="event", watermark_delay_s=delay,
+                drop_late=args.drop_late, ordering=args.ordering,
+                user_col=args.user_col, ts_col=args.ts_col,
+            ),
+            # matured conversions flush only once the watermark passes
+            # every real event; the sentinel must survive the funnel's
+            # step-type filter
+            "sentinel_lead_s": delay + 1 if args.ordering == "watermark" else 0,
+            "sentinel_extra_cols": {"event_type": steps[0]},
+        }
+        if args.ordering == "watermark" and args.drop_late:
+            raise SystemExit(
+                "--ordering watermark already folds deterministically; "
+                "drop --drop-late"
+            )
     report = drain_exact(
         spark,
         args.in_dir,
@@ -345,6 +397,7 @@ def drain_main(argv: list[str]) -> int:
         user_col=args.user_col,
         ts_col=args.ts_col,
         max_files_per_trigger=args.max_files_per_trigger,
+        **extra,
     )
     if args.json:
         print(json.dumps(report))

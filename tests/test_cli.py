@@ -263,3 +263,50 @@ def test_cli_drain_and_diagnose_restart(spark, tmp_path, capsys):
     diag = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert diag["resume_consumed_orphan"] is True
     assert diag["orphan_source_entries"] == 1
+
+
+def test_cli_drain_funnel_watermark(spark, tmp_path, capsys):
+    """round-15: the drain subcommand drives the watermark-ordered
+    funnel end-to-end — conversions flush through the step-typed lead
+    sentinel and the sentinel is cleaned up."""
+    import json
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = tmp_path / "fdrain_in"
+    in_dir.mkdir()
+    rows = [(1, 1000, "view"), (1, 1010, "click"), (1, 1020, "purchase"),
+            (2, 1500, "view")]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        str(in_dir / "f0.parquet"),
+    )
+    m = int(time.time())
+    os.utime(str(in_dir / "f0.parquet"), (m, m))
+    out_dir = str(tmp_path / "fdrain_out")
+    rc = main([
+        "drain", str(in_dir), out_dir, str(tmp_path / "fdrain_ckpt"),
+        "--schema", "user_id long, ts timestamp, event_type string",
+        "--operator", "funnel", "--steps", "view,click,purchase",
+        "--within-s", "100", "--watermark-delay-s", "60", "--json",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["drained"] is True
+    got = sorted(
+        (r.user_id, r.t0, r.t_final)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [(1, 1000, 1020)]
+    assert not [f for f in os.listdir(in_dir) if "sentinel" in f]
