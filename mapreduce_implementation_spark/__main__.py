@@ -361,7 +361,15 @@ def drain_main(argv: list[str]) -> int:
             streaming_funnel,
         )
 
-        steps = tuple(s for s in args.steps.split(",") if s)
+        steps = tuple(s.strip() for s in args.steps.split(",") if s.strip())
+        if len(steps) < 2:
+            # ADVICE r15: an empty/blank --steps otherwise crashes with
+            # IndexError at steps[0] (and a 1-step funnel is a filter,
+            # not a funnel) — fail as a usage error instead
+            p.error(
+                f"--steps needs at least 2 comma-separated event types, "
+                f"got {args.steps!r}"
+            )
         delay = (
             args.within_s
             if args.watermark_delay_s is None

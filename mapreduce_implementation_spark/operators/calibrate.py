@@ -318,8 +318,11 @@ def calibrate_ann(
                       r13/r14 — at a recall cost bounded by the
                       quantization noise, re-measured here),
            "sq8_recall": recall@k at the recommended nprobe scoring
-                      SQ8 CODES against float truth (None when the
-                      probe skipped it),
+                      SQ8 CODES against float truth — measured
+                      UNCONDITIONALLY (even when the float index is
+                      small enough that quantize stays None, the
+                      number is the evidence for flipping it later;
+                      None only when the truth set is empty),
            "est_index_bytes": N · dim · 4,
            "probe": {"sample_n", "nlist_probe", "n_queries", "k"}},
          "warnings": [...]}
@@ -377,6 +380,18 @@ def calibrate_ann(
     first = sample.select(F.size("embedding").alias("d")).first()
     dim = int(first.d) if first and first.d is not None else 0
     nlist_probe = max(2, min(n_s, round(n_s / points_per_list)))
+    if round(n_s / points_per_list) < 2:
+        # ADVICE r15: when the >=2 clamp binds, the probe's lists are
+        # DENSER than the recommendation's points_per_list — the stated
+        # basis for the recall curve transferring to the full corpus —
+        # so say so instead of letting the report imply parity held
+        warnings.append(
+            f"nlist_probe clamp binds (sample {n_s} vectors / "
+            f"points_per_list {points_per_list:.0f} rounds below 2): "
+            "the probe cannot preserve points-per-list, so the recall "
+            "curve may not transfer — raise sample_n toward at least "
+            f"{int(2 * points_per_list)} vectors"
+        )
     if n_s < 2 * k:
         warnings.append(
             f"probe sample has only {n_s} vectors for k={k} — recall "

@@ -47,6 +47,15 @@ OUTPUT_SCHEMA = StructType(
 # (watermark lag / gap_s) + 1 ≈ (watermark_delay_s / gap_s) + 2 — O(1)
 # w.r.t. stream length, so the state-store bound is still |active
 # users| × a small constant.
+#
+# FORMAT BREAK (round 15, guarded in round 16 — ADVICE r15): before
+# the close rule this was a SCALAR (start_s, last_s, n_events) triple.
+# Spark cannot migrate state-store rows in place, so resuming a
+# checkpoint written by the old fold fails its state-schema
+# compatibility check mid-batch (or misreads rows if that check is
+# disabled). drain_exact calls check_state_format() up front and
+# fails with a migration message; restart such pipelines from a fresh
+# checkpoint (the bounded drain is idempotent from scratch).
 STATE_SCHEMA = StructType(
     [
         StructField("start_s", ArrayType(LongType())),
@@ -54,6 +63,22 @@ STATE_SCHEMA = StructType(
         StructField("n_events", ArrayType(LongType())),
     ]
 )
+
+def _fs_and_path(uri: str):
+    """Resolve a directory/file URI to ``(pyarrow.fs.FileSystem,
+    path)`` — the same resolution the partitioned-sink compactor uses
+    (sources/sinks.py), so the sentinel/checkpoint lifecycle below
+    works on any filesystem Spark can read (round-16: the previous
+    ``os.path``/``os.listdir`` lifecycle was silently local-only while
+    the ``drain`` CLI accepted hdfs://-style URIs). ``s3a://`` — the
+    Hadoop connector scheme Spark jobs use — maps to pyarrow's ``s3``;
+    plain paths resolve to the local filesystem."""
+    import pyarrow.fs as pafs
+
+    if uri.startswith("s3a://"):
+        uri = "s3://" + uri[len("s3a://"):]
+    return pafs.FileSystem.from_uri(uri)
+
 
 # Reserved user id for watermark-advancing flush sentinels (round-13
 # verdict item 6): rows with this key still advance the query's
@@ -359,6 +384,7 @@ def write_flush_sentinel(
     ts_col: str = "ts",
     filename: str | None = None,
     extra_cols: dict[str, str] | None = None,
+    token: str | None = None,
 ) -> str:
     """Stage a watermark-advancing FLUSH SENTINEL into a file-source
     directory — the bounded-drain completion step for the
@@ -400,24 +426,42 @@ def write_flush_sentinel(
     ``WATERMARK_SENTINEL_USER`` row that only THIS fold filters.
     Prefer :func:`drain_exact`, which stages it, drains, and removes
     the file in one call; if calling this directly, delete the
-    returned path once the drain commits."""
-    import os
+    returned path once the drain commits.
+
+    ``token`` (ADVICE r15) scopes the sentinel to ONE checkpoint:
+    it rides in the default filename
+    (``zz-flush-sentinel-<token>-<uuid>.parquet``) so
+    :func:`drain_exact`'s success-path sweep can match only ITS
+    checkpoint's sentinels — a concurrent drain over the same
+    directory with a different checkpoint may have staged (and
+    already offsets-logged) its own sentinel, and deleting that one
+    would wedge the other checkpoint on FileNotFound, the exact
+    failure the delete-after-success rule exists to prevent.
+
+    The write goes through ``pyarrow.fs`` (round-16 verdict item 3),
+    so ``in_dir`` may be any URI Spark can stream from (local /
+    ``hdfs://`` / ``s3a://``), not just a local path."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    name = filename or f"zz-flush-sentinel-{uuid.uuid4().hex[:8]}.parquet"
+    scope = f"{token}-" if token else ""
+    name = (
+        filename
+        or f"zz-flush-sentinel-{scope}{uuid.uuid4().hex[:8]}.parquet"
+    )
     if name.startswith(("_", ".")):
         raise ValueError("sentinel filename must not be hidden (_/. prefix)")
-    path = os.path.join(in_dir, name)
+    fs, dir_path = _fs_and_path(in_dir)
+    path = dir_path.rstrip("/") + "/" + name
     cols = {
         user_col: pa.array([WATERMARK_SENTINEL_USER], pa.int64()),
         ts_col: pa.array([max_ts_s * 1_000_000], pa.timestamp("us")),
     }
     for col, val in (extra_cols or {}).items():
         cols[col] = pa.array([val], pa.string())
-    pq.write_table(pa.table(cols), path)
+    pq.write_table(pa.table(cols), path, filesystem=fs)
     return path
 
 
@@ -451,23 +495,45 @@ def inspect_resume_state(checkpoint: str) -> dict:
     run the pipeline (control and resume alike) with
     ``watermark_delay_s`` ≥ the source's staging disorder: then no
     row is ever late under either watermark and restart parity is
-    exact (pytest-pinned in tests/test_streaming_restart.py)."""
+    exact (pytest-pinned in tests/test_streaming_restart.py).
+
+    Checkpoint listings/reads go through ``pyarrow.fs`` (round-16
+    verdict item 3) so the checkpoint may live on any URI the drain
+    CLI accepts. Entry-id parsing accepts both plain ``<id>`` files
+    and the ``<id>.compact`` names Spark's CompactibleFileStreamLog
+    writes every Nth file-source entry (ADVICE r15: past the
+    compaction interval the compact file may be the ONLY surviving
+    record of the newest ids once older plain entries are cleaned
+    up, so ignoring it understates ``max(src_ids)`` and
+    false-negatives the orphan detection this report exists for)."""
     import json as _json
-    import os
+
+    import pyarrow.fs as pafs
+
+    fs, ckpt = _fs_and_path(checkpoint)
+    ckpt = ckpt.rstrip("/")
 
     def log_ids(sub: str) -> list[int]:
-        d = os.path.join(checkpoint, sub)
-        if not os.path.isdir(d):
-            return []
-        return sorted(int(f) for f in os.listdir(d) if f.isdigit())
+        ids = []
+        for info in fs.get_file_info(
+            pafs.FileSelector(f"{ckpt}/{sub}", allow_not_found=True)
+        ):
+            name = info.base_name
+            if name.endswith(".compact"):
+                name = name[: -len(".compact")]
+            if name.isdigit():
+                ids.append(int(name))
+        return sorted(ids)
 
     offsets_ids = log_ids("offsets")
     commits_ids = log_ids("commits")
     last_wm_ms = None
     per_source_offsets: list[int | None] = []
     if offsets_ids:
-        with open(os.path.join(checkpoint, "offsets", str(offsets_ids[-1]))) as f:
-            lines = [l for l in f.read().splitlines() if l and l != "v1"]
+        with fs.open_input_stream(f"{ckpt}/offsets/{offsets_ids[-1]}") as f:
+            lines = [
+                l for l in f.read().decode().splitlines() if l and l != "v1"
+            ]
         # line 1: batch metadata (watermark); later lines: one offset
         # JSON per source, in source-index order (sources/<i> dirs)
         meta = _json.loads(lines[0])
@@ -486,7 +552,7 @@ def inspect_resume_state(checkpoint: str) -> dict:
     # ...; the offsets lines are in the same index order)
     orphans = 0
     for i, off in enumerate(per_source_offsets):
-        src_ids = log_ids(os.path.join("sources", str(i)))
+        src_ids = log_ids(f"sources/{i}")
         if src_ids and off is not None and max(src_ids) > off:
             orphans += max(src_ids) - off
     return {
@@ -499,6 +565,58 @@ def inspect_resume_state(checkpoint: str) -> dict:
         "orphan_source_entries": orphans,
         "last_batch_watermark_ms": last_wm_ms,
     }
+
+
+def check_state_format(checkpoint: str) -> None:
+    """Fail fast on the round-15 sessionize state-format break (ADVICE
+    r15): STATE_SCHEMA changed from a scalar (start_s, last_s,
+    n_events) triple to parallel ARRAYS when the watermark close rule
+    landed. Spark cannot migrate state-store rows in place — resuming
+    a pre-r15 checkpoint fails its state-schema compatibility check
+    deep inside the first micro-batch (or misreads rows if that check
+    is disabled) — so convert the known break into a clear up-front
+    error with the migration instruction.
+
+    Detection is deliberately byte-level: the checkpoint's recorded
+    value schema (``state/0/_metadata/`` in Spark's internal framing;
+    ``_stateSchema`` checked too for newer layouts) contains the
+    scalar field encoding ``"name":"start_s","type":"long"`` iff it
+    was written by the old fold — the new format encodes an array
+    type there. A missing or unreadable schema file PASSES: Spark's
+    own checker stays the authority; this guard only names the one
+    break we shipped. Listings go through ``pyarrow.fs`` like the
+    rest of the checkpoint tooling."""
+    import pyarrow.fs as pafs
+
+    fs, ckpt = _fs_and_path(checkpoint)
+    ckpt = ckpt.rstrip("/")
+    for sub in ("state/0/_metadata", "state/0/_stateSchema"):
+        try:
+            infos = fs.get_file_info(
+                pafs.FileSelector(
+                    f"{ckpt}/{sub}", recursive=True, allow_not_found=True
+                )
+            )
+        except OSError:
+            continue
+        for info in infos:
+            if info.type != pafs.FileType.File:
+                continue
+            try:
+                with fs.open_input_stream(info.path) as f:
+                    blob = f.read()
+            except OSError:
+                continue
+            if b'"name":"start_s","type":"long"' in blob:
+                raise ValueError(
+                    f"checkpoint {checkpoint!r} was written by the "
+                    "pre-round-15 sessionize state format (scalar "
+                    "start_s/last_s/n_events); the current fold stores "
+                    "parallel arrays and Spark cannot migrate state in "
+                    "place — finish that checkpoint with the old code, "
+                    "or restart from a FRESH checkpoint (the bounded "
+                    "drain is idempotent from scratch)"
+                )
 
 
 def drain_exact(
@@ -568,11 +686,19 @@ def drain_exact(
     restart parity run with ``watermark_delay_s`` ≥ the staging
     disorder (no row is then late under EITHER watermark — the band
     is empty, pytest-pinned)."""
-    import os
+    import hashlib
 
     from pyspark.sql import functions as F
 
+    check_state_format(checkpoint)
     report = inspect_resume_state(checkpoint)
+    # checkpoint-scoped sentinel token (ADVICE r15): the success-path
+    # sweep below must only delete sentinels staged for THIS
+    # checkpoint — a concurrent drain over the same in_dir with a
+    # different checkpoint may have offsets-logged its own sentinel,
+    # and removing that file would wedge the other checkpoint on
+    # FileNotFound at replay
+    token = hashlib.md5(checkpoint.rstrip("/").encode()).hexdigest()[:12]
 
     if query_builder is None:
         def query_builder(stream):
@@ -629,7 +755,7 @@ def drain_exact(
     # operators that filter before their watermark (funnel steps).
     sentinel = write_flush_sentinel(
         in_dir, int(row.m) + sentinel_lead_s, user_col=user_col,
-        ts_col=ts_col, extra_cols=sentinel_extra_cols,
+        ts_col=ts_col, extra_cols=sentinel_extra_cols, token=token,
     )
     # Remove the sentinel ONLY after the drain returns successfully
     # (ADVICE r14): if _drain() raises after the sentinel batch's
@@ -642,16 +768,28 @@ def drain_exact(
     # and cleans both on success.
     _drain()
     # success: this drain has consumed every available file, so every
-    # default-named sentinel in the directory (ours plus any stale one
-    # a failed earlier drain left) is committed and safe to delete
+    # sentinel THIS CHECKPOINT staged (ours plus any stale one a
+    # failed earlier drain_exact on the same checkpoint left) is
+    # committed and safe to delete. Token-scoped (ADVICE r15): a
+    # concurrent drain's sentinel — different checkpoint, different
+    # token — stays untouched; its own success path sweeps it.
+    # Listing/removal through pyarrow.fs (round-16 verdict item 3) so
+    # the sweep works on non-local in_dir URIs.
+    import pyarrow.fs as pafs
+
+    fs, dir_path = _fs_and_path(in_dir)
+    prefix = f"zz-flush-sentinel-{token}-"
     stale = [
-        os.path.join(in_dir, f)
-        for f in os.listdir(in_dir)
-        if f.startswith("zz-flush-sentinel-") and f.endswith(".parquet")
+        info.path
+        for info in fs.get_file_info(
+            pafs.FileSelector(dir_path.rstrip("/"), allow_not_found=True)
+        )
+        if info.base_name.startswith(prefix)
+        and info.base_name.endswith(".parquet")
     ]
     for path in {sentinel, *stale}:
         try:
-            os.remove(path)
+            fs.delete_file(path)
         except OSError:
             pass  # already gone; the drain committed either way
     return {**report, "drained": True}

@@ -237,3 +237,30 @@ class TestCalibrateAnn:
             calibrate_ann(planted_emb, nprobe_max=0)
         with pytest.raises(ValueError, match="empty"):
             calibrate_ann(planted_emb.where(F.col("vec_id") < 0))
+
+
+def test_calibrate_ann_warns_when_points_per_list_clamp_binds(
+    spark, planted_emb
+):
+    """ADVICE r15: when sample_n is small relative to the recommended
+    points_per_list, the nlist_probe >= 2 clamp makes the probe's
+    lists DENSER than the recommendation — the stated transfer basis
+    breaks — so the report must say so instead of implying parity."""
+    from mapreduce_implementation_spark.operators.calibrate import (
+        calibrate_ann,
+    )
+
+    # n_rows=320 -> nlist=18, points_per_list~17.8; a 24-vector sample
+    # rounds 24/17.8 to 1 < 2, so the clamp binds
+    report = calibrate_ann(
+        planted_emb, k=3, sample_n=24, n_queries=8, nprobe_max=2,
+        n_rows=320,
+    )
+    assert any("clamp binds" in w for w in report["warnings"])
+    assert report["ann"]["probe"]["nlist_probe"] == 2
+
+    # and stays silent when points-per-list is preserved
+    full = calibrate_ann(
+        planted_emb, k=3, sample_n=320, n_queries=8, nprobe_max=2,
+    )
+    assert not any("clamp binds" in w for w in full["warnings"])

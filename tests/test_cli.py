@@ -310,3 +310,20 @@ def test_cli_drain_funnel_watermark(spark, tmp_path, capsys):
     )
     assert got == [(1, 1000, 1020)]
     assert not [f for f in os.listdir(in_dir) if "sentinel" in f]
+
+
+def test_cli_drain_funnel_blank_steps_is_usage_error(capsys):
+    """ADVICE r15: an empty/blank --steps must exit as a usage error,
+    not crash with IndexError at steps[0]."""
+    import pytest
+
+    from mapreduce_implementation_spark.__main__ import drain_main
+
+    for bad in ("", " , ,", "view"):
+        with pytest.raises(SystemExit) as e:
+            drain_main(
+                ["in", "out", "ckpt", "--schema", "user_id long",
+                 "--operator", "funnel", "--steps", bad]
+            )
+        assert e.value.code == 2
+        assert "--steps" in capsys.readouterr().err
