@@ -855,16 +855,9 @@ def run_ingest_ref_ab(spark, docs_dir: str) -> dict[str, float]:
 
 
 def calibration(spark) -> float:
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        materialize(
-            spark.range(0, 100_000_000, 1, 32).select(
-                F.sum((F.col("id") % 7) * 3 + 1).alias("s")
-            )
-        )
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+    from measure_protocol import calibration_probe
+
+    return calibration_probe(spark)
 
 
 def hof_seed(spark) -> float:
@@ -875,30 +868,11 @@ def hof_seed(spark) -> float:
     — and return its min-of-2 seconds; main() divides by the
     calibration probe so every rehearsal summary carries its
     process-draw evidence (fast band ≲3.2; slow draws measured
-    4.6/5.8)."""
-    P = 2_147_483_647
-    xs = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: F.pmod(F.xxhash64(F.col("id"), i), F.lit(P)),
-    )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("_xs"), lambda x, a=a: (a * x + 17) % P)
-            )
-            for a in (7, 11, 13, 19)
-        ]
-    )
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        materialize(
-            spark.range(0, 200_000, 1, 32)
-            .select(xs.alias("_xs"))
-            .select(sig.alias("s"))
-        )
-        best = min(best, time.perf_counter() - t0)
-    return best
+    4.6/5.8). The probe itself is measure_protocol.hof_canary_seconds
+    (round-16 verdict item 8: one canary, every harness)."""
+    from measure_protocol import hof_canary_seconds
+
+    return hof_canary_seconds(spark)
 
 
 def main() -> None:
