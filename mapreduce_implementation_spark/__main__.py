@@ -193,11 +193,28 @@ def calibrate_main(argv: list[str]) -> int:
     p.add_argument("--n-sample", type=int, default=300)
     p.add_argument("--skew-top-n", type=int, default=5)
     p.add_argument(
+        "--shingle-impl", default="auto",
+        choices=["auto", "string", "tokhash"],
+        help="signature family to calibrate under; 'auto' (default) "
+        "adopts the measured per-corpus recommendation so the report "
+        "feeds builds at the winning family",
+    )
+    p.add_argument(
+        "--no-recommend-shingle", action="store_true",
+        help="skip the shingle-family probe (requires an explicit "
+        "--shingle-impl)",
+    )
+    p.add_argument(
         "--json", action="store_true",
         help="emit the raw report (feed it back as calibration= for "
         "zero-decision-job miner builds)",
     )
     args = p.parse_args(argv)
+    if args.no_recommend_shingle and args.shingle_impl == "auto":
+        p.error(
+            "--no-recommend-shingle needs an explicit --shingle-impl "
+            "(auto is resolved BY the recommendation probe)"
+        )
 
     from mapreduce_implementation_spark import get_spark
     from mapreduce_implementation_spark.operators.calibrate import (
@@ -227,6 +244,8 @@ def calibrate_main(argv: list[str]) -> int:
         cap_strategy=args.cap_strategy,
         n_sample=args.n_sample,
         skew_top_n=args.skew_top_n,
+        shingle_impl=args.shingle_impl,
+        recommend_shingle=not args.no_recommend_shingle,
     )
     if args.json:
         print(json.dumps(report))
@@ -479,6 +498,20 @@ def _print_calibration_table(report: dict) -> None:
     row("cap_bites", buckets["cap_bites"])
     for band_id, band_hash, n, share in buckets["top"]:
         row("top", f"band={band_id} n={n} share={share:.4f} {band_hash[:12]}")
+    sh = report.get("shingle")
+    if sh:
+        print("shingle family")
+        row("recommendation", sh["recommendation"])
+        row("adopted", sh["adopted"])
+        row("build_probe_docs", sh["build_probe_docs"])
+        row("build_speedup", f"tokhash {sh['build_speedup_tokhash']}x")
+        for arm in ("string", "tokhash"):
+            row(
+                arm,
+                f"build_sec={sh[arm]['build_sec']} "
+                f"recall={sh[arm]['recall']} "
+                f"precision={sh[arm]['precision']}",
+            )
     print("warnings" if report["warnings"] else "warnings: none")
     for w in report["warnings"]:
         print(f"  - {w}")

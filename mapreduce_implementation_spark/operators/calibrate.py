@@ -50,6 +50,8 @@ def calibrate_corpus(
     n_sample: int = 300,
     skew_top_n: int = 5,
     recall_floor: float = 0.8,
+    recommend_shingle: bool = False,
+    build_probe_docs: int = 100_000,
 ) -> dict:
     """Measure the production dedup/quality knobs on ``docs`` and
     return them as recommendations WITH their evidence::
@@ -101,7 +103,38 @@ def calibrate_corpus(
     plant, as the round-10 note records), and a biting cap. The
     returned knob values are the measured production defaults; pytest
     pins them against the hand-derived round-10/11 values on the
-    rehearsal corpus (tests/test_corpus_api.py)."""
+    rehearsal corpus (tests/test_corpus_api.py).
+
+    Shingle-family recommendation (round-16 verdict item 2 — a user
+    following the pre-flight previously got the slower string build
+    silently): with ``shingle_impl="auto"`` — the ``calibrate`` CLI's
+    default — or ``recommend_shingle=True`` (library opt-in: the
+    probe's build timings make the report non-deterministic across
+    runs, which the bare library call keeps as a contract) the report
+    gains a ``"shingle"`` section that prices BOTH families on this
+    corpus — per-family miner recall on the same frozen probe sample,
+    and per-family signature-build seconds on a bounded
+    ``build_probe_docs`` sample (interleaved min-of-2; the chain is
+    map-only, so per-doc cost transfers) — and recommends ``tokhash``
+    iff it is faster AND its recall sits inside the string arm's
+    draw-noise band (±0.05; min-wise sampling quality does not depend
+    on which injective map drew the shingle ints —
+    tests/test_minhash_hash.py). In-process caveat: both arms share
+    this process's JIT draw, which COMPRESSES the ratio on a slow
+    draw (BASELINE.md r15) — it never flips the faster arm, so the
+    recommendation stands; cross-process numbers live in BASELINE.md.
+
+    ``shingle_impl="auto"`` ADOPTS the recommendation: the main
+    calibration (banded counts, screen regime, headline probes) then
+    runs under the recommended family, so the report's
+    ``minhash.shingle_impl`` matches and feeding it back as
+    ``calibration=`` to ``minhash_near_dup_pairs`` /
+    ``CorpusPipelineConfig(calibration=...)`` builds at the
+    recommended family with zero extra jobs. With an EXPLICIT family
+    the recommendation is advisory: a warning says when the other
+    family measured better (recalibrate with ``"auto"`` to adopt).
+    ``sig_hash != "md5"`` pins the string family (tokhash never
+    strong-hashes shingle strings), so ``"auto"`` is refused there."""
     from mapreduce_implementation_spark.functions.textstats import (
         quality_score,
         quality_threshold_for_retention,
@@ -115,7 +148,50 @@ def calibrate_corpus(
         raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
     if cap_strategy not in ("window", "antijoin", "representative", "slice"):
         raise ValueError(f"unknown cap strategy {cap_strategy!r}")
+    if shingle_impl not in ("string", "tokhash", "auto"):
+        raise ValueError(
+            f"shingle_impl must be string|tokhash|auto, got {shingle_impl!r}"
+        )
+    if shingle_impl == "auto" and sig_hash != "md5":
+        raise ValueError(
+            "shingle_impl='auto' cannot adopt tokhash under a "
+            "non-default sig_hash (tokhash never strong-hashes shingle "
+            "strings) — pin shingle_impl='string'"
+        )
     warnings: list[str] = []
+
+    # 0) shingle-family recommendation (round-16 verdict item 2): price
+    # both families on THIS corpus before anything else so "auto" can
+    # run the rest of the calibration under the winner
+    shingle_section: dict | None = None
+    inset_by_arm: dict = {}
+    if (recommend_shingle or shingle_impl == "auto") and sig_hash == "md5":
+        shingle_section, inset_by_arm = _probe_shingle_families(
+            docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+            k=k, bands=bands, rows=rows, threshold=threshold,
+            max_bucket=max_bucket, n_sample=n_sample,
+            build_probe_docs=build_probe_docs,
+        )
+        if shingle_impl == "auto":
+            shingle_impl = shingle_section["recommendation"]
+        shingle_section["adopted"] = (
+            shingle_impl == shingle_section["recommendation"]
+        )
+        if not shingle_section["adopted"]:
+            warnings.append(
+                "measured shingle-family recommendation is "
+                f"{shingle_section['recommendation']!r} "
+                f"(tokhash build speedup "
+                f"{shingle_section['build_speedup_tokhash']}x on the "
+                "probe) but this calibration ran under "
+                f"{shingle_impl!r} — recalibrate with "
+                "shingle_impl='auto' to adopt it"
+            )
+    elif recommend_shingle:
+        warnings.append(
+            "shingle-family recommendation skipped: sig_hash="
+            f"{sig_hash!r} pins the string family"
+        )
 
     # 1) quality floor from the retention target (t-digest corpus pass)
     floor = quality_threshold_for_retention(
@@ -134,18 +210,22 @@ def calibrate_corpus(
     ).first()
     retention = (srow.kept / srow.n) if srow.n else None
 
-    # 2) in-set miner recall at the production knobs
-    def miner(s: DataFrame) -> DataFrame:
-        return minhash_near_dup_pairs(
-            s, id_col, text_col, shingle_n=shingle_n, k=k, bands=bands,
-            rows=rows, threshold=threshold, max_bucket=max_bucket,
-            sig_hash=sig_hash, shingle_impl=shingle_impl,
-        )
+    # 2) in-set miner recall at the production knobs (reused from the
+    # family probe when it already ran this exact miner/sample)
+    if shingle_impl in inset_by_arm:
+        inset = inset_by_arm[shingle_impl]
+    else:
+        def miner(s: DataFrame) -> DataFrame:
+            return minhash_near_dup_pairs(
+                s, id_col, text_col, shingle_n=shingle_n, k=k, bands=bands,
+                rows=rows, threshold=threshold, max_bucket=max_bucket,
+                sig_hash=sig_hash, shingle_impl=shingle_impl,
+            )
 
-    inset = miner_recall_probe(
-        docs, miner, id_col=id_col, text_col=text_col, n_sample=n_sample,
-        threshold=threshold, shingle_n=shingle_n,
-    )
+        inset = miner_recall_probe(
+            docs, miner, id_col=id_col, text_col=text_col,
+            n_sample=n_sample, threshold=threshold, shingle_n=shingle_n,
+        )
 
     # 3) cross-set ingest recall through the production chain
     def cross(new: DataFrame, ref: DataFrame) -> DataFrame:
@@ -274,8 +354,116 @@ def calibrate_corpus(
         "buckets": {
             "max_bucket": max_bucket, "top": top, "cap_bites": cap_bites,
         },
+        "shingle": shingle_section,
         "warnings": warnings,
     }
+
+
+def _probe_shingle_families(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    k: int,
+    bands: int,
+    rows: int,
+    threshold: float,
+    max_bucket: int | None,
+    n_sample: int,
+    build_probe_docs: int,
+) -> tuple[dict, dict]:
+    """Price the two shingle families on THIS corpus (round-16 verdict
+    item 2). Two measurements per family:
+
+    * miner recall through the REAL production miner on the same
+      frozen probe sample (identical salt ⇒ identical sample, so the
+      recalls are directly comparable; families legitimately differ by
+      draw noise on borderline pairs — the ±0.05 band the
+      recommendation rule uses, same contract as
+      tests/test_minhash_hash.py).
+    * signature-build seconds on a bounded deterministic
+      ``build_probe_docs`` sample, arms INTERLEAVED, min-of-2 per arm.
+      The signature chain is map-only (no shuffle), so per-doc cost
+      transfers to the full corpus; both arms share this process's JIT
+      draw, which on a slow draw COMPRESSES the ratio but never flips
+      the faster arm (BASELINE.md r15) — the cross-process
+      BASELINE.md numbers (1.38x build at 1M docs) are the
+      scale-grade evidence, this probe is the per-corpus check.
+
+    Returns ``(section, inset_by_arm)`` — the report's ``"shingle"``
+    section plus each arm's full recall-probe dict so the caller
+    reuses the final family's probe instead of re-running it."""
+    import time
+
+    def _materialize(df: DataFrame) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    arms = ("string", "tokhash")
+    inset_by_arm: dict = {}
+    for arm in arms:
+        def m(s: DataFrame, a: str = arm) -> DataFrame:
+            return minhash_near_dup_pairs(
+                s, id_col, text_col, shingle_n=shingle_n, k=k,
+                bands=bands, rows=rows, threshold=threshold,
+                max_bucket=max_bucket, shingle_impl=a,
+            )
+
+        inset_by_arm[arm] = miner_recall_probe(
+            docs, m, id_col=id_col, text_col=text_col, n_sample=n_sample,
+            threshold=threshold, shingle_n=shingle_n,
+        )
+
+    bsample = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col))
+        .orderBy(
+            F.xxhash64(F.col(id_col), F.lit("shinglebuild")), F.col(id_col)
+        )
+        .limit(build_probe_docs)
+        .localCheckpoint(eager=True)
+    )
+    bn = bsample.count()
+    build_sec = {a: float("inf") for a in arms}
+    for _ in range(2):
+        for arm in arms:
+            t0 = time.perf_counter()
+            _materialize(
+                minhash_signatures(
+                    bsample, id_col, text_col, shingle_n=shingle_n, k=k,
+                    shingle_impl=arm,
+                )
+            )
+            build_sec[arm] = min(
+                build_sec[arm], time.perf_counter() - t0
+            )
+    r_s = inset_by_arm["string"]["recall"]
+    r_t = inset_by_arm["tokhash"]["recall"]
+    # recommend the fast family only when its recall sits inside the
+    # string arm's draw-noise band; unprobe-able recalls (sparse
+    # corpus) fall back to the pytest-pinned parity contract
+    recall_ok = r_s is None or r_t is None or r_t >= r_s - 0.05
+    faster = build_sec["tokhash"] < build_sec["string"]
+    section = {
+        "recommendation": "tokhash" if (recall_ok and faster) else "string",
+        "build_probe_docs": int(bn),
+        "build_speedup_tokhash": (
+            round(build_sec["string"] / build_sec["tokhash"], 2)
+            if build_sec["tokhash"]
+            else None
+        ),
+        "string": {
+            "build_sec": round(build_sec["string"], 3),
+            "recall": r_s,
+            "precision": inset_by_arm["string"]["precision"],
+        },
+        "tokhash": {
+            "build_sec": round(build_sec["tokhash"], 3),
+            "recall": r_t,
+            "precision": inset_by_arm["tokhash"]["precision"],
+        },
+    }
+    return section, inset_by_arm
 
 
 def calibrate_ann(

@@ -96,12 +96,21 @@ class CorpusPipelineConfig:
     # opt-out for oracle-exact parity runs
     near_dup_max_bucket: int | None = DEFAULT_MAX_BUCKET
     # signature family for the near-dup stage (round 15): "string"
-    # (md5 over n-gram concat strings — the oracle-replayable default)
-    # or "tokhash" (shingle int64s from token-hash slices — measured
+    # (md5 over n-gram concat strings — the oracle-replayable default),
+    # "tokhash" (shingle int64s from token-hash slices — measured
     # 1.38x signature build / 1.21x miner at 1M docs, BASELINE.md r15;
     # re-probe recall per corpus via calibrate_corpus at the same
-    # family before adopting)
+    # family before adopting), or "auto" (round 16): adopt the family
+    # the ``calibration`` report was measured under — the
+    # calibrate_corpus pre-flight's recommendation when it ran with
+    # shingle_impl="auto" — falling back to "string" with no report
     near_dup_shingle_impl: str = "string"
+    # the calibrate_corpus report for THIS corpus at the near_dup_*
+    # knobs (round 16): the miner reads its screen/cap decisions with
+    # ZERO build-time Spark jobs and "auto" adopts its signature
+    # family; structural knob mismatches (k/bands/rows/shingle_n/
+    # max_bucket/family) raise via the miner's calibration check
+    calibration: dict | None = None
     split_weights: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.9, "holdout": 0.1}
     )
@@ -218,13 +227,23 @@ def build_training_corpus(
         # frame per build) — the table is also the honest 100 TB
         # layout, shared by the band explode and both verify joins.
         k = cfg.near_dup_bands * cfg.near_dup_rows
+        # "auto" adopts the calibration report's measured family
+        # (round 16 — calibrate_corpus(shingle_impl="auto") stamps its
+        # recommendation there); an EXPLICIT family that contradicts
+        # the report raises inside the miner's calibration knob check
+        shingle_impl = cfg.near_dup_shingle_impl
+        if shingle_impl == "auto":
+            cal = cfg.calibration or {}
+            shingle_impl = cal.get("minhash", cal).get(
+                "shingle_impl", "string"
+            )
         sigs = ensure_table(
             docs.sparkSession,
             _os.path.join(scratch_dir("mris_pipeline_neardup_"), "sigs"),
             lambda: minhash_signatures(
                 deduped, id_col, text_col,
                 shingle_n=cfg.near_dup_shingle_n, k=k,
-                shingle_impl=cfg.near_dup_shingle_impl,
+                shingle_impl=shingle_impl,
             ),
         )
         pairs = minhash_near_dup_pairs(
@@ -238,7 +257,8 @@ def build_training_corpus(
             threshold=cfg.near_dup_threshold,
             max_bucket=cfg.near_dup_max_bucket,
             signatures=sigs,
-            shingle_impl=cfg.near_dup_shingle_impl,
+            shingle_impl=shingle_impl,
+            calibration=cfg.calibration,
         )
         clusters = connected_components(pairs, "doc_a", "doc_b")
         near_drops = clusters.where(

@@ -264,3 +264,75 @@ def test_calibrate_ann_warns_when_points_per_list_clamp_binds(
         planted_emb, k=3, sample_n=320, n_queries=8, nprobe_max=2,
     )
     assert not any("clamp binds" in w for w in full["warnings"])
+
+
+def test_shingle_recommendation_report_feeds_builds(spark, planted):
+    """round-16 verdict item 2: calibrate_corpus(shingle_impl='auto')
+    probes both signature families, adopts the recommendation, and the
+    resulting report feeds minhash_near_dup_pairs and the corpus
+    pipeline AT the recommended family (knob check green) while a
+    contradicting explicit family still refuses."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from mapreduce_implementation_spark.operators.pipeline import (
+        CorpusPipelineConfig,
+        build_training_corpus,
+    )
+
+    report = calibrate_corpus(
+        planted, n_sample=60, shingle_impl="auto", build_probe_docs=50
+    )
+    sh = report["shingle"]
+    assert sh["recommendation"] in ("string", "tokhash")
+    assert sh["adopted"] is True
+    adopted = report["minhash"]["shingle_impl"]
+    assert adopted == sh["recommendation"]
+    # both arms were probed on the SAME frozen sample: truth identical
+    assert sh["string"]["recall"] is not None
+    assert sh["tokhash"]["recall"] is not None
+
+    # report -> miner at the adopted family: zero-job decisions, runs
+    pairs = minhash_near_dup_pairs(
+        planted, shingle_impl=adopted, calibration=report
+    )
+    assert pairs.count() > 0
+    # a contradicting family refuses (the r14 knob-check contract)
+    other = "string" if adopted == "tokhash" else "tokhash"
+    with pytest.raises(ValueError, match="shingle_impl"):
+        minhash_near_dup_pairs(
+            planted, shingle_impl=other, calibration=report
+        )
+
+    # report -> pipeline: near_dup_shingle_impl='auto' adopts it
+    art = build_training_corpus(
+        planted,
+        CorpusPipelineConfig(
+            split_weights={"train": 1.0},
+            near_dup=True,
+            near_dup_shingle_impl="auto",
+            calibration=report,
+        ),
+    )
+    # twins + boilerplate cohort collapse: far fewer docs survive
+    n_out = art["split_train"].count()
+    assert 0 < n_out < planted.count()
+
+
+def test_explicit_family_gets_advisory_warning_when_other_wins(
+    spark, planted
+):
+    """An explicit shingle_impl with recommend_shingle=True keeps the
+    calibration under that family but warns when the measured
+    recommendation differs (adoption stays the user's call)."""
+    report = calibrate_corpus(
+        planted, n_sample=60, shingle_impl="string",
+        recommend_shingle=True, build_probe_docs=50,
+    )
+    sh = report["shingle"]
+    assert report["minhash"]["shingle_impl"] == "string"
+    if sh["recommendation"] != "string":
+        assert sh["adopted"] is False
+        assert any("recalibrate" in w for w in report["warnings"])
+    else:
+        assert sh["adopted"] is True

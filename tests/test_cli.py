@@ -129,6 +129,44 @@ def test_cli_calibrate_json_matches_library(spark, tmp_path, capsys):
     path = str(tmp_path / "docs.parquet")
     docs.write.parquet(path)
 
+    # --no-recommend-shingle pins the deterministic report (the
+    # shingle section carries per-run build timings, so exact equality
+    # is only meaningful without it; the recommendation path has its
+    # own test below)
+    rc = main([
+        "calibrate", path, "--n-sample", "50", "--shingle-n", "2",
+        "--k", "8", "--bands", "2", "--rows", "4", "--max-bucket", "10",
+        "--shingle-impl", "string", "--no-recommend-shingle",
+        "--json",
+    ])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = calibrate_corpus(
+        spark.read.parquet(path), n_sample=50, shingle_n=2, k=8,
+        bands=2, rows=4, max_bucket=10, recommend_shingle=False,
+    )
+    assert got == json.loads(json.dumps(want))  # tuple/list normalize
+    assert got["minhash"]["screen_stats"] is not None
+    assert got["shingle"] is None
+
+
+def test_cli_calibrate_default_carries_shingle_recommendation(
+    spark, tmp_path, capsys
+):
+    """round-16 verdict item 2: the default pre-flight (shingle-impl
+    auto) probes both signature families, carries the recommendation
+    in --json, and the minhash section is stamped with the ADOPTED
+    family so the report feeds builds at the winner."""
+    import json
+
+    rows = [
+        (i, f"common boilerplate prefix shared text variant {i % 3}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs_rec.parquet")
+    docs.write.parquet(path)
+
     rc = main([
         "calibrate", path, "--n-sample", "50", "--shingle-n", "2",
         "--k", "8", "--bands", "2", "--rows", "4", "--max-bucket", "10",
@@ -136,12 +174,20 @@ def test_cli_calibrate_json_matches_library(spark, tmp_path, capsys):
     ])
     assert rc == 0
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    want = calibrate_corpus(
-        spark.read.parquet(path), n_sample=50, shingle_n=2, k=8,
-        bands=2, rows=4, max_bucket=10,
-    )
-    assert got == json.loads(json.dumps(want))  # tuple/list normalize
-    assert got["minhash"]["screen_stats"] is not None
+    sh = got["shingle"]
+    assert sh["recommendation"] in ("string", "tokhash")
+    assert sh["adopted"] is True  # auto ran the calibration under it
+    assert got["minhash"]["shingle_impl"] == sh["recommendation"]
+    for arm in ("string", "tokhash"):
+        assert sh[arm]["build_sec"] > 0
+    # usage error: opting out of the probe leaves 'auto' unresolvable
+    import pytest
+
+    from mapreduce_implementation_spark.__main__ import calibrate_main
+
+    with pytest.raises(SystemExit) as e:
+        calibrate_main([path, "--no-recommend-shingle"])
+    assert e.value.code == 2
 
 
 def test_cli_calibrate_table_output(spark, tmp_path, capsys):
