@@ -1282,6 +1282,74 @@ def _ann_calibration_section(calibration: dict) -> dict:
     return calibration.get("ann", calibration)
 
 
+ANN_CALIBRATION_STAMP = "_mris_ann_calibration.json"
+
+
+def stamp_index_calibration(index_dir: str, calibration: dict) -> None:
+    """Persist the calibrated ANN knobs NEXT TO the index data
+    (round-16 verdict item 4 — the readback half of the start()-time
+    validation): ``<index_dir>/_mris_ann_calibration.json`` holding
+    the ``calibrate_ann`` ``"ann"`` section. The underscore prefix
+    keeps it invisible to parquet partition discovery (Spark's hidden-
+    file convention), and the write goes through ``pyarrow.fs`` so
+    object-store index dirs work. Overwrites any previous stamp — the
+    calibration is part of the index contract, one per index."""
+    import json
+
+    import pyarrow.fs as pafs
+
+    fs, path = pafs.FileSystem.from_uri(index_dir)
+    path = path.rstrip("/")
+    fs.create_dir(path, recursive=True)
+    with fs.open_output_stream(f"{path}/{ANN_CALIBRATION_STAMP}") as f:
+        f.write(
+            json.dumps(_ann_calibration_section(calibration)).encode()
+        )
+
+
+def read_index_calibration(index_dir: str) -> dict | None:
+    """Read back the stamp written by :func:`stamp_index_calibration`
+    (None when the index carries no stamp — pre-round-16 indexes, or
+    builds that never calibrated)."""
+    import json
+
+    import pyarrow.fs as pafs
+
+    fs, path = pafs.FileSystem.from_uri(index_dir)
+    target = f"{path.rstrip('/')}/{ANN_CALIBRATION_STAMP}"
+    info = fs.get_file_info(target)
+    if info.type == pafs.FileType.NotFound:
+        return None
+    with fs.open_input_stream(target) as f:
+        return json.loads(f.read().decode())
+
+
+def existing_index_layout(spark, path: str) -> str | None:
+    """Sniff a materialized index's storage layout: ``"int8"`` (SQ8
+    codes), ``"float"`` (raw embeddings), or None when nothing is
+    committed yet. Benign failures (ADVICE r13 narrowed them
+    deliberately — anything else must propagate or it would silently
+    disarm the mixed-layout guard): PATH_NOT_FOUND (no directory),
+    and UNABLE_TO_INFER_SCHEMA (directory exists but holds no data
+    files — the state ``stamp_index_calibration`` leaves before the
+    first batch lands, since the stamp is a hidden non-parquet
+    file)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        cols = spark.read.parquet(path).columns
+    except AnalysisException as e:
+        cond = (
+            getattr(e, "getCondition", None)
+            or getattr(e, "getErrorClass", lambda: None)
+        )()
+        benign = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        if cond not in benign and not any(b in str(e) for b in benign):
+            raise
+        return None
+    return "int8" if SQ8_CODE_COL in cols else "float"
+
+
 def materialize_ivf_index(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -1400,27 +1468,10 @@ def append_to_ivf_index(
     # layout guard (review r13b): a mixed float/SQ8 dataset would read
     # under ONE file's schema (no mergeSchema), the other half's rows
     # would score NULL in the probe's sniffed column and silently
-    # vanish from every top-k — refuse loudly instead. Only the
-    # PATH_NOT_FOUND case means "first batch" (ADVICE r13): any other
-    # read failure (permissions, corrupt footer, empty dir) must
-    # propagate, or it would silently disarm exactly this guard and
-    # the mismatched rows would vanish from top-k with no error.
-    from pyspark.errors import AnalysisException
-
-    try:
-        existing = new_vectors.sparkSession.read.parquet(path).columns
-    except AnalysisException as e:
-        cond = (
-            getattr(e, "getCondition", None)
-            or getattr(e, "getErrorClass", lambda: None)
-        )()
-        if cond != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(e):
-            raise
-        existing = None  # first batch: nothing committed yet
-    if existing is not None and (SQ8_CODE_COL in existing) != (
-        quantize == "int8"
-    ):
-        have = "int8" if SQ8_CODE_COL in existing else "float"
+    # vanish from every top-k — refuse loudly instead (None from the
+    # sniffer means first batch: nothing committed yet).
+    have = existing_index_layout(new_vectors.sparkSession, path)
+    if have is not None and have != ("int8" if quantize == "int8" else "float"):
         want = quantize or "float"
         raise ValueError(
             f"index at {path} is {have}-encoded but this append is "

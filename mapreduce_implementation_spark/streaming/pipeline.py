@@ -446,6 +446,7 @@ def start_ingest_semantic_dedup_stream(
     trigger: dict | None = None,
     observe_name: str | None = "ingest_quality",
     ref_table: str | None = None,
+    calibration: dict | None = None,
 ):
     """Semantic dedup-at-ingest: embed each arriving micro-batch and
     flag documents that are semantic near-twins of the COMMITTED
@@ -470,7 +471,15 @@ def start_ingest_semantic_dedup_stream(
     :func:`commit_srp_reference` — the committed side's bucket bits
     and norms are read in place with zero exchanges per micro-batch
     (plan-gated in tests/test_streaming_pipeline.py). The path form
-    re-buckets the reference per batch and remains for ad-hoc runs."""
+    re-buckets the reference per batch and remains for ad-hoc runs.
+
+    ``calibration`` (round-16 verdict item 4): the ``calibrate_ann``
+    report for the committed vector corpus — validated at ``start()``
+    (not batch 0): the calibrated ``dim`` must equal this stream's
+    encoder ``dim``, because a dim mismatch between the new vectors
+    and the committed side scores garbage cosines SILENTLY (the SRP
+    bucket join still matches on plane signs). The SRP planes keep
+    their own md5 contract check above."""
     from mapreduce_implementation_spark.operators.inference import (
         embed_documents,
     )
@@ -480,6 +489,19 @@ def start_ingest_semantic_dedup_stream(
 
     if (ref_vectors_path is None) == (ref_table is None):
         raise ValueError("pass exactly one of ref_vectors_path / ref_table")
+    if calibration is not None:
+        from mapreduce_implementation_spark.operators.similarity import (
+            _ann_calibration_section,
+        )
+
+        cal = _ann_calibration_section(calibration)
+        if "dim" in cal and cal["dim"] != dim:
+            raise ValueError(
+                f"calibration was measured on dim={cal['dim']} vectors "
+                f"but this stream embeds at dim={dim} — mismatched "
+                "dims score garbage cosines silently; match the "
+                "encoder or recalibrate"
+            )
     if planes_path is None or out_dir is None or checkpoint_dir is None:
         raise ValueError(
             "planes_path, out_dir and checkpoint_dir are required"
@@ -562,6 +584,7 @@ def start_ingest_index_stream(
     observe_name: str | None = "ingest_quality",
     compact_every: int | None = None,
     quantize: str | None = None,
+    calibration: dict | None = None,
 ):
     """Index-at-ingest: embed each arriving micro-batch and APPEND it
     to the materialized IVF index (similarity.append_to_ivf_index) —
@@ -582,19 +605,81 @@ def start_ingest_index_stream(
     ``ivf_topk_from_index(spark, index_dir, ...)``. ``quantize="int8"``
     lands SQ8 codes instead of floats (the layout is fixed for the
     stream's lifetime, like the centroid snapshot — see
-    append_to_ivf_index)."""
+    append_to_ivf_index); ``quantize="auto"`` takes the layout from
+    the ``calibration`` report.
+
+    ``calibration`` (round-16 verdict item 4 — the same start()-time
+    contract check ``commit_minhash_reference`` stamps gave the
+    minhash ingest path in r10, closing the silent-mismatch class for
+    ANN ingest): the ``calibrate_ann`` report for THIS corpus. At
+    ``start()`` — NOT at batch 0 inside foreachBatch, where a
+    mismatch would only surface as a StreamingQueryException after
+    the checkpoint exists — the committed centroid snapshot must
+    count exactly the calibrated ``nlist`` (a different count means
+    the recall-vs-nprobe curve was measured at a different
+    points-per-list and its nprobe does not transfer), the encoder
+    ``dim`` must match the calibrated corpus dim (mismatched dims
+    score garbage cosines silently), and any EXISTING index layout
+    must match the resolved quantize. The calibrated knobs are then
+    STAMPED into the index directory
+    (``similarity.stamp_index_calibration``) so probes read the
+    contract back (``read_index_calibration``) instead of trusting
+    the caller to re-supply it."""
     from mapreduce_implementation_spark.operators.inference import (
         embed_documents,
     )
     from mapreduce_implementation_spark.operators.similarity import (
+        _ann_calibration_section,
         append_to_ivf_index,
+        existing_index_layout,
+        stamp_index_calibration,
     )
 
     # fail fast at the call site (review r13b): inside foreachBatch
     # the ValueError would only surface as a StreamingQueryException
     # at batch 0, after the checkpoint is created
-    if quantize not in (None, "int8"):
-        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+    if quantize not in (None, "int8", "auto"):
+        raise ValueError(
+            f"quantize must be None, 'int8' or 'auto', got {quantize!r}"
+        )
+    if quantize == "auto" and calibration is None:
+        raise ValueError(
+            "quantize='auto' reads the layout from a calibrate_ann "
+            "report — pass calibration=, or pin the layout explicitly"
+        )
+    if calibration is not None:
+        cal = _ann_calibration_section(calibration)
+        spark = docs_stream.sparkSession
+        if "nlist" in cal:
+            n_cents = spark.read.parquet(centroids_path).count()
+            if n_cents != cal["nlist"]:
+                raise ValueError(
+                    f"calibration recommends nlist={cal['nlist']} but "
+                    f"the centroid snapshot at {centroids_path} holds "
+                    f"{n_cents} — the measured recall-vs-nprobe curve "
+                    "holds at the calibrated points-per-list only; "
+                    "retrain or recalibrate"
+                )
+        if "dim" in cal and cal["dim"] != dim:
+            raise ValueError(
+                f"calibration was measured on dim={cal['dim']} vectors "
+                f"but this stream embeds at dim={dim} — mismatched "
+                "dims score garbage cosines silently; match the "
+                "encoder or recalibrate"
+            )
+        if quantize == "auto":
+            quantize = cal.get("quantize")
+        have = existing_index_layout(spark, index_dir)
+        if have is not None and have != (
+            "int8" if quantize == "int8" else "float"
+        ):
+            raise ValueError(
+                f"index at {index_dir} is {have}-encoded but this "
+                f"stream would append {quantize or 'float'} — the "
+                "layout is part of the index contract; match it or "
+                "rebuild under a fresh path"
+            )
+        stamp_index_calibration(index_dir, calibration)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

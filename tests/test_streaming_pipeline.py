@@ -961,3 +961,103 @@ def test_srp_sq8_reference_parity_plan_and_layout_guard(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ref_srp_f")
         spark.sql("DROP TABLE IF EXISTS t_ref_srp_q")
+
+
+def test_ingest_index_stream_calibration_contract(spark, tmp_path):
+    """round-16 verdict item 4: the ANN ingest starters validate the
+    calibrate_ann contract at start() — NOT at batch 0 inside
+    foreachBatch — refuse nlist/dim/layout mismatches, adopt
+    quantize='auto' from the report, and stamp the knobs into the
+    index directory for readback (the commit_minhash_reference
+    pattern from r10, applied to the ANN path)."""
+    import os
+
+    import pytest
+
+    from mapreduce_implementation_spark.operators import similarity as sim
+    from mapreduce_implementation_spark.operators.inference import (
+        embed_documents,
+    )
+    from mapreduce_implementation_spark.streaming.pipeline import (
+        start_ingest_index_stream,
+        start_ingest_semantic_dedup_stream,
+    )
+
+    stream_dir = str(tmp_path / "cal_in")
+    os.makedirs(stream_dir)
+    docs = _stage_two_batches(spark, stream_dir)
+    all_vecs = embed_documents(docs, dim=8).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    cents = sim.train_centroids(all_vecs, k=4, iters=2)
+    cents_path = str(tmp_path / "cal_cents")
+    cents.write.parquet(cents_path)
+    index_dir = str(tmp_path / "cal_index")
+    ckpt = str(tmp_path / "cal_ckpt")
+
+    good_cal = {
+        "ann": {
+            "nlist": 4, "nprobe": 2, "dim": 8, "quantize": "int8",
+            "recall": 0.95, "target_recall": 0.9,
+        }
+    }
+
+    # nlist mismatch refuses BEFORE the checkpoint exists
+    with pytest.raises(ValueError, match="nlist=5"):
+        start_ingest_index_stream(
+            _docs_stream(spark, stream_dir), cents_path, index_dir, ckpt,
+            dim=8, calibration={"ann": {**good_cal["ann"], "nlist": 5}},
+        )
+    # dim mismatch likewise
+    with pytest.raises(ValueError, match="dim=8"):
+        start_ingest_index_stream(
+            _docs_stream(spark, stream_dir), cents_path, index_dir, ckpt,
+            dim=16, calibration=good_cal,
+        )
+    assert not os.path.exists(ckpt), "refusals must precede the checkpoint"
+    # quantize='auto' needs a report to read from
+    with pytest.raises(ValueError, match="auto"):
+        start_ingest_index_stream(
+            _docs_stream(spark, stream_dir), cents_path, index_dir, ckpt,
+            dim=8, quantize="auto",
+        )
+
+    # the calibrated stream runs: auto resolves to SQ8, knobs stamped
+    q = start_ingest_index_stream(
+        _docs_stream(spark, stream_dir), cents_path, index_dir, ckpt,
+        dim=8, quantize="auto", calibration=good_cal,
+    )
+    q.awaitTermination()
+    assert sim.SQ8_CODE_COL in spark.read.parquet(index_dir).columns
+    stamp = sim.read_index_calibration(index_dir)
+    assert stamp == good_cal["ann"]
+    # the stamp is invisible to partition discovery (probe still runs)
+    queries = all_vecs.limit(2)
+    assert (
+        sim.ivf_topk_from_index(
+            spark, index_dir, queries, cents, k=3, nprobe=None,
+            calibration=stamp,
+        ).count()
+        > 0
+    )
+
+    # a later stream contradicting the committed layout refuses at
+    # start() (float append onto the SQ8 index)
+    with pytest.raises(ValueError, match="int8-encoded"):
+        start_ingest_index_stream(
+            _docs_stream(spark, stream_dir), cents_path, index_dir,
+            str(tmp_path / "cal_ckpt2"), dim=8,
+            calibration={"ann": {**good_cal["ann"], "quantize": None}},
+        )
+
+    # semantic starter: the dim contract check rides the same report
+    with pytest.raises(ValueError, match="dim=8"):
+        start_ingest_semantic_dedup_stream(
+            _docs_stream(spark, stream_dir),
+            ref_vectors_path=str(tmp_path / "nowhere"),
+            planes_path=str(tmp_path / "nowhere2"),
+            out_dir=str(tmp_path / "sem_out"),
+            checkpoint_dir=str(tmp_path / "sem_ckpt"),
+            dim=16,
+            calibration=good_cal,
+        )
