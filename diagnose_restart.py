@@ -15,7 +15,7 @@ checkpoint, then classifies the difference:
   log), and did the resumed run execute a trailing no-data batch?
 
 Usage: python diagnose_restart.py [max_trials] [--sorted]
-       [--drop-late] [--rocksdb]
+       [--drop-late] [--rocksdb] [--operator funnel]
 
 ``--drop-late`` (round-13 verdict item 4): run the operator with
 drop_late=True on the AS-STAGED (disordered) corpus — the late-row/
@@ -24,6 +24,17 @@ fold; the trailing-flush class (b) is completed with the
 write_flush_sentinel finish step after the resume (round-13 item 6),
 so the gate demands EXACT parity on every trial. ``--rocksdb``
 switches the state-store provider.
+
+``--operator funnel`` (round-16 verdict items 6+7): the same
+kill-resume protocol over the WATERMARK-ORDERED streaming funnel.
+Control and resumes both complete through drain_exact with the
+funnel's lead sentinel (matured conversions flush only when the
+watermark passes every real event), so parity demands the buffered
+fold's output be a pure function of the delivered data. The control
+step also prices the batch-vs-stream contract divergence (verdict
+item 6): funnel_converted_users (fixed first-touch) vs the stream's
+greedy-restart set on the same 2M corpus — stream ⊇ batch
+structurally; the printed stream_only count IS the retry class.
 """
 
 from __future__ import annotations
@@ -67,6 +78,9 @@ def main() -> None:
     # THROUGH the one-call helper (sentinel staged, drained, removed
     # inside drain_exact) instead of the manual three-step below
     drain_exact_mode = "--drain-exact" in sys.argv
+    funnel_mode = "--operator" in sys.argv and "funnel" in sys.argv
+    if funnel_mode:
+        drain_exact_mode = True  # matured flush needs the lead sentinel
 
     root = tempfile.mkdtemp(prefix="mris_diag_")
     events_dir = os.path.join(root, "events")
@@ -96,20 +110,54 @@ def main() -> None:
             os.utime(os.path.join(sorted_dir, f), (mt, mt))
         events_dir = sorted_dir
 
+    SCHEMA = (
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    STEPS = ("view", "click", "purchase")
+    if funnel_mode:
+        from mapreduce_implementation_spark.streaming.funnel import (
+            streaming_funnel,
+        )
+        from scale_rehearsal import FUNNEL_WITHIN_S
+
+        def query_builder(stream):
+            return streaming_funnel(
+                stream, STEPS, within_s=FUNNEL_WITHIN_S,
+                timeout_mode="event", ordering="watermark",
+            )
+
+        drain_kwargs = {
+            "query_builder": query_builder,
+            # matured conversions flush only once the watermark passes
+            # every real event; the sentinel must survive the funnel's
+            # step-type filter (same contract as the drain CLI)
+            "sentinel_lead_s": FUNNEL_WITHIN_S + 1,
+            "sentinel_extra_cols": {"event_type": STEPS[0]},
+        }
+        compare_cols = ["user_id", "t0", "t_final"]
+    else:
+        drain_kwargs = {"gap_s": 150, "drop_late": drop_late}
+        compare_cols = [
+            "user_id", "session_start_s", "session_end_s", "n_events"
+        ]
+
     def start(ckpt: str, out_dir: str):
-        return (
-            sessionize_stream(
-                spark.readStream.schema(
-                    "event_id long, user_id long, ts timestamp, "
-                    "event_type string, value double"
-                )
-                .option("maxFilesPerTrigger", per_trigger)
-                .parquet(events_dir),
-                gap_s=150,
-                timeout_mode="event",
+        reader = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", per_trigger)
+            .parquet(events_dir)
+        )
+        q = (
+            query_builder(reader)
+            if funnel_mode
+            else sessionize_stream(
+                reader, gap_s=150, timeout_mode="event",
                 drop_late=drop_late,
             )
-            .writeStream.format("parquet")
+        )
+        return (
+            q.writeStream.format("parquet")
             .outputMode("append")
             .option("path", out_dir)
             .option("checkpointLocation", ckpt)
@@ -125,13 +173,50 @@ def main() -> None:
             int(f) for f in os.listdir(d) if f.isdigit()
         )
 
-    # control once
+    # control once. Funnel mode: through drain_exact (the lead
+    # sentinel flushes every matured conversion — a plain availableNow
+    # run leaves the final delay window un-matured); sessionize keeps
+    # the historical plain-drain control.
     out_c = os.path.join(root, "out_c")
-    q = start(os.path.join(root, "ckpt_c"), out_c)
-    q.awaitTermination()
+    if funnel_mode:
+        drain_exact(
+            spark, events_dir, out_c, os.path.join(root, "ckpt_c"),
+            schema=SCHEMA, max_files_per_trigger=int(per_trigger),
+            **drain_kwargs,
+        )
+    else:
+        q = start(os.path.join(root, "ckpt_c"), out_c)
+        q.awaitTermination()
     control = spark.read.parquet(out_c)
     n_c = control.count()
     print(json.dumps({"control_rows": n_c}), flush=True)
+    if funnel_mode:
+        # verdict item 6: price the batch-vs-stream contract divergence
+        # on this corpus — fixed first-touch vs greedy-restart
+        from mapreduce_implementation_spark.operators.events import (
+            funnel_converted_users,
+        )
+        from scale_rehearsal import FUNNEL_WITHIN_S as _W
+
+        batch_set = funnel_converted_users(
+            spark.read.parquet(events_dir), STEPS, _W
+        ).select("user_id")
+        stream_set = control.select("user_id")
+        print(
+            json.dumps(
+                {
+                    "batch_conversions": batch_set.count(),
+                    "stream_conversions": n_c,
+                    "stream_only_retry_class": stream_set.exceptAll(
+                        batch_set
+                    ).count(),
+                    "batch_only_must_be_zero": batch_set.exceptAll(
+                        stream_set
+                    ).count(),
+                }
+            ),
+            flush=True,
+        )
 
     # sweep the kill point: the two historical mismatches were cold
     # first runs where the stop() plausibly landed LATE — near the
@@ -154,11 +239,9 @@ def main() -> None:
         if drain_exact_mode:
             resume_report = drain_exact(
                 spark, events_dir, out_i, ckpt_i,
-                schema="event_id long, user_id long, ts timestamp, "
-                "event_type string, value double",
-                gap_s=150,
-                drop_late=drop_late,
+                schema=SCHEMA,
                 max_files_per_trigger=int(per_trigger),
+                **drain_kwargs,
             )
             offsets_after = batch_ids(ckpt_i, "offsets")
             commits_after = batch_ids(ckpt_i, "commits")
@@ -184,6 +267,21 @@ def main() -> None:
             }
             print(json.dumps(row), flush=True)
             if n_i != n_c:
+                missing = control.select(compare_cols).exceptAll(
+                    got.select(compare_cols)
+                )
+                extra = got.select(compare_cols).exceptAll(
+                    control.select(compare_cols)
+                )
+                print(
+                    json.dumps(
+                        {
+                            "missing_rows": missing.count(),
+                            "extra_rows": extra.count(),
+                        }
+                    ),
+                    flush=True,
+                )
                 print("MISMATCH (drain_exact mode)", flush=True)
                 break
             continue

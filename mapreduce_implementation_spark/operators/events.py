@@ -312,7 +312,7 @@ def funnel_events(
     )
 
 
-def funnel(
+def funnel_user_slots(
     events: DataFrame,
     steps: tuple[str, ...] | list[str],
     within_s: int,
@@ -320,24 +320,16 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """Ordered funnel: per user, the earliest chain step1 <= step2 <=
-    ... <= stepK with the whole chain inside ``within_s`` seconds of the
-    chain's FIRST step; returns DataFrame[step, step_idx, n_users] with
-    n_users = users reaching at least that step (monotone decreasing).
+    """Per-user greedy-earliest slot fill — the funnel's core fold,
+    shared by :func:`funnel` (step counts) and
+    :func:`funnel_converted_users` (the conversion set). Returns
+    DataFrame[user_id, r struct<s0..s{k-1}>] with s_i = the time the
+    user reached step i on the FIRST-TOUCH chain (NULL = never).
 
-    Greedy-earliest semantics (the standard funnel definition): t1 =
-    the user's first step1 event; t_i = the first step_i event at or
-    after t_{i-1} with t_i - t1 <= within_s. Equal timestamps resolve
-    in step order (a step2 event at exactly t1 counts).
-
-    Spark-first shape: filter to funnel event types (scan-stage, pushed
-    down), ONE shuffle (groupBy user), then a sorted fold as a pure
-    Column expression — ``array_sort`` + ``aggregate`` over a
-    K-slot struct accumulator, no Python, no per-step join chain (the
-    naive formulation is K shuffles). Per-user state is only this
-    user's funnel-type events inside the analysis window — the same
-    bound as sessionization; at 100 TB slice the input by day/week
-    before calling, as any funnel analysis does."""
+    Spark-first shape: filter to funnel event types (scan-stage,
+    pushed down), ONE shuffle (groupBy user), then a sorted fold as a
+    pure Column expression — ``array_sort`` + ``aggregate`` over a
+    K-slot struct accumulator, no Python, no per-step join chain."""
     k = len(steps)
     ev = funnel_events(events, steps, within_s, user_col, ts_col, type_col)
     # sort key (t, si): at equal timestamps the EARLIER funnel step
@@ -367,7 +359,70 @@ def funnel(
             )
         return F.struct(*outs)
 
-    reached = per_user.select(F.aggregate("evs", acc0, fold).alias("r"))
+    return per_user.select(
+        "user_id", F.aggregate("evs", acc0, fold).alias("r")
+    )
+
+
+def funnel_converted_users(
+    events: DataFrame,
+    steps: tuple[str, ...] | list[str],
+    within_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The batch funnel's CONVERSION SET: DataFrame[user_id, t0,
+    t_final] for every user whose first-touch chain completed — the
+    row-level face of :func:`funnel`'s last step count, and the batch
+    comparator for the streaming funnel's output (round-16 verdict
+    item 6: the batch fold fixes t0 at the user's first step-0 event
+    EVER — fixed first-touch — where the streaming watermark fold
+    retries after a provably-failed attempt, so stream ⊇ batch on
+    conversion sets and the divergence is exactly the retry class;
+    measured on the 2M rehearsal corpus in BASELINE.md r16 and pinned
+    in tests/test_streaming_funnel.py)."""
+    k = len(steps)
+    slots = funnel_user_slots(
+        events, steps, within_s, user_col, ts_col, type_col
+    )
+    return slots.where(F.col(f"r.s{k - 1}").isNotNull()).select(
+        "user_id",
+        F.col("r.s0").alias("t0"),
+        F.col(f"r.s{k - 1}").alias("t_final"),
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] | list[str],
+    within_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per user, the earliest chain step1 <= step2 <=
+    ... <= stepK with the whole chain inside ``within_s`` seconds of the
+    chain's FIRST step; returns DataFrame[step, step_idx, n_users] with
+    n_users = users reaching at least that step (monotone decreasing).
+
+    Greedy-earliest semantics (the standard funnel definition): t1 =
+    the user's first step1 event; t_i = the first step_i event at or
+    after t_{i-1} with t_i - t1 <= within_s. Equal timestamps resolve
+    in step order (a step2 event at exactly t1 counts).
+
+    Spark-first shape: filter to funnel event types (scan-stage, pushed
+    down), ONE shuffle (groupBy user), then a sorted fold as a pure
+    Column expression — ``array_sort`` + ``aggregate`` over a
+    K-slot struct accumulator, no Python, no per-step join chain (the
+    naive formulation is K shuffles). Per-user state is only this
+    user's funnel-type events inside the analysis window — the same
+    bound as sessionization; at 100 TB slice the input by day/week
+    before calling, as any funnel analysis does."""
+    k = len(steps)
+    reached = funnel_user_slots(
+        events, steps, within_s, user_col, ts_col, type_col
+    ).select("r")
     counts = reached.agg(
         *[F.count(F.col(f"r.s{i}")).alias(f"c{i}") for i in range(k)]
     )
