@@ -198,14 +198,31 @@ def main() -> None:
         )
         from scale_rehearsal import FUNNEL_WITHIN_S as _W
 
+        all_ev = spark.read.parquet(events_dir)
+        # the DELIVERED set: the engine's pre-fold late filter drops
+        # rows with event-time <= the previous batch's watermark, and
+        # the initial watermark is 0 — so an event at exactly epoch 0
+        # is permanently undeliverable to the watermarked fold (found
+        # by this very harness in round 16: 1 of 9202 batch
+        # conversions hinged on a ts=0 chain-seeding view). The
+        # stream-superset structure holds on delivered data; compare
+        # there and report the undeliverable class separately.
+        delivered = all_ev.where(F.col("ts").cast("long") > 0)
         batch_set = funnel_converted_users(
-            spark.read.parquet(events_dir), STEPS, _W
+            delivered, STEPS, _W
+        ).select("user_id")
+        batch_raw = funnel_converted_users(
+            all_ev, STEPS, _W
         ).select("user_id")
         stream_set = control.select("user_id")
         print(
             json.dumps(
                 {
-                    "batch_conversions": batch_set.count(),
+                    "batch_conversions_delivered": batch_set.count(),
+                    "batch_conversions_raw": batch_raw.count(),
+                    "undeliverable_epoch0_events": all_ev.where(
+                        F.col("ts").cast("long") == 0
+                    ).count(),
                     "stream_conversions": n_c,
                     "stream_only_retry_class": stream_set.exceptAll(
                         batch_set

@@ -344,10 +344,20 @@ def streaming_funnel(
     only) buffers events in state until the watermark matures them
     and folds in global EVENT-TIME order — the sessionize close-rule
     principle applied to the order-sensitive funnel recurrence, so
-    with watermark_delay_s ≥ the staging disorder the conversion set
-    is a pure function of the data, independent of batching and
-    restarts (see _funnel_fn_wm for the greedy-restart expiry
-    semantics and the bounded-drain sentinel contract).
+    with watermark_delay_s STRICTLY GREATER than the staging disorder
+    the conversion set is a pure function of the DELIVERED data,
+    independent of batching and restarts (see _funnel_fn_wm for the
+    greedy-restart expiry semantics and the bounded-drain sentinel
+    contract). Delivery boundary (measured round 16, reproduced in
+    tests/test_streaming_funnel.py): Spark's pre-fold late filter for
+    applyInPandasWithState drops rows with event-time ≤ the PREVIOUS
+    batch's watermark — the comparison is inclusive, so the disorder
+    tolerance is ``delay - 1`` seconds, not ``delay``, and because
+    the initial watermark is 0 an event at exactly epoch 0 is
+    PERMANENTLY undeliverable to any watermarked stateful operator
+    (it can never fold, in any batch — the one batch-vs-stream
+    conversion-set asymmetry the 2M rehearsal found traced to exactly
+    this class, BASELINE.md round 16).
 
     ``drop_late=True`` (event mode only — round 13; contract
     corrected round 15): Spark's own late-record filtering already

@@ -121,9 +121,13 @@ def _sessionize_fn(
     (tests/test_streaming_restart.py::test_orphan_band_empty... is
     the disproof fixture). Now every not-yet-unextendable session
     stays PENDING in state — per user at most ~(watermark lag /
-    gap_s) + 1 of them, an O(1) bound — and with delay ≥ disorder
-    the output is a pure function of the data, independent of
-    batching, kills, and orphan log entries. "processing"/"none"
+    gap_s) + 1 of them, an O(1) bound — and with delay STRICTLY
+    GREATER than the disorder the output is a pure function of the
+    DELIVERED data, independent of batching, kills, and orphan log
+    entries (the engine's pre-fold late filter is inclusive — rows at
+    event-time ≤ the previous batch's watermark are dropped, so the
+    tolerance is delay-1 s and an epoch-0 row is undeliverable; see
+    streaming/funnel.py round-16 note). "processing"/"none"
     modes keep the eager close (their single-batch drains rely on
     it; the oracle row pins that shape)."""
 
@@ -300,10 +304,11 @@ def sessionize_stream(
       in _sessionize_fn): rows WITHIN the delay now merge identically
       regardless of batching — sessions close only when the watermark
       makes them unextendable, never eagerly on a later arrival — so
-      with ``watermark_delay_s`` ≥ the staging disorder the output is
-      a pure function of the data (restart/replan/orphan-invariant,
-      pytest-pinned); only genuinely-late rows stay merely
-      repeatable. Feed time-ordered-within-delay input when byte
+      with ``watermark_delay_s`` strictly greater than the staging
+      disorder the output is a pure function of the delivered data
+      (restart/replan/orphan-invariant, pytest-pinned; the engine's
+      late filter is inclusive — round-16 note in funnel.py); only
+      genuinely-late rows stay merely repeatable. Feed time-ordered-within-delay input when byte
       parity across restarts matters. Bounded-drain note
       (also measured): the trailing no-data micro-batch owns the
       final timer flushes; a crash in the one-batch window between
@@ -683,9 +688,10 @@ def drain_exact(
     the last logged watermark, so with ``drop_late`` the output may
     keep-and-merge borderline rows an uninterrupted run dropped. Both
     outputs satisfy the at-least-delay contract; for byte-exact
-    restart parity run with ``watermark_delay_s`` ≥ the staging
-    disorder (no row is then late under EITHER watermark — the band
-    is empty, pytest-pinned)."""
+    restart parity run with ``watermark_delay_s`` strictly greater
+    than the staging disorder (no row is then late under EITHER
+    watermark — the band is empty, pytest-pinned; the engine's late
+    filter is inclusive, see the round-16 note in funnel.py)."""
     import hashlib
 
     from pyspark.sql import functions as F

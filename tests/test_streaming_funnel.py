@@ -601,3 +601,51 @@ def test_watermark_vs_batch_divergence_is_exactly_the_retry_class(
     assert batch_users <= stream_users  # stream ⊇ batch, structurally
     assert stream_users - batch_users == {1}  # divergence = retries only
     assert [r for r in got if r[0] in batch_users] == batch
+
+
+def test_epoch_zero_event_is_undeliverable_to_the_watermarked_fold(
+    spark, tmp_path
+):
+    """Round-16 delivery-boundary pin (found by the 2M divergence
+    harness: 1 of 9202 batch conversions hinged on a ts=0 view).
+    Spark's pre-fold late filter for applyInPandasWithState drops rows
+    with event-time <= the PREVIOUS batch's watermark — inclusive —
+    and the initial watermark is 0, so an event at exactly epoch 0
+    never reaches the fold in ANY batch. Consequences pinned here:
+    the stream ⊇ batch conversion-set structure holds on the
+    DELIVERED data (ts > 0 under in-tolerance disorder), and a chain
+    seeded at epoch 0 converts in batch but not in the stream."""
+    from mapreduce_implementation_spark.operators.events import (
+        funnel_converted_users,
+    )
+
+    files = [
+        # u1's chain is seeded at epoch 0: view@0 -> click@10 ->
+        # purchase@20. The batch fold converts it; the stream never
+        # sees the view.
+        [(1, 0, "view"), (1, 10, "click")],
+        [(1, 20, "purchase"), (2, 30, "view"), (2, 40, "click"),
+         (2, 50, "purchase")],
+    ]
+    got = _drain_wm_funnel(spark, tmp_path, "epoch0", files, delay_s=1000)
+    all_df = spark.createDataFrame(
+        [(u, t, e) for f in files for u, t, e in f],
+        "user_id long, t long, event_type string",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "event_type")
+    batch_raw = sorted(
+        (r.user_id, r.t0, r.t_final)
+        for r in funnel_converted_users(all_df, STEPS, WITHIN).collect()
+    )
+    batch_delivered = sorted(
+        (r.user_id, r.t0, r.t_final)
+        for r in funnel_converted_users(
+            all_df.where(F.col("ts").cast("long") > 0), STEPS, WITHIN
+        ).collect()
+    )
+    # raw batch converts u1 off the undeliverable seed; the stream
+    # cannot — and on the delivered set the superset structure is
+    # restored exactly
+    assert batch_raw == [(1, 0, 20), (2, 30, 50)]
+    assert got == [(2, 30, 50)]
+    assert batch_delivered == [(2, 30, 50)]
+    assert {u for u, _, _ in batch_delivered} <= {u for u, _, _ in got}
