@@ -962,6 +962,13 @@ def minhash_signatures(
       (tests/test_minhash_hash.py) — min-wise sampling quality does
       not depend on which injective map drew the shingle ints.
 
+    Don't pick by hand: ``calibrate_corpus(shingle_impl="auto")`` —
+    the ``calibrate`` CLI's default — prices both families on YOUR
+    corpus (recall on the same frozen probe sample + interleaved
+    build timing) and its report feeds this build at the recommended
+    family via ``calibration=`` (round 16; the knob check refuses a
+    contradicting explicit family).
+
     Staged projections, one expensive expression per step, each
     referenced as a COLUMN downstream: tokens → shingles → shingle
     ints (the md5 pass) → signature. Inlining any of these reruns it
@@ -1182,7 +1189,10 @@ def minhash_near_dup_pairs(
     (see :func:`minhash_signatures`); md5-over-strings stays the
     oracle arm and the default. Both knobs stamp into the calibration
     report and mismatch-raise like the structural knobs: signatures
-    from different (sig_hash, shingle_impl) families never mix."""
+    from different (sig_hash, shingle_impl) families never mix. To
+    pick the family on evidence, run ``calibrate_corpus(shingle_impl=
+    "auto")`` (round 16) and pass its report as ``calibration=`` —
+    the build then runs at the measured per-corpus recommendation."""
     _validate_minhash_bands(k, bands, rows)
     if pair_screen not in ("blas", "join", "auto"):
         raise ValueError(
