@@ -54,6 +54,11 @@ OUTPUT_SCHEMA = StructType(
 )
 
 _UNSET = -1  # slot sentinel (GroupState round-trips plain longs)
+# first-touch dead marker (round 16): a user whose FIRST attempt
+# provably failed is terminal under expiry="first-touch" — encoded in
+# the existing slot longs (all slots _DEAD) so the state schema is
+# unchanged vs greedy-restart and checkpoints stay compatible
+_DEAD = -2
 
 
 def _state_schema(k: int, ordering: str = "arrival") -> StructType:
@@ -195,7 +200,7 @@ def _funnel_fn(
     return fn
 
 
-def _funnel_fn_wm(k: int, within_s: int):
+def _funnel_fn_wm(k: int, within_s: int, expiry: str = "greedy-restart"):
     """WATERMARK-ORDERED state fold (round 15; event mode only): the
     order-insensitive counterpart of _funnel_fn. Arriving events BUFFER
     in state; an event is folded only once the watermark passes it
@@ -218,6 +223,22 @@ def _funnel_fn_wm(k: int, within_s: int):
     stays O(mid-funnel + converted) instead of one dead-marker per
     user who ever emitted a view. Conversion stays once-per-user
     terminal (done-marker), exactly like the arrival fold.
+
+    ``expiry="first-touch"`` (round 16 — the batch-parity mode the 2M
+    divergence measurement motivated: 24,181 of 33,382 stream
+    conversions there were retry-class): a provably-failed FIRST
+    attempt dead-marks the user forever instead of retrying, making
+    the conversion set EQUAL to the batch twin
+    (operators.events.funnel_converted_users) on the delivered data —
+    pytest-pinned, including the retry corpora where greedy-restart
+    diverges. The price is the state bound the default mode exists to
+    avoid: one permanent dead-marker row per user whose first attempt
+    failed (up to one row per user who ever emitted a step-0 event),
+    vs O(mid-funnel + converted). The marker rides the existing slot
+    longs (all slots -2), so both modes share one state schema and a
+    checkpoint can resume under either — but the mode is part of the
+    output contract: resume a checkpoint with the SAME expiry it was
+    started with.
 
     Because conversions emit only when MATURED, a bounded drain must
     push the final watermark past every real event: drain with
@@ -244,8 +265,9 @@ def _funnel_fn_wm(k: int, within_s: int):
             slots = [_UNSET] * k
             buf = []
         if slots[k - 1] != _UNSET:
-            # converted done-marker: terminal, once per user ever; no
-            # timer is armed so it simply stays
+            # terminal marker — converted done-marker, or (first-touch
+            # mode) the dead marker: once per user ever; no timer is
+            # armed so it simply stays
             yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
             return
         if not state.hasTimedOut:
@@ -270,7 +292,11 @@ def _funnel_fn_wm(k: int, within_s: int):
                 # the open attempt's window is provably closed at this
                 # event's time: expire IN-FOLD (event-time, not
                 # batch-time — keeps the fold a pure function of the
-                # matured sequence) and let this event seed a retry
+                # matured sequence). Default: let this event seed a
+                # retry; first-touch: the user is dead forever.
+                if expiry == "first-touch":
+                    slots = [_DEAD] * k
+                    break
                 slots = [_UNSET] * k
             if si == 0:
                 if slots[0] == _UNSET:
@@ -295,8 +321,17 @@ def _funnel_fn_wm(k: int, within_s: int):
         # expiry): an open attempt whose window the watermark closed
         # can never convert, and with an empty buffer the state holds
         # nothing a future event needs
-        if slots[0] != _UNSET and (slots[0] + within_s) * 1000 < wm:
-            slots = [_UNSET] * k
+        if (
+            slots[0] not in (_UNSET, _DEAD)
+            and (slots[0] + within_s) * 1000 < wm
+        ):
+            slots = [_DEAD] * k if expiry == "first-touch" else [_UNSET] * k
+        if slots[0] == _DEAD:
+            # first-touch terminal: nothing buffered or future can
+            # matter — persist the dead marker alone, no timer
+            state.update(tuple(slots) + ([], []))
+            yield pd.DataFrame(columns=["user_id", "t0", "t_final"])
+            return
         if slots[0] == _UNSET and not rest:
             if state.exists:
                 state.remove()
@@ -332,6 +367,7 @@ def streaming_funnel(
     watermark_delay_s: int | None = None,
     drop_late: bool = False,
     ordering: str = "arrival",
+    expiry: str = "greedy-restart",
 ) -> DataFrame:
     """Append-mode stream of completed conversions. Filter to funnel
     event types rides the scan (pushed down).
@@ -358,6 +394,18 @@ def streaming_funnel(
     (it can never fold, in any batch — the one batch-vs-stream
     conversion-set asymmetry the 2M rehearsal found traced to exactly
     this class, BASELINE.md round 16).
+
+    ``expiry`` (round 16; watermark ordering only):
+    ``"greedy-restart"`` (default) retries a user after a
+    provably-failed attempt — the O(mid-funnel + converted) state
+    bound; ``"first-touch"`` dead-marks the user instead, making the
+    conversion set EQUAL to the batch
+    ``operators.events.funnel_converted_users`` on delivered data
+    (pytest-pinned) at the cost of one permanent state row per user
+    whose first attempt failed. The 2M rehearsal prices the contract
+    gap: 9,202 first-touch vs 33,382 greedy-restart conversions
+    (BASELINE.md round 16). Same state schema either way; resume a
+    checkpoint under the expiry it was started with.
 
     ``drop_late=True`` (event mode only — round 13; contract
     corrected round 15): Spark's own late-record filtering already
@@ -420,6 +468,18 @@ def streaming_funnel(
             "event-time order; drop_late would only shrink the "
             "delivered set for no determinism gain — drop one"
         )
+    if expiry not in ("greedy-restart", "first-touch"):
+        raise ValueError(
+            f"expiry must be 'greedy-restart' or 'first-touch', "
+            f"got {expiry!r}"
+        )
+    if expiry == "first-touch" and ordering != "watermark":
+        raise ValueError(
+            "expiry='first-touch' requires ordering='watermark' — "
+            "batch parity is only meaningful over the deterministic "
+            "event-time serialization (the arrival fold's output "
+            "already depends on delivery order)"
+        )
     # shared input contract with the batch fold — validation, the
     # (user_id, t, si) projection, NULL-ts drop — one definition
     ev = funnel_events(
@@ -439,7 +499,7 @@ def streaming_funnel(
     else:
         conf = GroupStateTimeout.NoTimeout
     fold = (
-        _funnel_fn_wm(k, within_s)
+        _funnel_fn_wm(k, within_s, expiry)
         if ordering == "watermark"
         else _funnel_fn(
             k,

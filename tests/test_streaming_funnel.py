@@ -649,3 +649,95 @@ def test_epoch_zero_event_is_undeliverable_to_the_watermarked_fold(
     assert got == [(2, 30, 50)]
     assert batch_delivered == [(2, 30, 50)]
     assert {u for u, _, _ in batch_delivered} <= {u for u, _, _ in got}
+
+
+def _drain_wm_funnel_expiry(spark, tmp_path, tag, files, delay_s, expiry,
+                            mfpt=1):
+    from mapreduce_implementation_spark.streaming.sessionize import (
+        drain_exact,
+    )
+
+    in_dir = _stage_wm(tmp_path, tag, files)
+    out = str(tmp_path / f"{tag}_out")
+    drain_exact(
+        spark, str(in_dir), out, str(tmp_path / f"{tag}_ckpt"),
+        schema=FUNNEL_SCHEMA,
+        max_files_per_trigger=mfpt,
+        sentinel_lead_s=delay_s + 1,
+        sentinel_extra_cols={"event_type": STEPS[0]},
+        query_builder=lambda stream: streaming_funnel(
+            stream, STEPS, within_s=WITHIN, timeout_mode="event",
+            watermark_delay_s=delay_s, ordering="watermark",
+            expiry=expiry,
+        ),
+    )
+    return sorted(
+        (r.user_id, r.t0, r.t_final)
+        for r in spark.read.parquet(out).collect()
+    )
+
+
+def test_first_touch_expiry_equals_batch_on_delivered_data(
+    spark, tmp_path
+):
+    """Round-16 batch-parity mode: expiry='first-touch' dead-marks a
+    provably-failed first attempt instead of retrying, so the stream's
+    conversion set EQUALS funnel_converted_users — including on the
+    retry corpus where greedy-restart diverges, and invariant to
+    trigger batching."""
+    from mapreduce_implementation_spark.operators.events import (
+        funnel_converted_users,
+    )
+
+    files = [
+        # u1: failed first attempt (view@1000 alone), retry chain at
+        # 1500 converts — greedy-restart-only; first-touch must NOT
+        # emit it (batch doesn't)
+        [(1, 1000, "view"), (1, 1500, "view")],
+        [(1, 1510, "click"), (1, 1520, "purchase")],
+        # u2: converts on the first attempt — identical in all modes
+        [(2, 1000, "view"), (2, 1010, "click"), (2, 1020, "purchase")],
+        # u3: first attempt fails via the in-fold expiry (click beyond
+        # the window proves it closed), no retry material
+        [(3, 1000, "view"), (3, 1000 + WITHIN + 50, "click")],
+        # u4: chain completes exactly AT the window edge — boundary
+        [(4, 2000, "view"), (4, 2000 + WITHIN, "purchase"),
+         (4, 2050, "click")],
+    ]
+    batch_df = spark.createDataFrame(
+        [(u, t, e) for f in files for u, t, e in f],
+        "user_id long, t long, event_type string",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "event_type")
+    batch = sorted(
+        (r.user_id, r.t0, r.t_final)
+        for r in funnel_converted_users(batch_df, STEPS, WITHIN).collect()
+    )
+    ft = _drain_wm_funnel_expiry(
+        spark, tmp_path, "ft16", files, delay_s=3000, expiry="first-touch"
+    )
+    assert ft == batch  # the whole point: set-equal, not superset
+    gr = _drain_wm_funnel_expiry(
+        spark, tmp_path, "gr16", files, delay_s=3000,
+        expiry="greedy-restart",
+    )
+    assert {u for u, _, _ in gr} - {u for u, _, _ in ft} == {1}
+    # batching invariance holds for the new mode too
+    ft2 = _drain_wm_funnel_expiry(
+        spark, tmp_path, "ft16b", files, delay_s=3000,
+        expiry="first-touch", mfpt=4,
+    )
+    assert ft2 == ft
+
+
+def test_first_touch_requires_watermark_ordering(spark, tmp_path):
+    stream = spark.readStream.schema(FUNNEL_SCHEMA).parquet(str(tmp_path))
+    with pytest.raises(ValueError, match="first-touch"):
+        streaming_funnel(
+            stream, STEPS, within_s=WITHIN, timeout_mode="event",
+            ordering="arrival", expiry="first-touch",
+        )
+    with pytest.raises(ValueError, match="expiry"):
+        streaming_funnel(
+            stream, STEPS, within_s=WITHIN, timeout_mode="event",
+            ordering="watermark", expiry="nonsense",
+        )
