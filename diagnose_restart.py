@@ -16,6 +16,7 @@ checkpoint, then classifies the difference:
 
 Usage: python diagnose_restart.py [max_trials] [--sorted]
        [--drop-late] [--rocksdb] [--operator funnel]
+       [--expiry first-touch]
 
 ``--drop-late`` (round-13 verdict item 4): run the operator with
 drop_late=True on the AS-STAGED (disordered) corpus — the late-row/
@@ -121,10 +122,17 @@ def main() -> None:
         )
         from scale_rehearsal import FUNNEL_WITHIN_S
 
+        # round 16: --expiry first-touch sweeps the batch-parity mode
+        # (dead-marker state machine) through the same kill-resume gate
+        expiry = (
+            "first-touch" if "first-touch" in sys.argv else "greedy-restart"
+        )
+
         def query_builder(stream):
             return streaming_funnel(
                 stream, STEPS, within_s=FUNNEL_WITHIN_S,
                 timeout_mode="event", ordering="watermark",
+                expiry=expiry,
             )
 
         drain_kwargs = {

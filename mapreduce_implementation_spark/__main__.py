@@ -65,9 +65,9 @@ runs ``streaming.sessionize.drain_exact`` (the managed
 resume-and-finish bounded drain) and prints its resume-state report —
 the 100 TB operational story no longer needs a Python shim.
 ``--operator funnel --steps view,click,purchase --within-s N
-[--ordering watermark|arrival]`` drains the streaming funnel instead,
-staging the step-typed lead sentinel the watermark-ordered fold's
-completion contract requires.
+[--ordering watermark|arrival] [--expiry greedy-restart|first-touch]``
+drains the streaming funnel instead, staging the step-typed lead
+sentinel the watermark-ordered fold's completion contract requires.
 
     python -m mapreduce_implementation_spark diagnose-restart \
         CHECKPOINT [--json]
@@ -365,6 +365,13 @@ def drain_main(argv: list[str]) -> int:
         help="funnel fold ordering (watermark = order-insensitive, "
         "the bounded-drain recommendation)",
     )
+    p.add_argument(
+        "--expiry", default="greedy-restart",
+        choices=["greedy-restart", "first-touch"],
+        help="funnel expiry rule (first-touch = batch-parity "
+        "conversion set, one permanent dead-marker state row per "
+        "failed first-toucher; watermark ordering only)",
+    )
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
 
@@ -399,6 +406,7 @@ def drain_main(argv: list[str]) -> int:
                 stream, steps, within_s=args.within_s,
                 timeout_mode="event", watermark_delay_s=delay,
                 drop_late=args.drop_late, ordering=args.ordering,
+                expiry=args.expiry,
                 user_col=args.user_col, ts_col=args.ts_col,
             ),
             # matured conversions flush only once the watermark passes
@@ -411,6 +419,12 @@ def drain_main(argv: list[str]) -> int:
             raise SystemExit(
                 "--ordering watermark already folds deterministically; "
                 "drop --drop-late"
+            )
+        if args.expiry == "first-touch" and args.ordering != "watermark":
+            p.error(
+                "--expiry first-touch requires --ordering watermark "
+                "(batch parity is defined over the event-time "
+                "serialization)"
             )
     report = drain_exact(
         spark,

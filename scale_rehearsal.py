@@ -433,6 +433,17 @@ def run_streaming_ops(spark, events_dir: str) -> dict[str, float]:
             timeout_mode="event",
             ordering="watermark",
         ),
+        # round 16: the batch-parity expiry — prices the dead-marker
+        # state bound (one permanent row per user whose first attempt
+        # failed) against the default greedy-restart arm above
+        "funnel_event_ft": lambda: streaming_funnel(
+            read(),
+            ("view", "click", "purchase"),
+            FUNNEL_WITHIN_S,
+            timeout_mode="event",
+            ordering="watermark",
+            expiry="first-touch",
+        ),
     }
     out: dict[str, float] = {}
     for name, build in ops.items():

@@ -373,3 +373,69 @@ def test_cli_drain_funnel_blank_steps_is_usage_error(capsys):
             )
         assert e.value.code == 2
         assert "--steps" in capsys.readouterr().err
+
+
+def test_cli_drain_funnel_first_touch(spark, tmp_path, capsys):
+    """round-16: --expiry first-touch drives the batch-parity fold
+    from the drain CLI — a retry-class conversion (failed first
+    attempt, converting retry chain) is EXCLUDED, and the flag refuses
+    arrival ordering as a usage error."""
+    import json
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from mapreduce_implementation_spark.__main__ import drain_main
+
+    in_dir = tmp_path / "ftdrain_in"
+    in_dir.mkdir()
+    rows = [
+        # u1: first attempt (view@1000) fails, retry at 1500 converts
+        # — greedy-restart would emit it, first-touch must not
+        (1, 1000, "view"), (1, 1500, "view"), (1, 1510, "click"),
+        (1, 1520, "purchase"),
+        # u2: first-attempt conversion — emitted in both modes
+        (2, 1500, "view"), (2, 1510, "click"), (2, 1520, "purchase"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        str(in_dir / "f0.parquet"),
+    )
+    m = int(time.time())
+    os.utime(str(in_dir / "f0.parquet"), (m, m))
+    out_dir = str(tmp_path / "ftdrain_out")
+    rc = main([
+        "drain", str(in_dir), out_dir, str(tmp_path / "ftdrain_ckpt"),
+        "--schema", "user_id long, ts timestamp, event_type string",
+        "--operator", "funnel", "--steps", "view,click,purchase",
+        "--within-s", "100", "--watermark-delay-s", "600",
+        "--expiry", "first-touch", "--json",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["drained"] is True
+    got = sorted(
+        (r.user_id, r.t0, r.t_final)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [(2, 1500, 1520)]
+
+    with pytest.raises(SystemExit) as e:
+        drain_main(
+            ["in", "out", "ckpt", "--schema", "user_id long",
+             "--operator", "funnel", "--steps", "view,click,purchase",
+             "--ordering", "arrival", "--expiry", "first-touch"]
+        )
+    assert e.value.code == 2
+    assert "first-touch" in capsys.readouterr().err
