@@ -159,11 +159,14 @@ def cmd_parity(docs_dir: str) -> None:
     spark = _spark()
     out = {}
     for shingle_impl in ("string", "tokhash"):
+        impls = ("expr", "arrow", "fused") if shingle_impl == "tokhash" else (
+            "expr", "arrow"
+        )
         d = {
             impl: _digest(_build(spark, impl, shingle_impl, docs_dir))
-            for impl in ("expr", "arrow")
+            for impl in impls
         }
-        out[shingle_impl] = {**d, "equal": d["expr"] == d["arrow"]}
+        out[shingle_impl] = {**d, "equal": len(set(d.values())) == 1}
     print(json.dumps(out), flush=True)
     spark.stop()
 

@@ -924,7 +924,7 @@ def minhash_signatures(
     *,
     shingle_n: int = 3,
     k: int = 16,
-    impl: str = "expr",
+    impl: str | None = None,
     hash: str = "md5",
     shingle_impl: str = "string",
 ) -> DataFrame:
@@ -981,34 +981,52 @@ def minhash_signatures(
     Shingle-less docs instead yield a NULL signature (the F.when in
     minhash_signature_from_ints), which the band explode drops.
 
-    ``impl``: ``"expr"`` (default) evaluates the k permutation mins
-    as ``array_min(transform(...))`` HOF folds; ``"arrow"`` computes
-    them per Arrow batch as k vectorized ``(a·x + b) mod p`` passes +
-    ``np.minimum.reduceat`` over the flattened shingle ints. The
-    arrow form is a MEASURED WASH here, unlike the assignment/screen
-    family it extends — measured TWICE: round 13 under the string
-    chain (expr 30.97 s vs arrow 31.25 s at 1M docs, and arrow
-    degraded to 0.72× under CPU contention), and round 16
-    RE-ADJUDICATED under the tokhash chain after the r16 verdict
-    flagged the r13 reading as possibly stale (fresh-process min-of-3,
-    canary-stamped, digest parity in-run: expr 19.52 s vs arrow
-    19.84 s tokhash; 27.41 vs 34.01 string — BASELINE.md r16). Root
-    cause the same both times, with the share CORRECTED in r16: the
-    shingle-int stage (strong hash, JVM-side in BOTH impls) owns
-    ~16.2 s of the ~19.5 s tokhash build — the fold is only ~3.3 s,
-    not the ~9.6 s the r14 decomposition estimated — and k=16 integer
-    ops per shingle is too little arithmetic to pay for the Arrow
-    transfer of the shingle-int arrays. Contrast SimHash's
-    n_bits-wide per-token fold (2× arrow win) and the k·d-flop
-    assignment (6×). Parity is exact either way (every operand an
-    integer < 2³¹ — no rounding exists in this arithmetic);
-    NULL/empty shingle sets yield NULL signatures in both impls
-    (pytest-pinned digest parity)."""
-    if impl not in ("arrow", "expr"):
-        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    ``impl``: ``None`` (default) auto-selects the measured winner for
+    the chosen family — ``"fused"`` under tokhash, ``"expr"`` under
+    string. The three explicit values:
+
+    * ``"expr"`` evaluates shingle ints AND the k permutation mins as
+      JVM HOF expressions (``array_min(transform(...))``) — the
+      string-family default and the oracle-replayable arm.
+    * ``"arrow"`` keeps the JVM shingle-int stage but folds the k
+      permutations per Arrow batch (k vectorized ``(a·x + b) mod p``
+      passes + ``np.minimum.reduceat``). A MEASURED WASH both times it
+      was adjudicated (r13 string chain: expr 30.97 s vs arrow
+      31.25 s at 1M docs, arrow 0.72× under contention; r16 tokhash
+      chain: 19.52 vs 19.84 s — BASELINE.md r16): the fold is only
+      ~3.3 s of the tokhash build, so vectorizing IT cannot pay for
+      the shingle-int Arrow transfer. Kept as the A/B reference arm.
+    * ``"fused"`` (tokhash only; the production default via ``None``)
+      goes one stage earlier: the Arrow transfer carries the
+      TOKEN-HASH arrays and one mapInPandas kernel replays Spark's
+      ``xxhash64``-over-slice chain bit-for-bit in wrapping-uint64
+      numpy AND folds the permutations — the dominant ~16 s JVM
+      slice-hash HOF stage (one array allocation per n-gram position,
+      outside whole-stage codegen) never runs. Same signature family,
+      same digests (parity pytest-pinned). Measured fresh-process
+      interleaved min-of-3 at 1M docs (BASELINE.md r16, continued):
+      expr 20.82 s vs fused 11.80 s = **1.76×**, digest-identical on
+      every line.
+
+    Parity is exact across all three (every operand an integer — no
+    rounding exists in this arithmetic; the fused kernel's uint64
+    wraps replay the JVM's); NULL/empty shingle sets yield NULL
+    signatures in all impls (pytest-pinned digest parity)."""
+    if impl is None:
+        impl = "fused" if shingle_impl == "tokhash" else "expr"
+    if impl not in ("arrow", "expr", "fused"):
+        raise ValueError(
+            f"impl must be 'arrow', 'expr' or 'fused', got {impl!r}"
+        )
     if shingle_impl not in ("string", "tokhash"):
         raise ValueError(
             f"shingle_impl must be 'string' or 'tokhash', got {shingle_impl!r}"
+        )
+    if impl == "fused" and shingle_impl != "tokhash":
+        raise ValueError(
+            "impl='fused' replays the tokhash slice-hash chain in numpy; "
+            "the string family has no token-hash stage to fuse from — "
+            "use impl='expr' or 'arrow' with shingle_impl='string'"
         )
     if shingle_impl == "tokhash" and hash != "md5":
         raise ValueError(
@@ -1023,9 +1041,12 @@ def minhash_signatures(
         tokens(F.lower(F.col(text_col)), mode="simple").alias("_toks"),
     )
     if shingle_impl == "tokhash":
-        staged = base.select(
+        th_staged = base.select(
             "doc_id", token_hash_ints(F.col("_toks")).alias("_th")
-        ).select(
+        )
+        if impl == "fused":
+            return _minhash_sig_fused(th_staged, shingle_n, k)
+        staged = th_staged.select(
             "doc_id",
             shingle_ints_from_token_hashes(F.col("_th"), shingle_n).alias("_xs"),
         )
@@ -1094,6 +1115,126 @@ def _minhash_sig_arrow(staged: DataFrame, k: int) -> DataFrame:
     return staged.mapInPandas(gen, out_schema)
 
 
+# Spark XXH64 primes (sql/catalyst XXH64.java) — the fused kernel
+# replays XxHash64-over-array<long> bit-for-bit so impl='fused'
+# signatures are THE SAME tokhash family as the expr/arrow builds
+# (digest-parity pytest-pinned), not a fourth one.
+_XX_P1 = 0x9E3779B185EBCA87
+_XX_P2 = 0xC2B2AE3D27D4EB4F
+_XX_P3 = 0x165667B19E3779F9
+_XX_P4 = 0x85EBCA77C2B2AE63
+_XX_P5 = 0x27D4EB2F165667C5
+_XX_SEED = 42  # Spark's xxhash64 default seed
+
+
+def _minhash_sig_fused(th_staged: DataFrame, n: int, k: int) -> DataFrame:
+    """Fused mapInPandas tokhash signature kernel (see
+    minhash_signatures): consumes the TOKEN-HASH arrays (``_th``) and
+    computes shingle ints + the k permutation mins in one vectorized
+    pass, so the per-position ``xxhash64(slice(_th, i, n))`` HOF stage
+    — the dominant ~16 s of the ~19.5 s 1M-doc build per the r16
+    decomposition (BASELINE.md r16), evaluated outside whole-stage
+    codegen with one array allocation per n-gram position — never runs
+    on the JVM at all.
+
+    Exactness: Spark's ``XxHash64`` over ``array<long>`` is the XXH64
+    single-long round chained across elements with the running hash as
+    seed (seed 42); that is ~10 integer ops per element, replayed here
+    in wrapping uint64 numpy arithmetic and verified bit-identical
+    (tests/test_minhash_hash.py digest parity vs the expr chain). The
+    floored ``%`` of numpy int64 by a positive modulus equals Spark's
+    ``pmod``. ``array_distinct`` is SKIPPED by design: the signature
+    is a min over permuted shingle values and min is
+    duplicate-invariant, so distinct-ing only changes work shape, not
+    values. Docs with fewer than ``n`` tokens (or NULL token arrays)
+    yield NULL signatures — the expr contract.
+
+    The permutation loop runs over the ~total-grams flat vector per
+    batch (k passes + np.minimum.reduceat at the per-doc gram offsets)
+    — the same working-set shape as _minhash_sig_arrow, plus n passes
+    of the hash chain."""
+    from pyspark.sql import types as T
+
+    a_consts = [int(a) for a in PERM_A[:k]]
+    b_consts = [int(b) for b in PERM_B[:k]]
+    id_field = th_staged.schema["doc_id"]
+    out_schema = T.StructType(
+        [id_field, T.StructField("sig", T.ArrayType(T.LongType()), True)]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        u64 = np.uint64
+        P1, P2, P3, P4, P5 = (
+            u64(_XX_P1), u64(_XX_P2), u64(_XX_P3), u64(_XX_P4), u64(_XX_P5)
+        )
+        c8, c27, c31, c29, c32, c33, c37, c64 = (
+            u64(8), u64(27), u64(31), u64(29), u64(32), u64(33), u64(37),
+            u64(64),
+        )
+
+        def hash_long(inp, h):
+            # XXH64.hashLong(input, seed): one round + avalanche,
+            # wrapping uint64 throughout (numpy wraps silently).
+            h = h + P5 + c8
+            m = inp * P2
+            h = h ^ (((m << c31) | (m >> c33)) * P1)
+            h = ((h << c27) | (h >> c37)) * P1 + P4
+            h ^= h >> c33
+            h *= P2
+            h ^= h >> c29
+            h *= P3
+            h ^= h >> c32
+            return h
+
+        for pdf in batches:
+            rows = len(pdf)
+            if rows == 0:
+                continue
+            th = pdf["_th"].to_numpy()
+            lens = np.fromiter(
+                (0 if x is None else len(x) for x in th),
+                dtype=np.int64,
+                count=rows,
+            )
+            sigs = np.empty(rows, dtype=object)
+            valid = np.nonzero(lens >= n)[0]
+            if len(valid):
+                flat = np.concatenate(
+                    [np.asarray(th[i], dtype=np.int64) for i in valid]
+                ).view(np.uint64)
+                g = lens[valid] - (n - 1)  # grams per valid doc
+                doc_off = np.zeros(len(valid), dtype=np.int64)
+                np.cumsum(lens[valid][:-1], out=doc_off[1:])
+                gram_off = np.zeros(len(valid), dtype=np.int64)
+                np.cumsum(g[:-1], out=gram_off[1:])
+                total_g = int(g.sum())
+                # gram m of doc d starts at flat index
+                # doc_off[d] + (m - gram_off[d])
+                starts = np.repeat(doc_off - gram_off, g) + np.arange(
+                    total_g, dtype=np.int64
+                )
+                h = np.full(total_g, u64(_XX_SEED), dtype=np.uint64)
+                for j in range(n):
+                    h = hash_long(flat[starts + j], h)
+                s = h.view(np.int64) % MERSENNE_P  # floored % == pmod
+                mins = np.empty((len(valid), k), dtype=np.int64)
+                for j in range(k):
+                    # a·s + b < 2^62 + 2^31: exact in int64
+                    mins[:, j] = np.minimum.reduceat(
+                        (a_consts[j] * s + b_consts[j]) % MERSENNE_P, gram_off
+                    )
+                for pos, i in enumerate(valid):
+                    sigs[i] = mins[pos]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "sig": sigs}
+            )
+
+    return th_staged.mapInPandas(gen, out_schema)
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1109,7 +1250,7 @@ def minhash_near_dup_pairs(
     cap_observation=None,
     cap_strategy: str = "window",
     pair_screen: str = "auto",
-    sig_impl: str = "expr",
+    sig_impl: str | None = None,
     sig_hash: str = "md5",
     shingle_impl: str = "string",
     calibration: dict | None = None,

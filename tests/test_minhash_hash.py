@@ -182,6 +182,62 @@ def test_tokhash_arrow_expr_parity(spark, planted):
     assert expr == arrow
 
 
+def test_tokhash_fused_parity_and_null_semantics(spark):
+    """Round 16 (continued): impl='fused' replays Spark's
+    xxhash64-over-slice chain in numpy — signatures must be
+    BIT-IDENTICAL to the expr tokhash arm (same family, not a fourth
+    one), including the NULL contract for shingle-less docs. The
+    fresh-process 1M-doc A/B that made fused the tokhash default
+    (expr 20.82 s vs fused 11.80 s min-of-3, digest parity on every
+    line) is in BASELINE.md r16."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, None),
+            (3, ""),
+            (4, "one two"),  # fewer tokens than shingle_n=3
+            (5, "x y z"),  # exactly shingle_n tokens -> 1 shingle
+            (6, "repeat repeat repeat repeat"),  # duplicate shingles
+            (7, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def sigs(**kw):
+        return {
+            r.doc_id: None if r.sig is None else tuple(r.sig)
+            for r in dd.minhash_signatures(
+                docs, shingle_impl="tokhash", **kw
+            ).collect()
+        }
+
+    expr, fused = sigs(impl="expr"), sigs(impl="fused")
+    assert expr == fused
+    for d in (2, 3, 4):
+        assert fused[d] is None
+    assert fused[1] == fused[7] is not None
+    assert all(0 <= v < dd.MERSENNE_P for v in fused[1])
+    # impl=None auto-resolves to the fused production path under
+    # tokhash (value-identical, so equality is the whole check) ...
+    assert sigs() == fused
+    # ... and to expr under string (the oracle arm; parity with an
+    # explicit expr build pins the resolution without pinning values)
+    str_default = {
+        r.doc_id: None if r.sig is None else tuple(r.sig)
+        for r in dd.minhash_signatures(docs).collect()
+    }
+    str_expr = {
+        r.doc_id: None if r.sig is None else tuple(r.sig)
+        for r in dd.minhash_signatures(docs, impl="expr").collect()
+    }
+    assert str_default == str_expr
+
+
+def test_fused_requires_tokhash(spark, planted):
+    with pytest.raises(ValueError, match="fused"):
+        dd.minhash_signatures(planted, impl="fused", shingle_impl="string")
+
+
 def test_tokhash_miner_recall_parity(spark, planted):
     """Planted-corpus recall/precision through the REAL miner chain is
     identical under tokhash: min-wise sampling quality does not depend
