@@ -216,17 +216,18 @@ def duplicate_span_stats(
             f"heavy_hitter_support must be in (0, 1) or None, got "
             f"{heavy_hitter_support}"
         )
-    if span_impl not in ("tokhash", "string"):
+    if span_impl not in ("fused", "tokhash", "string"):
         raise ValueError(
-            f"span_impl must be 'tokhash' or 'string', got {span_impl!r}"
+            f"span_impl must be 'fused', 'tokhash' or 'string', "
+            f"got {span_impl!r}"
         )
-    if span_impl == "tokhash":
+    if span_impl in ("fused", "tokhash"):
         from mapreduce_implementation_spark.functions.text import tokens
 
         # staged projections (one expensive expression per step — the
         # minhash_signatures staging rule): tokens → token hashes →
         # per-doc distinct span hashes over n-long slices
-        spans = (
+        th_staged = (
             spread(docs.select(F.col(id_col), F.col(text_col)))
             .select(
                 F.col(id_col),
@@ -238,7 +239,11 @@ def duplicate_span_stats(
                     F.col("_t"), lambda t: F.xxhash64(t)
                 ).alias("_th"),
             )
-            .select(
+        )
+        if span_impl == "fused":
+            spans = _span_hashes_fused(th_staged, id_col, n)
+        else:
+            spans = th_staged.select(
                 F.col(id_col),
                 F.explode(
                     F.when(
@@ -256,7 +261,6 @@ def duplicate_span_stats(
                     ).otherwise(F.array().cast("array<long>"))
                 ).alias("h"),
             )
-        )
     else:
         sp = shingles(text_col, n)
         base = spread(docs)
@@ -322,3 +326,74 @@ def duplicate_span_stats(
         "dup_span_frac",
         F.lit(scale).alias("span_sample_rate"),
     )
+
+
+def _span_hashes_fused(
+    th_staged: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """Fused mapInPandas span-hash kernel (see duplicate_span_stats):
+    consumes the token-hash arrays (``_th``) and emits the per-doc
+    DISTINCT span hashes as exploded (id, h) rows, replaying Spark's
+    ``xxhash64(slice(_th, i, n))`` chain bit-for-bit in vectorized
+    numpy (functions/xxh64np.py) — the per-position slice allocation
+    and the interpreted slice-hash HOF, the dominant stage of the
+    tokhash span explode at n=20, never run on the JVM. Same hash
+    family, same (id, h) multiset as the tokhash arm (parity
+    pytest-pinned in tests/test_contamination.py), so the downstream
+    holder-count aggregation is untouched.
+
+    Distinct is computed per doc with one lexsort over (doc, h) and a
+    neighbor-difference mask — vectorized, unlike np.unique per doc.
+    Docs with fewer than ``n`` tokens emit no rows (the explode
+    contract). The full 64-bit domain is kept (no mod reduction) —
+    span identity wants the lowest collision rate, exactly as the
+    expression arm."""
+    from pyspark.sql import types as T
+
+    id_field = th_staged.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("h", T.LongType(), False)]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mapreduce_implementation_spark.functions.xxh64np import (
+            chain_over_slices,
+            gram_starts,
+        )
+
+        for pdf in batches:
+            rows = len(pdf)
+            if rows == 0:
+                continue
+            th = pdf["_th"].to_numpy()
+            lens = np.fromiter(
+                (0 if x is None else len(x) for x in th),
+                dtype=np.int64,
+                count=rows,
+            )
+            valid = np.nonzero(lens >= n)[0]
+            if not len(valid):
+                continue
+            flat = np.concatenate(
+                [np.asarray(th[i], dtype=np.int64) for i in valid]
+            ).view(np.uint64)
+            starts, gram_off, total_g = gram_starts(lens[valid], n)
+            h = chain_over_slices(flat, starts, n)
+            g = lens[valid] - (n - 1)
+            doc_idx = np.repeat(
+                np.arange(len(valid), dtype=np.int64), g
+            )
+            # per-doc distinct: sort by (doc, h), keep first of each run
+            order = np.lexsort((h, doc_idx))
+            sd, sh = doc_idx[order], h[order]
+            keep = np.ones(total_g, dtype=bool)
+            keep[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+            ids = pdf[id_col].to_numpy()[valid]
+            yield pd.DataFrame(
+                {id_col: ids[sd[keep]], "h": sh[keep].view(np.int64)}
+            )
+
+    return th_staged.mapInPandas(gen, out_schema)

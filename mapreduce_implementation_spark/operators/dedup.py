@@ -1115,18 +1115,6 @@ def _minhash_sig_arrow(staged: DataFrame, k: int) -> DataFrame:
     return staged.mapInPandas(gen, out_schema)
 
 
-# Spark XXH64 primes (sql/catalyst XXH64.java) — the fused kernel
-# replays XxHash64-over-array<long> bit-for-bit so impl='fused'
-# signatures are THE SAME tokhash family as the expr/arrow builds
-# (digest-parity pytest-pinned), not a fourth one.
-_XX_P1 = 0x9E3779B185EBCA87
-_XX_P2 = 0xC2B2AE3D27D4EB4F
-_XX_P3 = 0x165667B19E3779F9
-_XX_P4 = 0x85EBCA77C2B2AE63
-_XX_P5 = 0x27D4EB2F165667C5
-_XX_SEED = 42  # Spark's xxhash64 default seed
-
-
 def _minhash_sig_fused(th_staged: DataFrame, n: int, k: int) -> DataFrame:
     """Fused mapInPandas tokhash signature kernel (see
     minhash_signatures): consumes the TOKEN-HASH arrays (``_th``) and
@@ -1166,28 +1154,10 @@ def _minhash_sig_fused(th_staged: DataFrame, n: int, k: int) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        u64 = np.uint64
-        P1, P2, P3, P4, P5 = (
-            u64(_XX_P1), u64(_XX_P2), u64(_XX_P3), u64(_XX_P4), u64(_XX_P5)
+        from mapreduce_implementation_spark.functions.xxh64np import (
+            chain_over_slices,
+            gram_starts,
         )
-        c8, c27, c31, c29, c32, c33, c37, c64 = (
-            u64(8), u64(27), u64(31), u64(29), u64(32), u64(33), u64(37),
-            u64(64),
-        )
-
-        def hash_long(inp, h):
-            # XXH64.hashLong(input, seed): one round + avalanche,
-            # wrapping uint64 throughout (numpy wraps silently).
-            h = h + P5 + c8
-            m = inp * P2
-            h = h ^ (((m << c31) | (m >> c33)) * P1)
-            h = ((h << c27) | (h >> c37)) * P1 + P4
-            h ^= h >> c33
-            h *= P2
-            h ^= h >> c29
-            h *= P3
-            h ^= h >> c32
-            return h
 
         for pdf in batches:
             rows = len(pdf)
@@ -1205,20 +1175,8 @@ def _minhash_sig_fused(th_staged: DataFrame, n: int, k: int) -> DataFrame:
                 flat = np.concatenate(
                     [np.asarray(th[i], dtype=np.int64) for i in valid]
                 ).view(np.uint64)
-                g = lens[valid] - (n - 1)  # grams per valid doc
-                doc_off = np.zeros(len(valid), dtype=np.int64)
-                np.cumsum(lens[valid][:-1], out=doc_off[1:])
-                gram_off = np.zeros(len(valid), dtype=np.int64)
-                np.cumsum(g[:-1], out=gram_off[1:])
-                total_g = int(g.sum())
-                # gram m of doc d starts at flat index
-                # doc_off[d] + (m - gram_off[d])
-                starts = np.repeat(doc_off - gram_off, g) + np.arange(
-                    total_g, dtype=np.int64
-                )
-                h = np.full(total_g, u64(_XX_SEED), dtype=np.uint64)
-                for j in range(n):
-                    h = hash_long(flat[starts + j], h)
+                starts, gram_off, _ = gram_starts(lens[valid], n)
+                h = chain_over_slices(flat, starts, n)
                 s = h.view(np.int64) % MERSENNE_P  # floored % == pmod
                 mins = np.empty((len(valid), k), dtype=np.int64)
                 for j in range(k):

@@ -290,3 +290,39 @@ def test_span_impl_parity_and_validation(spark):
             assert r[2] == exact_dup[r[0]], r
     with _pytest.raises(ValueError, match="span_impl"):
         duplicate_span_stats(docs, span_impl="vectorized")
+
+
+def test_span_impl_fused_parity(spark):
+    """Round 16 (continued): span_impl='fused' replays the tokhash
+    slice-hash chain in numpy (functions/xxh64np.py) and computes the
+    per-doc distinct with one lexsort — the (id, h) multiset it emits
+    must be BIT-IDENTICAL to the tokhash arm's, so the whole operator
+    output matches exactly in exact AND sampled/heavy-hitter modes
+    (content-hash sampling sees the same hashes, so unlike the
+    string-vs-tokhash pair the sampled rows DO match row-for-row)."""
+    from mapreduce_implementation_spark.operators.contamination import (
+        duplicate_span_stats,
+    )
+
+    rows = []
+    boiler = " ".join(f"b{i}" for i in range(30))
+    for d in range(40):
+        uniq = " ".join(f"u{d}x{i}" for i in range(25))
+        rows.append((d, boiler + " " + uniq if d % 2 == 0 else uniq))
+    rows.append((100, None))
+    rows.append((101, "short text"))
+    rows.append((102, ""))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def got(**kw):
+        return sorted(
+            tuple(r)
+            for r in duplicate_span_stats(docs, n=20, **kw).collect()
+        )
+
+    assert got(span_impl="fused") == got(span_impl="tokhash")
+    assert got(span_impl="fused")  # non-empty
+    # same hash family -> sampled mode keeps the SAME spans: full row
+    # equality holds across impls, not just classification exactness
+    kw = dict(sample_rate=2, heavy_hitter_support=0.01)
+    assert got(span_impl="fused", **kw) == got(span_impl="tokhash", **kw)
