@@ -87,7 +87,7 @@ def duplicate_span_stats(
     *,
     sample_rate: int | None = None,
     heavy_hitter_support: float | None = 0.001,
-    span_impl: str = "tokhash",
+    span_impl: str = "fused",
 ) -> DataFrame:
     """Substring-level SELF-duplication: per document, the fraction of
     its distinct word-``n``-grams that appear verbatim in at least one
@@ -134,9 +134,24 @@ def duplicate_span_stats(
     the right trade against shuffling span strings (tighten to the
     md5 hex the other miners use if exactness ever matters).
 
-    ``span_impl`` (round 14) picks how the span hashes are produced:
+    ``span_impl`` (round 14; fused default round 16) picks how the
+    span hashes are produced:
 
-    * ``"tokhash"`` (default) — hash each TOKEN once to int64, then
+    * ``"fused"`` (default, round 16) — the tokhash chain computed in
+      ONE vectorized mapInPandas pass (functions/xxh64np.py): the JVM
+      keeps tokenize + per-token ``xxhash64``; the Arrow transfer
+      carries the token-hash arrays and numpy replays the
+      ``xxhash64``-over-slice chain bit-for-bit (n hashLong passes
+      over the flat gram vector) with a lexsort per-doc distinct —
+      the per-position 20-long slice allocation and the interpreted
+      slice-hash HOF never run. SAME hash family and (id, h) multiset
+      as ``"tokhash"`` (parity pytest-pinned, exact and sampled
+      modes). Measured fresh-process interleaved min-of-3 at 4M
+      rehearsal docs, full operator, n=20 (BASELINE.md r16
+      continued): tokhash 118.79 s → fused 52.65 s (**2.26×**),
+      digests identical on all six lines.
+    * ``"tokhash"`` (the pre-r16 default; now the JVM expression
+      reference arm) — hash each TOKEN once to int64, then
       each span hash is ``xxhash64`` of the n-long token-hash SLICE.
       No 20-word concat string is ever built: per span the engine
       allocates one n-long slice instead of constructing a
@@ -348,7 +363,18 @@ def _span_hashes_fused(
     contract). The full 64-bit domain is kept (no mod reduction) —
     span identity wants the lowest collision rate, exactly as the
     expression arm."""
+    from pyspark import cloudpickle
     from pyspark.sql import types as T
+
+    from mapreduce_implementation_spark.functions import xxh64np
+
+    # ship the numpy-hash module BY VALUE (the multimodal/inference
+    # pattern): arbitrary driver sessions may run workers without this
+    # package on sys.path, so the kernel closes over the functions
+    # instead of importing them worker-side
+    cloudpickle.register_pickle_by_value(xxh64np)
+    chain_over_slices = xxh64np.chain_over_slices
+    gram_starts = xxh64np.gram_starts
 
     id_field = th_staged.schema[id_col]
     out_schema = T.StructType(
@@ -358,11 +384,6 @@ def _span_hashes_fused(
     def gen(batches):
         import numpy as np
         import pandas as pd
-
-        from mapreduce_implementation_spark.functions.xxh64np import (
-            chain_over_slices,
-            gram_starts,
-        )
 
         for pdf in batches:
             rows = len(pdf)

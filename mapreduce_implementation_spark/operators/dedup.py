@@ -1141,7 +1141,19 @@ def _minhash_sig_fused(th_staged: DataFrame, n: int, k: int) -> DataFrame:
     batch (k passes + np.minimum.reduceat at the per-doc gram offsets)
     — the same working-set shape as _minhash_sig_arrow, plus n passes
     of the hash chain."""
+    from pyspark import cloudpickle
     from pyspark.sql import types as T
+
+    from mapreduce_implementation_spark.functions import xxh64np
+
+    # ship the numpy-hash module BY VALUE (the multimodal/inference
+    # pattern): the driver contract hands us arbitrary SparkSessions
+    # whose Python workers may not have this package on sys.path (they
+    # don't when the driver's cwd isn't the repo root), so the kernel
+    # must close over the functions rather than import them worker-side
+    cloudpickle.register_pickle_by_value(xxh64np)
+    chain_over_slices = xxh64np.chain_over_slices
+    gram_starts = xxh64np.gram_starts
 
     a_consts = [int(a) for a in PERM_A[:k]]
     b_consts = [int(b) for b in PERM_B[:k]]
@@ -1153,11 +1165,6 @@ def _minhash_sig_fused(th_staged: DataFrame, n: int, k: int) -> DataFrame:
     def gen(batches):
         import numpy as np
         import pandas as pd
-
-        from mapreduce_implementation_spark.functions.xxh64np import (
-            chain_over_slices,
-            gram_starts,
-        )
 
         for pdf in batches:
             rows = len(pdf)

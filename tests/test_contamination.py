@@ -109,14 +109,27 @@ def test_duplicate_span_stats_plan_shape(spark):
     from mapreduce_implementation_spark.sources.catalog import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    df = duplicate_span_stats(docs, n=20)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # the fused default: the span rows come out of a MapInPandas
+    # kernel, no Generate/explode node at all — still two scan
+    # branches, still no Window
+    plan = plan_of(duplicate_span_stats(docs, n=20))
     # "Scan parquet" appears in the tree line AND the details header
-    # (2 per node); "(n) Generate" only in the details header (1 per
-    # node)
+    # (2 per node)
     assert plan.count("Scan parquet") == 4, plan  # two branches
+    assert plan.count(") MapInPandas") == 2, plan  # one kernel per branch
+    assert ") Generate" not in plan, plan  # no JVM explode in fused
+    assert "Window" not in plan, plan  # no hot-key single-task ceiling
+
+    # the JVM expression arm keeps the explode shape
+    plan = plan_of(duplicate_span_stats(docs, n=20, span_impl="tokhash"))
+    assert plan.count("Scan parquet") == 4, plan  # two branches
+    # "(n) Generate" only in the details header (1 per node)
     assert plan.count(") Generate") == 2, plan  # one explode per branch
     assert "Window" not in plan, plan  # no hot-key single-task ceiling
 

@@ -238,6 +238,30 @@ def test_fused_requires_tokhash(spark, planted):
         dd.minhash_signatures(planted, impl="fused", shingle_impl="string")
 
 
+def test_fused_kernels_ship_xxh64np_by_value(spark, planted):
+    """The fused kernels must register functions/xxh64np for BY-VALUE
+    cloudpickle (the multimodal._ship_codecs_by_value contract):
+    arbitrary driver sessions run Python workers WITHOUT this package
+    on sys.path (driver cwd != repo root), so a worker-side import of
+    the module raises ModuleNotFoundError and every fused build dies.
+    pytest runs from the repo root where the worker-side import
+    happens to work — this pin is the in-suite stand-in for the
+    /tmp-cwd driver canary that caught the original bug."""
+    from pyspark import cloudpickle
+
+    from mapreduce_implementation_spark.functions import xxh64np
+    from mapreduce_implementation_spark.operators.contamination import (
+        duplicate_span_stats,
+    )
+
+    # building the frames triggers the registration (construction-time)
+    dd.minhash_signatures(planted, shingle_impl="tokhash")
+    duplicate_span_stats(planted, n=5)
+    assert (
+        xxh64np.__name__ in cloudpickle.list_registry_pickle_by_value()
+    )
+
+
 def test_tokhash_miner_recall_parity(spark, planted):
     """Planted-corpus recall/precision through the REAL miner chain is
     identical under tokhash: min-wise sampling quality does not depend
