@@ -109,7 +109,11 @@ def cmd_stage(shingle_impl: str, docs_dir: str) -> None:
     """Time the shingle-int stage ALONE (everything before the
     permutation fold) in a fresh process — total(build) - stage ≈ the
     fold's own share, the number the r14 decomposition put at ~9.6 s
-    under tokhash."""
+    under tokhash.
+
+    ``shingle_impl="th"`` times only scan → tokenize → per-token
+    xxhash64 (the JVM residue of the FUSED build): total(fused) - th ≈
+    the numpy kernel + Arrow transfer share."""
     from pyspark.sql import functions as F
 
     from mapreduce_implementation_spark.functions.text import tokens
@@ -127,7 +131,11 @@ def cmd_stage(shingle_impl: str, docs_dir: str) -> None:
     base = spread(
         docs.select(F.col("doc_id"), F.col("text"))
     ).select("doc_id", tokens(F.lower(F.col("text")), mode="simple").alias("_toks"))
-    if shingle_impl == "tokhash":
+    if shingle_impl == "th":
+        staged = base.select(
+            "doc_id", token_hash_ints(F.col("_toks")).alias("_th")
+        )
+    elif shingle_impl == "tokhash":
         staged = base.select(
             "doc_id", token_hash_ints(F.col("_toks")).alias("_th")
         ).select(

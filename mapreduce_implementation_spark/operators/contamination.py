@@ -346,7 +346,7 @@ def duplicate_span_stats(
 def _span_hashes_fused(
     th_staged: DataFrame, id_col: str, n: int
 ) -> DataFrame:
-    """Fused mapInPandas span-hash kernel (see duplicate_span_stats):
+    """Fused mapInArrow span-hash kernel (see duplicate_span_stats):
     consumes the token-hash arrays (``_th``) and emits the per-doc
     DISTINCT span hashes as exploded (id, h) rows, replaying Spark's
     ``xxhash64(slice(_th, i, n))`` chain bit-for-bit in vectorized
@@ -356,6 +356,13 @@ def _span_hashes_fused(
     family, same (id, h) multiset as the tokhash arm (parity
     pytest-pinned in tests/test_contamination.py), so the downstream
     holder-count aggregation is untouched.
+
+    mapInArrow, not mapInPandas (the _minhash_sig_fused lesson,
+    measured there at 1.41×): the ListArray's flat int64 buffer +
+    value_lengths read without any per-doc Python object or
+    concatenate loop, and the output ids come from one
+    ``pa.compute.take`` on the input id column — id type agnostic,
+    no pandas round-trip.
 
     Distinct is computed per doc with one lexsort over (doc, h) and a
     neighbor-difference mask — vectorized, unlike np.unique per doc.
@@ -374,7 +381,6 @@ def _span_hashes_fused(
     # instead of importing them worker-side
     cloudpickle.register_pickle_by_value(xxh64np)
     chain_over_slices = xxh64np.chain_over_slices
-    gram_starts = xxh64np.gram_starts
 
     id_field = th_staged.schema[id_col]
     out_schema = T.StructType(
@@ -383,38 +389,49 @@ def _span_hashes_fused(
 
     def gen(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            rows = len(pdf)
+        for rb in batches:
+            rows = rb.num_rows
             if rows == 0:
                 continue
-            th = pdf["_th"].to_numpy()
-            lens = np.fromiter(
-                (0 if x is None else len(x) for x in th),
-                dtype=np.int64,
-                count=rows,
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            th = rb.column(rb.schema.get_field_index("_th"))
+            lens = (
+                th.value_lengths()
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
             valid = np.nonzero(lens >= n)[0]
             if not len(valid):
                 continue
-            flat = np.concatenate(
-                [np.asarray(th[i], dtype=np.int64) for i in valid]
-            ).view(np.uint64)
-            starts, gram_off, total_g = gram_starts(lens[valid], n)
-            h = chain_over_slices(flat, starts, n)
-            g = lens[valid] - (n - 1)
-            doc_idx = np.repeat(
-                np.arange(len(valid), dtype=np.int64), g
+            flat = (
+                th.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
             )
+            all_off = np.zeros(rows + 1, dtype=np.int64)
+            np.cumsum(lens, out=all_off[1:])
+            g = lens[valid] - (n - 1)
+            gram_off = np.zeros(len(valid), dtype=np.int64)
+            np.cumsum(g[:-1], out=gram_off[1:])
+            total_g = int(g.sum())
+            starts = np.repeat(
+                all_off[:-1][valid] - gram_off, g
+            ) + np.arange(total_g, dtype=np.int64)
+            h = chain_over_slices(flat, starts, n)
+            doc_idx = np.repeat(np.arange(len(valid), dtype=np.int64), g)
             # per-doc distinct: sort by (doc, h), keep first of each run
             order = np.lexsort((h, doc_idx))
             sd, sh = doc_idx[order], h[order]
             keep = np.ones(total_g, dtype=bool)
             keep[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
-            ids = pdf[id_col].to_numpy()[valid]
-            yield pd.DataFrame(
-                {id_col: ids[sd[keep]], "h": sh[keep].view(np.int64)}
+            out_ids = pa.compute.take(ids, pa.array(valid[sd[keep]]))
+            yield pa.RecordBatch.from_arrays(
+                [out_ids, pa.array(sh[keep].view(np.int64))],
+                names=[id_col, "h"],
             )
 
-    return th_staged.mapInPandas(gen, out_schema)
+    return th_staged.mapInArrow(gen, out_schema)

@@ -1116,7 +1116,7 @@ def _minhash_sig_arrow(staged: DataFrame, k: int) -> DataFrame:
 
 
 def _minhash_sig_fused(th_staged: DataFrame, n: int, k: int) -> DataFrame:
-    """Fused mapInPandas tokhash signature kernel (see
+    """Fused mapInArrow tokhash signature kernel (see
     minhash_signatures): consumes the TOKEN-HASH arrays (``_th``) and
     computes shingle ints + the k permutation mins in one vectorized
     pass, so the per-position ``xxhash64(slice(_th, i, n))`` HOF stage
@@ -1124,6 +1124,18 @@ def _minhash_sig_fused(th_staged: DataFrame, n: int, k: int) -> DataFrame:
     decomposition (BASELINE.md r16), evaluated outside whole-stage
     codegen with one array allocation per n-gram position — never runs
     on the JVM at all.
+
+    mapInArrow, not mapInPandas (round-16 second iteration): the
+    pandas form converted each Arrow list row into its own small
+    ndarray and re-flattened them with a per-doc ``np.concatenate``
+    loop — measured as the DOMINANT cost of the kernel itself (the
+    JVM tokenize+token-hash residue is only ~3.1 s of the ~12.5 s
+    pandas-fused build at 1M docs). The Arrow ``ListArray`` already
+    stores the flat int64 buffer + offsets, so the kernel reads
+    ``flatten()``/``value_lengths()`` zero-copy and never touches a
+    per-doc Python object: fresh-process interleaved min-of-3 at 1M
+    docs, pandas-fused 12.45 s → arrow-native **8.82 s (1.41×)**,
+    digest-identical (BASELINE.md r16 continued).
 
     Exactness: Spark's ``XxHash64`` over ``array<long>`` is the XXH64
     single-long round chained across elements with the running hash as
@@ -1134,8 +1146,9 @@ def _minhash_sig_fused(th_staged: DataFrame, n: int, k: int) -> DataFrame:
     ``pmod``. ``array_distinct`` is SKIPPED by design: the signature
     is a min over permuted shingle values and min is
     duplicate-invariant, so distinct-ing only changes work shape, not
-    values. Docs with fewer than ``n`` tokens (or NULL token arrays)
-    yield NULL signatures — the expr contract.
+    values. Docs with fewer than ``n`` tokens (or NULL token arrays,
+    whose ``value_lengths`` fill as 0) yield NULL signatures — the
+    expr contract.
 
     The permutation loop runs over the ~total-grams flat vector per
     batch (k passes + np.minimum.reduceat at the per-doc gram offsets)
@@ -1153,7 +1166,6 @@ def _minhash_sig_fused(th_staged: DataFrame, n: int, k: int) -> DataFrame:
     # must close over the functions rather than import them worker-side
     cloudpickle.register_pickle_by_value(xxh64np)
     chain_over_slices = xxh64np.chain_over_slices
-    gram_starts = xxh64np.gram_starts
 
     a_consts = [int(a) for a in PERM_A[:k]]
     b_consts = [int(b) for b in PERM_B[:k]]
@@ -1164,40 +1176,71 @@ def _minhash_sig_fused(th_staged: DataFrame, n: int, k: int) -> DataFrame:
 
     def gen(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            rows = len(pdf)
+        for rb in batches:
+            rows = rb.num_rows
             if rows == 0:
                 continue
-            th = pdf["_th"].to_numpy()
-            lens = np.fromiter(
-                (0 if x is None else len(x) for x in th),
-                dtype=np.int64,
-                count=rows,
+            ids = rb.column(rb.schema.get_field_index("doc_id"))
+            th = rb.column(rb.schema.get_field_index("_th"))
+            # zero-copy-shaped reads: per-row lengths (nulls -> 0) and
+            # the flat value buffer (flatten() respects batch slicing)
+            lens = (
+                th.value_lengths()
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            sigs = np.empty(rows, dtype=object)
-            valid = np.nonzero(lens >= n)[0]
-            if len(valid):
-                flat = np.concatenate(
-                    [np.asarray(th[i], dtype=np.int64) for i in valid]
-                ).view(np.uint64)
-                starts, gram_off, _ = gram_starts(lens[valid], n)
+            flat = (
+                th.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+            all_off = np.zeros(rows + 1, dtype=np.int64)
+            np.cumsum(lens, out=all_off[1:])
+            valid_mask = lens >= n
+            nv = int(valid_mask.sum())
+            sig_values = np.empty(0, dtype=np.int64)
+            if nv:
+                lens_v = lens[valid_mask]
+                doc_off_v = all_off[:-1][valid_mask]
+                g = lens_v - (n - 1)
+                gram_off = np.zeros(nv, dtype=np.int64)
+                np.cumsum(g[:-1], out=gram_off[1:])
+                total_g = int(g.sum())
+                starts = np.repeat(doc_off_v - gram_off, g) + np.arange(
+                    total_g, dtype=np.int64
+                )
                 h = chain_over_slices(flat, starts, n)
                 s = h.view(np.int64) % MERSENNE_P  # floored % == pmod
-                mins = np.empty((len(valid), k), dtype=np.int64)
+                mins = np.empty((nv, k), dtype=np.int64)
                 for j in range(k):
                     # a·s + b < 2^62 + 2^31: exact in int64
                     mins[:, j] = np.minimum.reduceat(
-                        (a_consts[j] * s + b_consts[j]) % MERSENNE_P, gram_off
+                        (a_consts[j] * s + b_consts[j]) % MERSENNE_P,
+                        gram_off,
                     )
-                for pos, i in enumerate(valid):
-                    sigs[i] = mins[pos]
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].to_numpy(), "sig": sigs}
+                sig_values = mins.ravel()
+            counts = np.where(valid_mask, k, 0).astype(np.int32)
+            offsets = np.zeros(rows + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(sig_values, type=pa.int64())
+            )
+            if not valid_mask.all():
+                # short/NULL docs: empty lists -> NULL signatures
+                sig_arr = pa.compute.if_else(
+                    pa.array(valid_mask),
+                    sig_arr,
+                    pa.scalar(None, sig_arr.type),
+                )
+            yield pa.RecordBatch.from_arrays(
+                [ids, sig_arr], names=["doc_id", "sig"]
             )
 
-    return th_staged.mapInPandas(gen, out_schema)
+    return th_staged.mapInArrow(gen, out_schema)
 
 
 def minhash_near_dup_pairs(

@@ -115,14 +115,14 @@ def test_duplicate_span_stats_plan_shape(spark):
             df._jdf.queryExecution(), "formatted"
         )
 
-    # the fused default: the span rows come out of a MapInPandas
+    # the fused default: the span rows come out of a MapInArrow
     # kernel, no Generate/explode node at all — still two scan
     # branches, still no Window
     plan = plan_of(duplicate_span_stats(docs, n=20))
     # "Scan parquet" appears in the tree line AND the details header
     # (2 per node)
     assert plan.count("Scan parquet") == 4, plan  # two branches
-    assert plan.count(") MapInPandas") == 2, plan  # one kernel per branch
+    assert plan.count(") MapInArrow") == 2, plan  # one kernel per branch
     assert ") Generate" not in plan, plan  # no JVM explode in fused
     assert "Window" not in plan, plan  # no hot-key single-task ceiling
 
