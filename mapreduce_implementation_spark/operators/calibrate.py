@@ -388,7 +388,8 @@ def _probe_shingle_families(
       transfers to the full corpus; both arms share this process's JIT
       draw, which on a slow draw COMPRESSES the ratio but never flips
       the faster arm (BASELINE.md r15) — the cross-process
-      BASELINE.md numbers (1.38x build at 1M docs) are the
+      BASELINE.md numbers (2.36x build at 1M docs under the r16
+      fused kernel; 1.38x in the pre-fused r15 measure) are the
       scale-grade evidence, this probe is the per-corpus check.
 
     Returns ``(section, inset_by_arm)`` — the report's ``"shingle"``

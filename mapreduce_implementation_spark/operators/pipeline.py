@@ -97,9 +97,10 @@ class CorpusPipelineConfig:
     near_dup_max_bucket: int | None = DEFAULT_MAX_BUCKET
     # signature family for the near-dup stage (round 15): "string"
     # (md5 over n-gram concat strings — the oracle-replayable default),
-    # "tokhash" (shingle int64s from token-hash slices — measured
-    # 1.38x signature build / 1.21x miner at 1M docs, BASELINE.md r15;
-    # re-probe recall per corpus via calibrate_corpus at the same
+    # "tokhash" (shingle int64s from token-hash slices, built by the
+    # r16 fused mapInArrow kernel — measured 2.36x signature build at
+    # 1M docs vs the expr chain, BASELINE.md r16; re-probe recall per
+    # corpus via calibrate_corpus at the same
     # family before adopting), or "auto" (round 16): adopt the family
     # the ``calibration`` report was measured under — the
     # calibrate_corpus pre-flight's recommendation when it ran with
