@@ -75,16 +75,34 @@ def davg(col: str | Column) -> Column:
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary — scan-heavy agg; the shuffle carries at
-    most |flag×status| groups per task thanks to partial aggregation."""
+    most |flag×status| groups per task thanks to partial aggregation.
+
+    spread() before the agg (r16): the sf0.1 lineitem file is a single
+    row group, so the scan — and with it the eight exact-decimal
+    partial aggregations — ran as ONE task (1.10 s → 0.78 s min-of-3
+    after widening, OPTIMIZATION_r16.md). The widen shuffles only the
+    six projected columns of the date-filtered rows, and at scale the
+    split estimate clears the core count so no exchange is added.
+    Exact-decimal sums are order-independent, so the repartition
+    cannot change any output value."""
     li = load_table(spark, sf_dir, "lineitem")
     one_minus_disc = (F.lit(1) - F.col("l_discount").cast("decimal(12,4)")).cast("decimal(12,8)")
     combined = (
         (F.lit(1) - F.col("l_discount").cast("decimal(12,4)"))
         * (F.lit(1) + F.col("l_tax").cast("decimal(12,4)"))
     ).cast("decimal(12,8)")
+    from mapreduce_implementation_spark.operators.dedup import spread
+
+    filtered = spread(
+        li.where(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        ).select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        filtered.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),

@@ -60,10 +60,13 @@ def _hits(lang: str) -> str:
     """,
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document whitespace and BPE-ish token counts — pure scan-stage
-    projection (zero shuffle at any scale)."""
+    """Per-document whitespace and BPE-ish token counts. spread() since
+    r16 (0.27 s → 0.18 s min-of-3 at sf0.1): the tokenize + regexp_count
+    projection serialized on the single-row-group file's one scan task;
+    at scale the widening exchange never fires and the projection is a
+    pure scan-stage map as before."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    return spread(docs.select("doc_id", "text")).select(
         "doc_id",
         ts.token_count("text").alias("n_tokens"),
         ts.bpe_ish_token_count("text").alias("n_bpe_tokens"),
@@ -108,11 +111,16 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     → score-from-feature-COLUMNS, so the four features the score shares
     evaluate once instead of twice (quality_score inlined next to the
     feature outputs re-evaluated them — no CSE across output columns;
-    1.12 s → 0.85 s at sf0.1, BASELINE.md r8)."""
+    1.12 s → 0.85 s at sf0.1, BASELINE.md r8). spread() since r16:
+    the r8 'sub-second projections stay unspread' rule was re-measured
+    with the single-row-group sf0.1 file scanning as ONE task — the
+    HOF feature chain (array_sort fold for top_token_frac, stopword
+    filter) serialized on one core; 0.98 s → 0.55 s min-of-3
+    (OPTIMIZATION_r16.md), and spread() stays a no-op at scale."""
     docs = load_table(spark, sf_dir, "documents")
     # two-step: tokenize once into a column, features read the column
     # (inline, the split reruns per feature — no CSE across outputs)
-    pre = docs.select(
+    pre = spread(docs.select("doc_id", "text")).select(
         "doc_id", "text", ts._lower_tokens("text").alias("_toks")
     )
     f = ts.quality_features("text", toks=F.col("_toks"))

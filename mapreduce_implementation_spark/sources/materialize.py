@@ -73,5 +73,57 @@ def ensure_table(
                 df, path, list(partition_cols), cluster=cluster
             )
         else:
-            df.write.mode("overwrite").parquet(path)
+            _sized_for_write(df).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # guide §6: 128 MB–1 GB per file
+
+
+def _sized_for_write(df: DataFrame) -> DataFrame:
+    """Right-size an artifact frame for its parquet write (r16, guide
+    §6): a build frame that was spread() across the cores would
+    otherwise commit one near-empty file per task (32 files for a
+    ~1 MB signature table locally; task-count files at scale), paying
+    per-file commit/listing/open cost on every write AND read-back.
+
+    The file count derives from the upstream SCAN bytes (the same
+    local-path probe spread() uses — artifact tables here are strict
+    column subsets/derivatives of their input, so input bytes bound
+    output bytes): ``ceil(input_bytes / TARGET_FILE_BYTES)`` keeps
+    files in the 128 MB band at any scale. An explicit round-robin
+    ``repartition(k)`` — never ``coalesce(k)`` — so the expensive
+    derivation keeps its scan/spread parallelism and only the tiny
+    finished rows converge (coalesce(1) re-serialized the whole sig
+    chain onto one core: 1.52 s vs 0.71 s, OPTIMIZATION_r16.md).
+    Unresolvable inputs (object-store URIs, no-file sources) fall back
+    to the AQE ``rebalance`` hint: advisory-size partitioning decided
+    at runtime from real shuffle statistics."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        _estimate_scan_splits,
+    )
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df.hint("rebalance")
+    spark = df.sparkSession
+    conf_saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    # reuse the split estimator at TARGET_FILE_BYTES granularity: the
+    # split count at 128 MB IS ceil(bytes/128MB) summed per file
+    try:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(TARGET_FILE_BYTES)
+        )
+        est = _estimate_scan_splits(spark, files)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", conf_saved)
+    if est is None:
+        return df.hint("rebalance")
+    if est >= df.sparkSession.sparkContext.defaultParallelism:
+        # the write is already at-or-above core-count wide; more
+        # repartitioning buys nothing and costs a corpus-scale exchange
+        return df
+    return df.repartition(est)
