@@ -91,7 +91,9 @@ def _sized_for_write(df: DataFrame) -> DataFrame:
     local-path probe spread() uses — artifact tables here are strict
     column subsets/derivatives of their input, so input bytes bound
     output bytes): ``ceil(input_bytes / TARGET_FILE_BYTES)`` keeps
-    files in the 128 MB band at any scale. An explicit round-robin
+    files in the 128 MB band at any scale (TOTAL scan bytes, not
+    per-file ceilings, so a many-tiny-files input still converges to
+    few right-sized outputs). An explicit round-robin
     ``repartition(k)`` — never ``coalesce(k)`` — so the expensive
     derivation keeps its scan/spread parallelism and only the tiny
     finished rows converge (coalesce(1) re-serialized the whole sig
@@ -99,9 +101,8 @@ def _sized_for_write(df: DataFrame) -> DataFrame:
     Unresolvable inputs (object-store URIs, no-file sources) fall back
     to the AQE ``rebalance`` hint: advisory-size partitioning decided
     at runtime from real shuffle statistics."""
-    from mapreduce_implementation_spark.operators.dedup import (
-        _estimate_scan_splits,
-    )
+    import os as _os
+    from urllib.parse import urlparse
 
     try:
         files = df.inputFiles()
@@ -109,19 +110,23 @@ def _sized_for_write(df: DataFrame) -> DataFrame:
         files = []
     if not files:
         return df.hint("rebalance")
-    spark = df.sparkSession
-    conf_saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    # reuse the split estimator at TARGET_FILE_BYTES granularity: the
-    # split count at 128 MB IS ceil(bytes/128MB) summed per file
-    try:
-        spark.conf.set(
-            "spark.sql.files.maxPartitionBytes", str(TARGET_FILE_BYTES)
-        )
-        est = _estimate_scan_splits(spark, files)
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", conf_saved)
-    if est is None:
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            total = None
+            break
+        try:
+            total += _os.path.getsize(parsed.path or uri)
+        except OSError:
+            total = None
+            break
+    if total is None:
         return df.hint("rebalance")
+    # TOTAL bytes, not per-file ceilings: a many-tiny-files input (the
+    # layout this sizing exists to avoid propagating) must not inflate
+    # the estimate to one output file per input file
+    est = max(1, -(-total // TARGET_FILE_BYTES))
     if est >= df.sparkSession.sparkContext.defaultParallelism:
         # the write is already at-or-above core-count wide; more
         # repartitioning buys nothing and costs a corpus-scale exchange

@@ -437,3 +437,52 @@ def test_distributed_listing_driver_holds_prefixes_not_leaves(
     assert distributed_leaf_counts(spark, flat, []) == paged_leaf_counts(
         spark, flat, []
     )
+
+
+def test_ensure_table_write_sizing(spark, tmp_path):
+    """r16: unpartitioned ensure_table writes right-size their file
+    count from the build frame's scan bytes (guide §6) — a spread()
+    build frame no longer commits one near-empty file per task — while
+    the committed ROWS are unchanged; driver-local frames take the
+    rebalance fallback and also commit small file counts."""
+    from mapreduce_implementation_spark.operators.dedup import spread
+    from mapreduce_implementation_spark.sources.materialize import (
+        _sized_for_write,
+        ensure_table,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(0, 1000).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    base = spark.read.parquet(src)
+
+    out = str(tmp_path / "artifact")
+    got = ensure_table(
+        spark, out, lambda: spread(base).selectExpr("id", "v + 1 AS w")
+    )
+    files = [
+        f
+        for f in __import__("os").listdir(out)
+        if f.endswith(".parquet")
+    ]
+    # tiny local input → ceil(bytes / 128 MB) = 1 data file, not one
+    # per spread() task
+    assert len(files) == 1
+    assert got.count() == 1000
+    assert got.agg({"w": "sum"}).first()[0] == sum(2 * i + 1 for i in range(1000))
+
+    # est >= core count → the frame is left alone (no extra exchange)
+    import mapreduce_implementation_spark.sources.materialize as mat
+
+    old = mat.TARGET_FILE_BYTES
+    try:
+        mat.TARGET_FILE_BYTES = 1  # force est = n_files ≥ parallelism
+        wide = _sized_for_write(base)
+        assert wide is base
+    finally:
+        mat.TARGET_FILE_BYTES = old
+
+    # no-file (driver-local) source → rebalance fallback, still writes
+    local = spark.createDataFrame([(i,) for i in range(10)], "id int")
+    out2 = str(tmp_path / "artifact_local")
+    got2 = ensure_table(spark, out2, lambda: local)
+    assert got2.count() == 10
