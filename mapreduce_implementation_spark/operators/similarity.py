@@ -548,23 +548,39 @@ def train_centroids(
         (i, list(r.ev)) for i, r in enumerate(init_rows)
     ]
     for _ in range(iters):
-        # keep_cols carries the vector through the assignment projection
-        # — no per-iteration shuffle self-join back to vq; centroids go
-        # straight from the driver list (no createDataFrame → collect
-        # round trip per iteration)
-        assigned = _assign_from_list(
-            vq, centroids, 1, "vec_id", "ev", keep_cols=("ev",),
-            impl=assign_impl,
-        )
-        sums = (
-            assigned.select("centroid_id", F.posexplode("ev").alias("pos", "val"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        if assign_impl == "arrow":
+            # Fused update (r16): assignment + per-centroid integer
+            # sums in one mapInPandas pass — each task returns at most
+            # k×d partial rows, collected and reduced on the driver
+            # (one job, no posexplode, no N-row Arrow return transfer;
+            # see _train_sums_arrow's parity notes)
+            sums = _train_sums_arrow(vq, centroids, "ev").collect()
+        else:
+            # expr A/B arm keeps the unfused shape: keep_cols carries
+            # the vector through the assignment projection — no
+            # per-iteration shuffle self-join back to vq; centroids go
+            # straight from the driver list (no createDataFrame →
+            # collect round trip per iteration)
+            assigned = _assign_from_list(
+                vq, centroids, 1, "vec_id", "ev", keep_cols=("ev",),
+                impl=assign_impl,
+            )
+            sums = (
+                assigned.select(
+                    "centroid_id", F.posexplode("ev").alias("pos", "val")
+                )
+                .groupBy("centroid_id", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
         by_cid: dict[int, dict[int, tuple[int, int]]] = {}
         for r in sums:
-            by_cid.setdefault(r.centroid_id, {})[r.pos] = (r.s, r.n)
+            prev = by_cid.setdefault(r.centroid_id, {}).get(r.pos)
+            if prev is not None:
+                # driver-side reduce of per-task partials (arrow path)
+                by_cid[r.centroid_id][r.pos] = (prev[0] + r.s, prev[1] + r.n)
+            else:
+                by_cid[r.centroid_id][r.pos] = (r.s, r.n)
         new_centroids = []
         for cid, old in centroids:
             dims = by_cid.get(cid)
@@ -1138,7 +1154,6 @@ def _assign_arrow(
         cmat = np.array(cent_vals, dtype=np.float64)
         cn = np.array(cent_norms, dtype=np.float64)
         cid_arr = np.array(cent_ids, dtype=np.int32)
-        k, d = cmat.shape
 
         for pdf in batches:
             n = len(pdf)
@@ -1146,37 +1161,158 @@ def _assign_arrow(
                 continue
             embs = pdf[emb_col].to_numpy()
             vn = pdf["_vn"].to_numpy(dtype=np.float64)
-            ok = np.fromiter(
-                (e is not None and len(e) == d for e in embs),
-                dtype=bool,
-                count=n,
-            ) & np.isfinite(vn)
-            m = np.zeros((n, d), dtype=np.float64)
-            for i in np.nonzero(ok)[0]:
-                m[i] = np.asarray(embs[i], dtype=np.float64)
-            denom = vn[:, None] * cn[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(
-                    ok[:, None] & (denom != 0.0), (m @ cmat.T) / denom, -np.inf
-                )
-
-            def exact_at(flat_ix: int) -> float:
-                i, j = divmod(flat_ix, k)
-                acc = 0.0
-                ev = embs[i]
-                cv = cent_vals[j]
-                for a, b in zip(cv, ev):
-                    acc += a * float(b)
-                return acc / (cent_norms[j] * float(vn[i]))
-
-            q = np_quantize_q4(cos, exact_at)
-            order = np.argsort(-q, axis=1, kind="stable")[:, :nprobe]
+            order = _np_batch_order(
+                embs, vn, cmat, cn, cent_vals, cent_norms, nprobe
+            )
             idx = np.repeat(np.arange(n), order.shape[1])
             out = {id_col: pdf[id_col].to_numpy()[idx]}
             for c in keep_cols:
                 out[c] = pdf[c].to_numpy()[idx]
             out["centroid_id"] = cid_arr[order].reshape(-1)
             yield pd.DataFrame(out)
+
+    return pre.mapInPandas(gen, out_schema)
+
+
+def _np_batch_order(embs, vn, cmat, cn, cent_vals, cent_norms, nprobe):
+    """The per-batch assignment core of :func:`_assign_arrow`, factored
+    out (r16) so the fused training-update kernel ranks with the EXACT
+    same arithmetic (matmul + np_quantize_q4 boundary replay + stable
+    argsort — see _assign_arrow's parity notes). Returns an (n, nprobe)
+    array of COLUMN indices into the caller's centroid arrays."""
+    import numpy as np
+
+    k, d = cmat.shape
+    n = len(vn)
+    ok = np.fromiter(
+        (e is not None and len(e) == d for e in embs), dtype=bool, count=n
+    ) & np.isfinite(vn)
+    m = np.zeros((n, d), dtype=np.float64)
+    for i in np.nonzero(ok)[0]:
+        m[i] = np.asarray(embs[i], dtype=np.float64)
+    denom = vn[:, None] * cn[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(
+            ok[:, None] & (denom != 0.0), (m @ cmat.T) / denom, -np.inf
+        )
+
+    def exact_at(flat_ix: int) -> float:
+        i, j = divmod(flat_ix, k)
+        acc = 0.0
+        ev = embs[i]
+        cv = cent_vals[j]
+        for a, b in zip(cv, ev):
+            acc += a * float(b)
+        return acc / (cent_norms[j] * float(vn[i]))
+
+    q = np_quantize_q4(cos, exact_at)
+    return np.argsort(-q, axis=1, kind="stable")[:, :nprobe]
+
+
+def _train_sums_arrow(df: DataFrame, cents, emb_col: str = "ev") -> DataFrame:
+    """Fused Lloyd-update kernel (r16, guide §2.3 "aggregate before you
+    shuffle" applied to the Python boundary): assignment AND the
+    per-centroid per-dimension integer sums compute in ONE mapInPandas
+    pass, emitting at most k×d partial rows (centroid_id, pos, s, n)
+    per TASK. The previous shape shipped every assigned row back to
+    the JVM (N rows × d-long arrays per iteration), posexploded to
+    N×d rows, and partial-aggregated them — correct, but the Arrow
+    transfer and the explode/hash-agg pass grow with N while the
+    information content is k×d integers per task.
+
+    Parity with the unfused path, term by term: the ranking is
+    :func:`_np_batch_order` — the byte-identical assignment core
+    _assign_arrow uses; the sums are int64 adds of the same micro-unit
+    values posexplode summed (exact integers, any order; np.int64
+    wraps like the JVM long); a NULL vector contributes nothing
+    (posexplode of NULL emits no rows) while a short/ragged vector
+    contributes each element at its position — exactly the exploded
+    semantics. Pinned by tests/test_similarity.py
+    (test_train_centroids_impl_invariant + the oracle-replayed Lloyd
+    rows)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from mapreduce_implementation_spark.functions.vectors import norm
+
+    ship_module_by_value()
+
+    cent_ids = [int(cid) for cid, _ in cents]
+    cent_vals = [[float(x) for x in c_emb] for _, c_emb in cents]
+    cent_norms = [
+        math.sqrt(sum(float(x) * float(x) for x in c_emb)) for _, c_emb in cents
+    ]
+
+    pre = df.select(F.col(emb_col), norm(F.col(emb_col)).alias("_vn"))
+    out_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.IntegerType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("s", T.LongType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cmat = np.array(cent_vals, dtype=np.float64)
+        cn = np.array(cent_norms, dtype=np.float64)
+        k, d = cmat.shape
+        acc: dict[tuple[int, int], list[int]] = {}  # (cid, pos) -> [s, n]
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            embs = pdf[emb_col].to_numpy()
+            vn = pdf["_vn"].to_numpy(dtype=np.float64)
+            assign = _np_batch_order(
+                embs, vn, cmat, cn, cent_vals, cent_norms, 1
+            )[:, 0]
+            full = np.fromiter(
+                (e is not None and len(e) == d for e in embs),
+                dtype=bool,
+                count=n,
+            )
+            if full.any():
+                rows_ix = np.nonzero(full)[0]
+                mi = np.stack(
+                    [np.asarray(embs[i], dtype=np.int64) for i in rows_ix]
+                )
+                ai = assign[full]
+                for j in np.unique(ai):
+                    sel = mi[ai == j]
+                    cid = cent_ids[int(j)]
+                    col_sums = sel.sum(axis=0, dtype=np.int64)
+                    cnt = int(sel.shape[0])
+                    for p in range(d):
+                        st = acc.setdefault((cid, p), [0, 0])
+                        st[0] = int(np.int64(st[0]) + col_sums[p])
+                        st[1] += cnt
+            # short/ragged non-null vectors: per-element, the exploded
+            # semantics (each element lands at its own pos)
+            for i in np.nonzero(~full)[0]:
+                e = embs[i]
+                if e is None:
+                    continue
+                cid = cent_ids[int(assign[i])]
+                for p, v in enumerate(e):
+                    st = acc.setdefault((cid, p), [0, 0])
+                    st[0] = int(np.int64(st[0]) + np.int64(int(v)))
+                    st[1] += 1
+        if acc:
+            keys = sorted(acc)
+            yield pd.DataFrame(
+                {
+                    "centroid_id": [c for c, _ in keys],
+                    "pos": [p for _, p in keys],
+                    "s": [acc[kk][0] for kk in keys],
+                    "n": [acc[kk][1] for kk in keys],
+                }
+            )
 
     return pre.mapInPandas(gen, out_schema)
 
