@@ -122,11 +122,15 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     for name, q in queries.items():
         runs[name] = []
+        # guide §1.5: label the jobs so a UI / event-log reader can map
+        # stages back to the query being timed
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         for _ in range(2):
             t0 = time.perf_counter()
             materialize(q.fn(spark, sf_dir))
             runs[name].append(round(time.perf_counter() - t0, 3))
         timings[name] = min(runs[name])
+    spark.sparkContext.setJobDescription(None)
 
     warm = warm_probe_timings(spark, sf_dir)
 
@@ -305,6 +309,7 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
     from mapreduce_implementation_spark.sources.materialize import ensure_table
 
     warm: dict[str, float] = {}
+    spark.sparkContext.setJobDescription("bench:warm_probes")
     with tempfile.TemporaryDirectory(prefix="mris_bench_warm_") as root:
         docs = load_table(spark, sf_dir, "documents")
         t0 = time.perf_counter()
@@ -530,6 +535,7 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
             )
             best = min(best, time.perf_counter() - t0)
         warm["semantic_dedup"] = round(best, 3)
+    spark.sparkContext.setJobDescription(None)
     return warm
 
 
