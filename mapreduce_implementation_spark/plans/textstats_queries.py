@@ -60,13 +60,17 @@ def _hits(lang: str) -> str:
     """,
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document whitespace and BPE-ish token counts. spread() since
-    r16 (0.27 s → 0.18 s min-of-3 at sf0.1): the tokenize + regexp_count
-    projection serialized on the single-row-group file's one scan task;
-    at scale the widening exchange never fires and the projection is a
-    pure scan-stage map as before."""
+    """Per-document whitespace and BPE-ish token counts — pure scan-stage
+    projection (zero shuffle at any scale).
+
+    Deliberately NOT spread() (r16, measured at two core counts): the
+    widen wins at 32 cores (0.27→0.18 s) but LOSES at 8 (0.365→0.561
+    min-of-5 interleaved) — the two regexp_counts are ~0.3 s of
+    single-core work total, too light to pay for the exchange below
+    ~32-way parallelism, unlike doc_quality's HOF feature chain which
+    wins at both (OPTIMIZATION_r16.md)."""
     docs = load_table(spark, sf_dir, "documents")
-    return spread(docs.select("doc_id", "text")).select(
+    return docs.select(
         "doc_id",
         ts.token_count("text").alias("n_tokens"),
         ts.bpe_ish_token_count("text").alias("n_bpe_tokens"),
