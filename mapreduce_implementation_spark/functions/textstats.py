@@ -284,6 +284,205 @@ def frequent_tokens(df, text_col: str = "text", support: float = 0.01):
     )
 
 
+def token_stats_arrow(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stop_lang: str = "en",
+):
+    """Fused per-document token-stat kernel (r17, guide §4.2): ONE
+    mapInArrow pass computes every integer doc_quality feature input —
+    ``n_chars, n_tokens, n_stop, tok_chars, n_distinct, top_cnt,
+    n_alpha, n_punct`` — so the interpreted higher-order-function
+    chain (tokenize split+filter, stopword filter, mean-token-len
+    fold, array_distinct, array_sort + longest-run fold) never runs on
+    the JVM. That chain is evaluated OUTSIDE whole-stage codegen and
+    was both the dominant cost of doc_quality at scale and the
+    JIT-lottery surface (BASELINE.md r15): measured interleaved
+    min-of-3 at 1M synthetic docs, expr 24.24 s vs this kernel 1.97 s
+    (12.3×); a wash at sf0.1 where the row is overhead-bound.
+
+    Only integers cross the Python boundary back — the ratio/score
+    arithmetic stays in the SAME JVM expressions as the expr form, so
+    the float surface is untouched. Integer parity is replayed
+    exactly, term by term:
+
+    * tokenization: Spark ``split(lower(text), '\\s+')`` + drop-empties.
+      Java ``\\s`` is ASCII-only ``[ \\t\\n\\x0B\\f\\r]`` — the RE2/
+      Python patterns spell that class out (RE2's own ``\\s`` lacks
+      ``\\x0B``).
+    * lowercase: ``pc.ascii_lower`` on all-ASCII rows (bit-identical
+      to UTF8String.toLowerCase's ASCII fast path); rows containing
+      any non-ASCII byte take a per-row Python ``str.lower()``
+      fallback — the same full Unicode case mapping Java
+      ``toLowerCase`` applies on the non-locale-sensitive domain
+      (pinned in tests/test_textstats_kernel.py on accented/sigma
+      inputs).
+    * ``n_chars``/``tok_chars`` count CODE POINTS (``pc.utf8_length``
+      / Python ``len``) — Spark ``length()`` semantics.
+    * ``n_alpha``/``n_punct``: vectorized RE2 ``count_substring_regex``
+      with ``[A-Za-z]`` / ``[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]`` (the
+      Java ``[^A-Za-z0-9\\s]`` class, expanded).
+    * ``n_distinct``/``top_cnt``: dictionary-encode the batch's token
+      values, lexsort (code within doc) and run-length the segments —
+      the vectorized equivalent of array_distinct size and the sorted
+      longest-run fold.
+    * NULL text → every stat NULL (the expr chain's NULL propagation);
+      empty/whitespace-only text → 0 tokens, top_cnt 0 (the fold's
+      acc0) — both pinned in the kernel test.
+
+    Mixed batches scatter: ASCII rows ride the vectorized path,
+    non-ASCII rows the exact fallback — a rare unicode doc cannot
+    de-vectorize its whole batch. Returns DataFrame[id_col, n_chars,
+    n_tokens, n_stop, tok_chars, n_distinct, top_cnt, n_alpha,
+    n_punct] (all long)."""
+    from pyspark.sql import types as T
+
+    stop_words = tuple(STOPWORDS[stop_lang])
+    # Java \s is ASCII [ \t\n\x0B\f\r]; spell it out for RE2 and re
+    ws_class = " \\t\\n\\x0b\\f\\r"
+    ws_re2 = f"[{ws_class}]+"
+    punct_re2 = f"[^A-Za-z0-9{ws_class}]"
+
+    in_df = df.select(F.col(id_col), F.col(text_col).alias("text"))
+    id_field = in_df.schema[id_col]
+    out_schema = T.StructType(
+        [id_field]
+        + [
+            T.StructField(c, T.LongType(), True)
+            for c in (
+                "n_chars", "n_tokens", "n_stop", "tok_chars",
+                "n_distinct", "top_cnt", "n_alpha", "n_punct",
+            )
+        ]
+    )
+
+    def gen(batches):
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ws_py = re.compile("[ \t\n\x0b\f\r]+")
+        stop_arr = pa.array(list(stop_words), type=pa.string())
+        stop_set = frozenset(stop_words)
+
+        def slow_row(s):
+            # exact per-row fallback for non-ASCII text: Python
+            # str.lower == Java toLowerCase on the non-locale domain
+            from collections import Counter
+
+            toks = [t for t in ws_py.split(s.lower()) if t]
+            c = Counter(toks)
+            return (
+                len(toks),
+                sum(c[w] for w in stop_set if w in c),
+                sum(map(len, toks)),
+                len(c),
+                max(c.values()) if c else 0,
+            )
+
+        for rb in batches:
+            nrows = rb.num_rows
+            if nrows == 0:
+                continue
+            ids = rb.column(0)
+            texts = rb.column(1)
+            valid = np.asarray(pc.is_valid(texts))
+            # whole-column vectorized counters (RE2, code points)
+            n_chars = pc.utf8_length(texts).cast(pa.int64())
+            n_alpha = pc.count_substring_regex(
+                texts, pattern="[A-Za-z]"
+            ).cast(pa.int64())
+            n_punct = pc.count_substring_regex(
+                texts, pattern=punct_re2
+            ).cast(pa.int64())
+
+            n_tok = np.zeros(nrows, dtype=np.int64)
+            n_stop = np.zeros(nrows, dtype=np.int64)
+            tok_chars = np.zeros(nrows, dtype=np.int64)
+            n_dist = np.zeros(nrows, dtype=np.int64)
+            top = np.zeros(nrows, dtype=np.int64)
+
+            is_ascii = np.asarray(pc.string_is_ascii(pc.fill_null(texts, "")))
+            fast_ix = np.flatnonzero(valid & is_ascii)
+            slow_ix = np.flatnonzero(valid & ~is_ascii)
+
+            if len(fast_ix):
+                sub = texts.take(pa.array(fast_ix))
+                m = len(fast_ix)
+                toks = pc.split_pattern_regex(
+                    pc.ascii_lower(sub), pattern=ws_re2
+                )
+                lens = np.asarray(pc.list_value_length(toks)).astype(np.int64)
+                flat = pc.list_flatten(toks)
+                fl = np.asarray(pc.utf8_length(flat)).astype(np.int64)
+                row_ids = np.repeat(np.arange(m, dtype=np.int64), lens)
+                keep = fl > 0
+                r = row_ids[keep]
+                n_tok[fast_ix] = np.bincount(r, minlength=m)
+                # float64 weights are exact for lengths < 2^53
+                tok_chars[fast_ix] = np.bincount(
+                    r, weights=fl[keep], minlength=m
+                ).astype(np.int64)
+                stop_mask = np.asarray(pc.is_in(flat, value_set=stop_arr))
+                n_stop[fast_ix] = np.bincount(
+                    row_ids[stop_mask & keep], minlength=m
+                )
+                if len(r):
+                    codes = np.asarray(
+                        pc.dictionary_encode(flat).indices
+                    ).astype(np.int64)[keep]
+                    order = np.lexsort((codes, r))
+                    rs = r[order]
+                    cs = codes[order]
+                    starts = np.flatnonzero(
+                        np.r_[True, (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])]
+                    )
+                    run_len = np.diff(np.r_[starts, len(rs)])
+                    run_row = rs[starts]
+                    n_dist[fast_ix] = np.bincount(run_row, minlength=m)
+                    row_starts = np.flatnonzero(
+                        np.r_[True, run_row[1:] != run_row[:-1]]
+                    )
+                    tops = np.zeros(m, dtype=np.int64)
+                    tops[run_row[row_starts]] = np.maximum.reduceat(
+                        run_len, row_starts
+                    )
+                    top[fast_ix] = tops
+            if len(slow_ix):
+                sub = texts.take(pa.array(slow_ix)).to_pylist()
+                for pos, i in enumerate(slow_ix):
+                    (
+                        n_tok[i], n_stop[i], tok_chars[i],
+                        n_dist[i], top[i],
+                    ) = slow_row(sub[pos])
+
+            nulls = ~valid
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    n_chars,
+                    pa.Array.from_pandas(n_tok, mask=nulls, type=pa.int64()),
+                    pa.Array.from_pandas(n_stop, mask=nulls, type=pa.int64()),
+                    pa.Array.from_pandas(
+                        tok_chars, mask=nulls, type=pa.int64()
+                    ),
+                    pa.Array.from_pandas(n_dist, mask=nulls, type=pa.int64()),
+                    pa.Array.from_pandas(top, mask=nulls, type=pa.int64()),
+                    n_alpha,
+                    n_punct,
+                ],
+                names=[
+                    id_col, "n_chars", "n_tokens", "n_stop", "tok_chars",
+                    "n_distinct", "top_cnt", "n_alpha", "n_punct",
+                ],
+            )
+
+    return in_df.mapInArrow(gen, out_schema)
+
+
 def quality_threshold_for_retention(
     df,
     keep_fraction: float,

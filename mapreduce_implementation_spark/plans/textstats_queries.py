@@ -111,16 +111,56 @@ _QUALITY_SQL = f"""
 @register("doc_quality", headline=True, tables=("documents",), oracle=_QUALITY_SQL)
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + composite score (Gopher-rule
-    shaped). Three-stage projection over one scan: tokenize → features
-    → score-from-feature-COLUMNS, so the four features the score shares
-    evaluate once instead of twice (quality_score inlined next to the
-    feature outputs re-evaluated them — no CSE across output columns;
-    1.12 s → 0.85 s at sf0.1, BASELINE.md r8). spread() since r16:
-    the r8 'sub-second projections stay unspread' rule was re-measured
-    with the single-row-group sf0.1 file scanning as ONE task — the
-    HOF feature chain (array_sort fold for top_token_frac, stopword
-    filter) serialized on one core; 0.98 s → 0.55 s min-of-3
-    (OPTIMIZATION_r16.md), and spread() stays a no-op at scale."""
+    shaped). Since r17 the integer feature INPUTS come from the fused
+    ``token_stats_arrow`` kernel (one vectorized mapInArrow pass —
+    guide §4.2), replacing the interpreted-HOF feature chain that was
+    both the row's dominant scale cost and its JIT-lottery surface:
+    measured interleaved min-of-3 at 1M synthetic docs, expr 24.24 s vs
+    kernel 1.97 s (12.3×); a wash at sf0.1 where the row is
+    overhead-bound (0.52 s both arms, OPTIMIZATION_r17.md). The
+    ratio/score arithmetic is UNCHANGED JVM expressions over those
+    integers, so the float surface is identical to the expr arm
+    (``doc_quality_expr`` below — kept as the parity A/B reference,
+    pinned in tests/test_textstats_kernel.py incl. NULL/empty/unicode
+    rows). spread() since r16 (single-row-group sf files scan as ONE
+    task; no-op at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = ts.token_stats_arrow(
+        spread(docs.select("doc_id", "text")), "doc_id", "text"
+    )
+    return _quality_from_token_stats(staged)
+
+
+def _quality_from_token_stats(staged: DataFrame) -> DataFrame:
+    """Ratios + composite score from the integer token-stat columns —
+    the exact divisions/weights of the expr form (same operands, same
+    IEEE ops), shared by the kernel and any future stats consumer."""
+    g1 = F.greatest(F.col("n_chars"), F.lit(1))
+    gt = F.greatest(F.col("n_tokens"), F.lit(1))
+    feat = staged.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        (F.col("n_alpha").cast("double") / g1).alias("alpha_ratio"),
+        (F.col("n_punct").cast("double") / g1).alias("punct_ratio"),
+        (F.col("n_stop").cast("double") / gt).alias("stopword_ratio"),
+        (F.col("tok_chars").cast("double") / gt).alias("mean_token_len"),
+        (F.col("n_distinct").cast("double") / gt).alias("distinct_token_ratio"),
+        (F.col("top_cnt").cast("double") / gt).alias("top_token_frac"),
+    )
+    score = ts.quality_score_from(
+        {k: F.col(k) for k in ("n_tokens", "mean_token_len", "punct_ratio",
+                               "stopword_ratio")}
+    )
+    return feat.select("*", score.alias("quality_score"))
+
+
+def doc_quality_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-expression arm (the shipped form through r16) — kept as
+    the kernel's parity reference: three-stage projection over one
+    scan, tokenize → features → score-from-feature-COLUMNS (the four
+    shared features evaluate once; no CSE across output columns,
+    1.12 s → 0.85 s at sf0.1, BASELINE.md r8)."""
     docs = load_table(spark, sf_dir, "documents")
     # two-step: tokenize once into a column, features read the column
     # (inline, the split reruns per feature — no CSE across outputs)
