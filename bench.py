@@ -317,8 +317,16 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
             spark,
             os.path.join(root, "minhash_sigs"),
             lambda: dd.minhash_signatures(
-                docs, "doc_id", "text", shingle_n=3, k=MH_K
+                docs, "doc_id", "text", shingle_n=3, k=MH_K,
+                with_bands=(BANDS, ROWS),
             ),
+        )
+        # r17: the build row includes the screen-snapshot sidecar — the
+        # production table build's second artifact (the warm probe
+        # below then answers its build-time decisions with zero jobs)
+        sig_stats = dd.minhash_band_stats(
+            spark, sigs, os.path.join(root, "minhash_sigs_bandstats"),
+            bands=BANDS, rows=ROWS, max_bucket=dd.DEFAULT_MAX_BUCKET,
         )
         warm["minhash_signatures_build"] = round(time.perf_counter() - t0, 3)
         # the r15 tokhash kernel, tracked per round next to the string
@@ -341,6 +349,7 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
                 dd.minhash_near_dup_pairs(
                     docs, "doc_id", "text", shingle_n=3, k=MH_K,
                     bands=BANDS, rows=ROWS, threshold=0.5, signatures=sigs,
+                    band_stats=sig_stats,
                 )
             )
             best = min(best, time.perf_counter() - t0)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
+_LIVE_RDDS: list = []  # JVM RDD handles from tracked localCheckpoints
 
 
 def track_cache(df: DataFrame) -> DataFrame:
@@ -24,13 +25,49 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def _persistent_rdd_entries(sc):
+    out = []
+    it = sc._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        out.append(it.next())
+    return out
+
+
+def track_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=True)`` + register the materialized
+    blocks for deferred release (r17). ``DataFrame.unpersist()`` is a
+    CacheManager call and does NOT free localCheckpoint blocks (they
+    belong to the underlying RDD, normally reclaimed only by GC-driven
+    ContextCleaner) — so the JVM RDD handles persisted BY this
+    checkpoint are captured via a before/after diff of
+    ``getPersistentRDDs`` and unpersisted explicitly in
+    ``release_caches``. Single-threaded build context assumed (the
+    query registry's, where release runs on entry to each query)."""
+    sc = df.sparkSession.sparkContext
+    before = {e.getKey() for e in _persistent_rdd_entries(sc)}
+    chk = df.localCheckpoint(eager=True)
+    _LIVE_RDDS.extend(
+        e.getValue()
+        for e in _persistent_rdd_entries(sc)
+        if e.getKey() not in before
+    )
+    return chk
+
+
 def release_caches() -> int:
-    """Unpersist every tracked cache (blocking=False); returns count."""
-    n = len(_LIVE)
+    """Unpersist every tracked cache and checkpoint (blocking=False);
+    returns count."""
+    n = len(_LIVE) + len(_LIVE_RDDS)
     for df in _LIVE:
         try:
             df.unpersist()
         except Exception:
             pass  # session may already be stopped
     _LIVE.clear()
+    for jrdd in _LIVE_RDDS:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
+    _LIVE_RDDS.clear()
     return n

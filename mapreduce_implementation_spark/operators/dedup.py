@@ -284,6 +284,35 @@ def _validate_minhash_bands(k: int, bands: int, rows: int) -> None:
         )
 
 
+def band_hashes_column(bands: int, rows: int) -> str:
+    """Name of the precomputed band-hash column (r17): the band/rows
+    knobs are baked into the NAME so a table built at one banding can
+    never silently feed a miner running another — a mismatched miner
+    simply doesn't find the column and recomputes from ``sig``."""
+    return f"_bands_{bands}x{rows}"
+
+
+def band_hashes(sig: Column, bands: int, rows: int) -> Column:
+    """Positional band-hash array (band_id = array position): the same
+    md5-over-slice values as :func:`lsh_bands`, NULL for NULL
+    signatures. Computed ONCE at signature-table write time
+    (``minhash_signatures(with_bands=...)``) it replaces the three
+    runtime band-hash evaluations a miner build otherwise pays (the
+    counts job + both sides of the band self-join) — guide §2.3
+    "shuffle keys and metadata instead of [re-deriving them]"."""
+    return F.when(
+        sig.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda j: F.md5(
+                F.concat_ws("|", F.slice(sig, j * rows + 1, rows)).cast(
+                    "binary"
+                )
+            ),
+        ),
+    )
+
+
 def _minhash_banded(
     sigs: DataFrame,
     out_id: str,
@@ -297,8 +326,23 @@ def _minhash_banded(
     full signature on every band row — the vectorized-screen input
     (the band shuffle then carries bands× sig copies, which buys the
     screen zero candidate enumeration and zero post-distinct sig
-    joins; see minhash_near_dup_pairs pair_screen="blas")."""
+    joins; see minhash_near_dup_pairs pair_screen="blas").
+
+    When ``sigs`` carries the matching precomputed band-hash column
+    (:func:`band_hashes_column` — written by the signature-table
+    build), the explode reads it POSITIONALLY instead of re-evaluating
+    the md5-over-slice chain: the values are identical by
+    construction, the banded scan column-prunes to the band array
+    (the sig column stays unread unless ``keep_sig``), and the
+    knob-stamped name guarantees a foreign banding can never match."""
     extra = ["sig"] if keep_sig else []
+    pre = band_hashes_column(bands, rows)
+    if pre in sigs.columns:
+        return sigs.where(F.col("sig").isNotNull()).select(
+            F.col("doc_id").alias(out_id),
+            F.posexplode(F.col(pre)).alias("band_id", "band_hash"),
+            *extra,
+        )
     return (
         sigs.where(F.col("sig").isNotNull())
         .select(
@@ -473,6 +517,140 @@ def _counts_with_stats(df: DataFrame, part_cols, max_bucket: int):
     return counts, (
         int(g["small_rows"]), int(g["small_groups"]), int(g["big_rows"])
     )
+
+
+def minhash_band_stats(
+    spark,
+    sigs: DataFrame,
+    sidecar_dir: str | None,
+    *,
+    bands: int,
+    rows: int,
+    max_bucket: int | None,
+) -> dict:
+    """The (band, count) snapshot as a SECOND ARTIFACT of the
+    signature-table build (r17 verdict item 1): computed once when the
+    table is committed and persisted next to it, so every miner over
+    that table answers its build-time decisions (screen regime,
+    oversized-bucket existence, the anti-join heavy-hitter list) with
+    ZERO decision jobs — where previously EACH miner build re-ran the
+    corpus-scale counts pass (`_counts_with_stats`) over the banded
+    frame (~0.27 s warm locally per build; one full signature-table
+    pass at any scale, paid by minhash_near_dup_pairs, dedup_clusters
+    and the corpus pipeline alike).
+
+    Artifacts under ``sidecar_dir``:
+
+    * ``screen_stats.json`` — the choose_pair_screen moments
+      (small_rows/small_groups/big_rows) plus the banding knobs, so a
+      foreign (bands, rows, max_bucket) can never answer for this
+      table (the miner validates, same rule as ``calibration=``).
+    * ``band_counts/`` (parquet) — the per-key counts frame, written
+      ONLY when an oversized bucket exists (``big_rows > 0``): it is
+      the cap/slice detection input. The common no-oversized corpus
+      pays one light stats job (two-level partial agg → one driver
+      row, no checkpoint) and skips both the counts write AND — via
+      the miner's cap elision — the whole cap subtree.
+
+    Cost shape: when ``sigs`` carries the precomputed band-hash column
+    the stats job scans ONLY that column (column-pruned committed
+    parquet, no md5 re-evaluation). Snapshot contract (ADVICE r14):
+    ``sigs`` must be the COMMITTED table (deterministic and stable
+    between this snapshot and the miner's action) — exactly what
+    ensure_table returns. ``max_bucket=None`` writes a knob-stamped
+    no-stats meta (the miner needs no decisions there).
+
+    ``sidecar_dir=None`` (the per-invocation artifact shape — e.g. a
+    localCheckpoint'ed signature frame that dies with the query)
+    computes the same snapshot WITHOUT persisting it: the stats job is
+    identical, and an oversized corpus's counts frame becomes a
+    tracked localCheckpoint instead of a parquet sidecar (same
+    stability contract, released with the query's other blocks).
+
+    Returns the dict ``minhash_near_dup_pairs(band_stats=...)``
+    consumes: ``{"bands", "rows", "max_bucket", "screen_stats",
+    "counts"}`` (counts None unless oversized)."""
+    import json
+    import os
+
+    if sidecar_dir is None:
+        stats = None
+        counts = None
+        if max_bucket is not None:
+            from mapreduce_implementation_spark.caching import (
+                track_local_checkpoint,
+            )
+
+            banded = _minhash_banded(sigs, "doc_id", bands, rows)
+            sr, sg, br = _group_size_stats(
+                banded, ("band_id", "band_hash"), max_bucket
+            )
+            stats = {"small_rows": sr, "small_groups": sg, "big_rows": br}
+            if br > 0:
+                counts = track_local_checkpoint(
+                    banded.groupBy("band_id", "band_hash").agg(
+                        F.count(F.lit(1)).alias("_n")
+                    )
+                )
+        return {
+            "bands": bands, "rows": rows, "max_bucket": max_bucket,
+            "screen_stats": stats, "counts": counts,
+        }
+
+    meta_path = os.path.join(sidecar_dir, "screen_stats.json")
+    counts_path = os.path.join(sidecar_dir, "band_counts")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta.get("bands"), meta.get("rows"), meta.get("max_bucket")) != (
+            bands, rows, max_bucket,
+        ):
+            raise ValueError(
+                f"band-stats sidecar at {sidecar_dir} was built at "
+                f"bands={meta.get('bands')} rows={meta.get('rows')} "
+                f"max_bucket={meta.get('max_bucket')}, not the requested "
+                f"({bands}, {rows}, {max_bucket}) — rebuild the sidecar"
+            )
+        stats = meta.get("screen_stats")
+        counts = (
+            spark.read.parquet(counts_path)
+            if stats is not None and stats["big_rows"] > 0
+            else None
+        )
+        return {
+            "bands": bands, "rows": rows, "max_bucket": max_bucket,
+            "screen_stats": stats, "counts": counts,
+        }
+
+    stats = None
+    counts = None
+    if max_bucket is not None:
+        banded = _minhash_banded(sigs, "doc_id", bands, rows)
+        sr, sg, br = _group_size_stats(
+            banded, ("band_id", "band_hash"), max_bucket
+        )
+        stats = {"small_rows": sr, "small_groups": sg, "big_rows": br}
+        if br > 0:
+            # the detection input only exists when something to detect
+            # does; committed parquet = the stable snapshot the
+            # anti-join list reads at action time
+            banded.groupBy("band_id", "band_hash").agg(
+                F.count(F.lit(1)).alias("_n")
+            ).write.mode("overwrite").parquet(counts_path)
+            counts = spark.read.parquet(counts_path)
+    os.makedirs(sidecar_dir, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(
+            {
+                "bands": bands, "rows": rows, "max_bucket": max_bucket,
+                "screen_stats": stats,
+            },
+            f,
+        )
+    return {
+        "bands": bands, "rows": rows, "max_bucket": max_bucket,
+        "screen_stats": stats, "counts": counts,
+    }
 
 
 def _validate_rep_params(cap_strategy: str, n_representatives: int) -> None:
@@ -927,9 +1105,18 @@ def minhash_signatures(
     impl: str | None = None,
     hash: str = "md5",
     shingle_impl: str = "string",
+    with_bands: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Scan-side MinHash signature chain → DataFrame[doc_id, sig
     array<long>] (NULL sig for shingle-less docs).
+
+    ``with_bands=(bands, rows)`` (r17) appends the positional band-hash
+    array as a knob-stamped column (:func:`band_hashes_column`) so a
+    MATERIALIZED signature table carries its LSH band keys: the miners'
+    banded explode and the band-counts snapshot then read the stored
+    hashes instead of re-evaluating md5-over-slice per consumer (three
+    evaluations per build otherwise — counts job + both self-join
+    sides). Value-identical to the runtime form by construction.
 
     ``hash`` picks the strong per-shingle hash (see
     :func:`shingle_ints`): ``"md5"`` is the oracle-replayable default
@@ -1045,7 +1232,8 @@ def minhash_signatures(
             "doc_id", token_hash_ints(F.col("_toks")).alias("_th")
         )
         if impl == "fused":
-            return _minhash_sig_fused(th_staged, shingle_n, k)
+            out = _minhash_sig_fused(th_staged, shingle_n, k)
+            return _with_band_hashes(out, k, with_bands)
         staged = th_staged.select(
             "doc_id",
             shingle_ints_from_token_hashes(F.col("_th"), shingle_n).alias("_xs"),
@@ -1056,10 +1244,24 @@ def minhash_signatures(
             F.array_distinct(word_ngrams(F.col("_toks"), shingle_n)).alias("sh"),
         ).select("doc_id", shingle_ints(F.col("sh"), hash=hash).alias("_xs"))
     if impl == "expr":
-        return staged.select(
+        out = staged.select(
             "doc_id", minhash_signature_from_ints(F.col("_xs"), k).alias("sig")
         )
-    return _minhash_sig_arrow(staged, k)
+    else:
+        out = _minhash_sig_arrow(staged, k)
+    return _with_band_hashes(out, k, with_bands)
+
+
+def _with_band_hashes(
+    sigs: DataFrame, k: int, with_bands: tuple[int, int] | None
+) -> DataFrame:
+    if with_bands is None:
+        return sigs
+    b, r = with_bands
+    _validate_minhash_bands(k, b, r)
+    return sigs.withColumn(
+        band_hashes_column(b, r), band_hashes(F.col("sig"), b, r)
+    )
 
 
 def _minhash_sig_arrow(staged: DataFrame, k: int) -> DataFrame:
@@ -1262,8 +1464,22 @@ def minhash_near_dup_pairs(
     sig_hash: str = "md5",
     shingle_impl: str = "string",
     calibration: dict | None = None,
+    band_stats: dict | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
+
+    ``band_stats`` (r17): the :func:`minhash_band_stats` sidecar of the
+    SAME ``signatures`` table — the build-time decisions (screen
+    regime, oversized existence, anti-join detection input) are then
+    read from the artifact with ZERO decision jobs here, the same
+    answers the in-build counts pass would have measured (the sidecar
+    is computed from the committed table once, not per miner). Banding
+    knobs are validated like ``calibration=``'s; ``calibration`` wins
+    when both are given (it additionally pins the signature family).
+    When the stats say NO bucket is oversized and no cap telemetry is
+    requested, the cap subtree is elided outright (guide §2.4 — the
+    window/anti-join drop provably removes nothing, so the plan skips
+    it; value-identical, pinned in tests/test_dedup.py).
 
     Pipeline: shingle → signature (scan-side) → band explode → bucket
     self-join (the single shuffle) → signature-agreement filter.
@@ -1395,6 +1611,39 @@ def minhash_near_dup_pairs(
                 )
         elif pair_screen == "auto":
             pair_screen = "join"
+    elif band_stats is not None:
+        # the signature table's own sidecar (minhash_band_stats):
+        # knob-validated exactly like calibration — a foreign banding
+        # answering for this table would pick the wrong regime or,
+        # worse, hand the cap a stale oversized list
+        for knob, val in (
+            ("bands", bands), ("rows", rows), ("max_bucket", max_bucket),
+        ):
+            if knob in band_stats and band_stats[knob] != val:
+                raise ValueError(
+                    f"band_stats was computed at {knob}="
+                    f"{band_stats[knob]!r} but this build uses "
+                    f"{knob}={val!r} — rebuild the sidecar or match "
+                    "the knobs"
+                )
+        stats = band_stats.get("screen_stats")
+        if max_bucket is not None:
+            if stats is None:
+                raise ValueError(
+                    "band_stats carries no screen_stats (built with "
+                    "max_bucket=None?) — cannot answer the "
+                    "finite-max_bucket build-time decisions"
+                )
+            has_oversized = stats["big_rows"] > 0
+            if has_oversized:
+                counts = band_stats.get("counts")
+            if pair_screen == "auto":
+                pair_screen = choose_pair_screen(
+                    stats["small_rows"], stats["small_groups"],
+                    stats["big_rows"], max_bucket, cap_strategy == "slice",
+                )
+        elif pair_screen == "auto":
+            pair_screen = "join"
     elif pair_screen == "auto":
         if max_bucket is None:
             pair_screen = "join"
@@ -1408,6 +1657,16 @@ def minhash_near_dup_pairs(
             pair_screen = choose_pair_screen(
                 sr, sg, br, max_bucket, cap_strategy == "slice"
             )
+    # Cap-subtree elision (r17, guide §2.4): when a trusted snapshot
+    # says NO bucket exceeds max_bucket, the window/anti-join cap
+    # provably drops nothing — skip it entirely unless the caller asked
+    # for its telemetry. The slice arm already short-circuits on
+    # has_oversized=False inside slice_buckets.
+    skip_cap = (
+        has_oversized is False
+        and cap_observation is None
+        and cap_strategy != "slice"
+    )
     if pair_screen == "blas" and max_bucket is not None:
         # Vectorized screen (round 12, the Gram-screen lineage): with
         # a finite max_bucket every band bucket (or slice) is bounded,
@@ -1428,12 +1687,13 @@ def minhash_near_dup_pairs(
             )
             group_cols = ["band_id", "band_hash", "_slice"]
         else:
-            banded = cap_buckets(
-                banded, ("band_id", "band_hash"), max_bucket,
-                cap_observation, strategy=cap_strategy,
-                counts=counts if cap_strategy != "representative" else None,
-                keys_nonnull=True,
-            )
+            if not skip_cap:
+                banded = cap_buckets(
+                    banded, ("band_id", "band_hash"), max_bucket,
+                    cap_observation, strategy=cap_strategy,
+                    counts=counts if cap_strategy != "representative" else None,
+                    keys_nonnull=True,
+                )
             group_cols = ["band_id", "band_hash"]
         id_type = sigs.schema["doc_id"].dataType
         out_schema = T.StructType(
@@ -1462,12 +1722,13 @@ def minhash_near_dup_pairs(
         )
         extra = F.col("a._slice") == F.col("b._slice")
     else:
-        banded = cap_buckets(
-            banded, ("band_id", "band_hash"), max_bucket, cap_observation,
-            strategy=cap_strategy,
-            counts=counts if cap_strategy != "representative" else None,
-            keys_nonnull=True,
-        )
+        if not skip_cap:
+            banded = cap_buckets(
+                banded, ("band_id", "band_hash"), max_bucket, cap_observation,
+                strategy=cap_strategy,
+                counts=counts if cap_strategy != "representative" else None,
+                keys_nonnull=True,
+            )
         extra = F.lit(True)
     left = banded.alias("a")
     right = banded.alias("b")

@@ -207,6 +207,7 @@ def build_training_corpus(
 
         from mapreduce_implementation_spark.operators.dedup import (
             connected_components,
+            minhash_band_stats,
             minhash_near_dup_pairs,
             minhash_signatures,
         )
@@ -238,14 +239,29 @@ def build_training_corpus(
             shingle_impl = cal.get("minhash", cal).get(
                 "shingle_impl", "string"
             )
+        root = scratch_dir("mris_pipeline_neardup_")
         sigs = ensure_table(
             docs.sparkSession,
-            _os.path.join(scratch_dir("mris_pipeline_neardup_"), "sigs"),
+            _os.path.join(root, "sigs"),
             lambda: minhash_signatures(
                 deduped, id_col, text_col,
                 shingle_n=cfg.near_dup_shingle_n, k=k,
                 shingle_impl=shingle_impl,
+                with_bands=(cfg.near_dup_bands, cfg.near_dup_rows),
             ),
+        )
+        # screen snapshot as the table build's second artifact (r17):
+        # the miner then makes its build-time decisions with zero jobs;
+        # an explicit calibration report still wins inside the miner
+        stats = (
+            None
+            if cfg.calibration is not None
+            else minhash_band_stats(
+                docs.sparkSession, sigs,
+                _os.path.join(root, "sigs_bandstats"),
+                bands=cfg.near_dup_bands, rows=cfg.near_dup_rows,
+                max_bucket=cfg.near_dup_max_bucket,
+            )
         )
         pairs = minhash_near_dup_pairs(
             deduped,
@@ -260,6 +276,7 @@ def build_training_corpus(
             signatures=sigs,
             shingle_impl=shingle_impl,
             calibration=cfg.calibration,
+            band_stats=stats,
         )
         clusters = connected_components(pairs, "doc_a", "doc_b")
         near_drops = clusters.where(

@@ -92,35 +92,54 @@ _MINHASH_CTE = f"""
 )
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=16) + LSH(4×4) near-dup candidate pairs with estimated
-    Jaccard ≥ 0.5. Signatures are MATERIALIZED once as a parquet table
-    and consumed by all three readers (band explode + both verify-join
-    sides) — the corpus-artifact layout a 100 TB run needs (a cache
-    can't hold it; a table also survives for downstream clustering)."""
+    Jaccard ≥ 0.5. Signatures are MATERIALIZED once per invocation
+    (tracked localCheckpoint since r17 — see _signature_table; the
+    committed-parquet lifecycle stays exercised by ensure_table in the
+    warm bench rows and the corpus pipeline) and consumed by all three
+    readers (band explode + both verify-join sides), with the band
+    hashes precomputed and the screen snapshot derived in the same
+    build phase."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _signature_table(spark, sf_dir, docs)
+    sigs, stats = _signature_table(spark, sf_dir, docs)
     return dd.minhash_near_dup_pairs(
         docs, "doc_id", "text", shingle_n=3, k=K, bands=BANDS, rows=ROWS,
-        threshold=0.5, signatures=sigs,
+        threshold=0.5, signatures=sigs, band_stats=stats,
     )
 
 
-def _signature_table(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
-    """Per-invocation materialized MinHash signature table (honestly
-    cold: a fresh scratch path every call — cross-run reuse is
-    ensure_table pointed at a stable path, pytest-covered)."""
-    import os
-
-    from mapreduce_implementation_spark.sources.materialize import (
-        ensure_table,
-        scratch_dir,
+def _signature_table(spark: SparkSession, sf_dir: str, docs: DataFrame):
+    """Per-invocation materialized MinHash signature artifact (honestly
+    cold: recomputed from the parquet inputs on every call). Since r17
+    this is a TRACKED localCheckpoint rather than a scratch parquet
+    write+read — the artifact is consumed only within this invocation
+    (the old scratch table was deleted at exit, so its survives-the-
+    session property was unused) and the checkpoint skips the parquet
+    encode/commit/re-scan round-trip: full-cold A/B 1.05× at 32 cores,
+    1.33× at 8 (OPTIMIZATION_r17.md; blocks released on the next
+    registry query via caching.release_caches). The build-once/
+    reuse-everywhere PARQUET lifecycle stays exercised by ensure_table
+    in the bench warm rows, the corpus pipeline and tests. The frame
+    carries its precomputed band hashes, and the build derives the
+    (band, count) screen snapshot in the same phase
+    (minhash_band_stats) — the miner then makes every build-time
+    decision with zero extra jobs, and the band md5s evaluate once
+    per build instead of three times.
+    Returns (signatures frame, band_stats dict)."""
+    from mapreduce_implementation_spark.caching import (
+        track_local_checkpoint,
     )
 
-    path = os.path.join(scratch_dir("mris_minhash_"), "sigs")
-    return ensure_table(
-        spark,
-        path,
-        lambda: dd.minhash_signatures(docs, "doc_id", "text", shingle_n=3, k=K),
+    sigs = track_local_checkpoint(
+        dd.minhash_signatures(
+            docs, "doc_id", "text", shingle_n=3, k=K,
+            with_bands=(BANDS, ROWS),
+        )
     )
+    stats = dd.minhash_band_stats(
+        spark, sigs, None,
+        bands=BANDS, rows=ROWS, max_bucket=dd.DEFAULT_MAX_BUCKET,
+    )
+    return sigs, stats
 
 
 @register(
@@ -157,12 +176,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-star contraction above it (O(log n) bounded shuffles); min-
     label propagation is kept only as an opt-in fallback. The DuckDB
     twin is a recursive reachability CTE. Pair emission reads the same
-    materialized signature table layout as minhash_near_dup_pairs."""
+    materialized signature artifact layout as minhash_near_dup_pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _signature_table(spark, sf_dir, docs)
+    sigs, stats = _signature_table(spark, sf_dir, docs)
     pairs = dd.minhash_near_dup_pairs(
         docs, "doc_id", "text", shingle_n=3, k=K, bands=BANDS, rows=ROWS,
-        threshold=0.5, signatures=sigs,
+        threshold=0.5, signatures=sigs, band_stats=stats,
     )
     return dd.connected_components(pairs, "doc_a", "doc_b")
 

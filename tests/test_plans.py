@@ -157,16 +157,20 @@ def test_ivf_probe_prunes_partitions(spark, oracle_sf_dir):
 
 def test_minhash_consumes_materialized_signature_table(spark, oracle_sf_dir):
     """All three signature consumers (band explode + both verify-join
-    sides) must scan the materialized signature TABLE — no cache, no
-    recomputation of the shingle/md5 chain per consumer."""
+    sides) must scan the per-invocation materialized artifact (tracked
+    localCheckpoint since r17) — no session cache, no recomputation of
+    the shingle/md5 chain per consumer, no raw-document scan, and the
+    band hashes read from the table's PRECOMPUTED column (posexplode)
+    instead of re-running md5-over-slice at mine time."""
     df = all_queries()["minhash_near_dup_pairs"].fn(spark, oracle_sf_dir)
     plan = explain_str(df)
     assert "InMemoryTableScan" not in plan, plan
-    assert "mris_minhash_" in plan, plan  # the artifact table's path
+    assert "ExistingRDD" in plan, plan  # the checkpointed artifact
     # the shingle/signature chain ran at build time: this plan never
-    # touches the raw documents table (only band-hash md5 over sig
-    # slices remains, which reads the table's sig column)
+    # touches the raw documents table
     assert "documents.parquet" not in plan, plan
+    assert "_bands_4x4" in plan, plan  # stored band hashes consumed
+    assert "md5" not in plan, plan  # ...so no runtime band hashing
 
 
 def test_bucketed_join_avoids_shuffle(spark, oracle_sf_dir):
