@@ -1218,6 +1218,25 @@ def _np_batch_order(embs, vn, cmat, cn, cent_vals, cent_norms, nprobe):
     return np.argsort(-q, axis=1, kind="stable")[:, :nprobe]
 
 
+def _clean_int_vector(e, d: int) -> bool:
+    """True when ``e`` is a right-length vector whose every element is
+    non-null and non-NaN — the rows the fused Lloyd kernel may stack
+    into one int64 matrix. Arrow hands a list<long> column containing
+    null elements to pandas as float arrays with NaN (or object arrays
+    with None), so element cleanliness must be checked, not assumed
+    (ADVICE r16)."""
+    import numpy as np
+
+    if e is None or len(e) != d:
+        return False
+    a = np.asarray(e)
+    if a.dtype == object:
+        return not any(v is None or v != v for v in a)
+    if np.issubdtype(a.dtype, np.floating):
+        return bool(np.isfinite(a).all())
+    return True
+
+
 def _train_sums_arrow(df: DataFrame, cents, emb_col: str = "ev") -> DataFrame:
     """Fused Lloyd-update kernel (r16, guide §2.3 "aggregate before you
     shuffle" applied to the Python boundary): assignment AND the
@@ -1281,8 +1300,16 @@ def _train_sums_arrow(df: DataFrame, cents, emb_col: str = "ev") -> DataFrame:
             assign = _np_batch_order(
                 embs, vn, cmat, cn, cent_vals, cent_norms, 1
             )[:, 0]
+            # "full" = vectorizable: right length AND every element
+            # non-null/non-NaN (ADVICE r16: Arrow surfaces a list<long>
+            # with null elements as floats-with-NaN or objects-with-
+            # None; np.asarray(int64) on those raised and, worse, the
+            # unfused posexplode tolerated them — sum skips the null,
+            # count(lit(1)) still counts the position). Anything not
+            # clean routes to the per-element fallback below, which
+            # replays exactly those exploded semantics.
             full = np.fromiter(
-                (e is not None and len(e) == d for e in embs),
+                (_clean_int_vector(e, d) for e in embs),
                 dtype=bool,
                 count=n,
             )
@@ -1301,8 +1328,10 @@ def _train_sums_arrow(df: DataFrame, cents, emb_col: str = "ev") -> DataFrame:
                         st = acc.setdefault((cid, p), [0, 0])
                         st[0] = int(np.int64(st[0]) + col_sums[p])
                         st[1] += cnt
-            # short/ragged non-null vectors: per-element, the exploded
-            # semantics (each element lands at its own pos)
+            # short/ragged/null-element vectors: per-element, the
+            # exploded semantics — a NULL element still counts the
+            # position (count(lit(1))) while contributing nothing to
+            # the sum
             for i in np.nonzero(~full)[0]:
                 e = embs[i]
                 if e is None:
@@ -1310,8 +1339,10 @@ def _train_sums_arrow(df: DataFrame, cents, emb_col: str = "ev") -> DataFrame:
                 cid = cent_ids[int(assign[i])]
                 for p, v in enumerate(e):
                     st = acc.setdefault((cid, p), [0, 0])
-                    st[0] = int(np.int64(st[0]) + np.int64(int(v)))
                     st[1] += 1
+                    if v is None or v != v:  # None or NaN (any float)
+                        continue
+                    st[0] = int(np.int64(st[0]) + np.int64(int(v)))
         if acc:
             keys = sorted(acc)
             yield pd.DataFrame(
@@ -1693,32 +1724,42 @@ def ivf_topk_from_index(
         )
     # The guard rides the collect itself (no extra job): cap+1 rows is
     # the most that ever reaches the driver, corpus-sized input or not.
-    cap_rows = max_queries * max(1, nprobe)
+    # r17 (verdict item 4): the queries were already driver-bound by
+    # contract, so the nearest-centroid ranking runs DRIVER-SIDE via
+    # the shared _np_batch_order instead of a Python-worker
+    # mapInPandas job — the collect becomes a plain JVM scan (no
+    # Python worker round, no Arrow transfer) and the probe drops one
+    # job. Parity is structural: the ranking core is byte-identical
+    # (_np_batch_order incl. the np_quantize_q4 boundary replay), and
+    # the one term that moves — the ``_vn`` norm Spark computed in the
+    # assignment projection — is replayed by _norm_fold_py with the
+    # same IEEE left fold (pinned bit-exact in tests/test_similarity.py
+    # against the Spark-assignment arm).
     qrows = (
-        assign_inverted_lists(
-            queries, centroids, nprobe, id_col, emb_col, keep_cols=(emb_col,)
-        )
-        .limit(cap_rows + 1)
+        queries.select(F.col(id_col), F.col(emb_col))
+        .limit(max_queries + 1)
         .collect()
     )
-    if len(qrows) > cap_rows:
+    if len(qrows) > max_queries:
         raise ValueError(
             f"ivf_topk_from_index collects query assignments to the "
             f"driver; query set exceeds max_queries={max_queries}. "
             f"Use ivf_topk (distributed) for large query sets, or "
             f"raise max_queries if the driver heap genuinely allows it."
         )
-    probe_ids = sorted({int(r["centroid_id"]) for r in qrows})
+    cent_rows = sorted(
+        centroids.select("centroid_id", "centroid_emb").collect(),
+        key=lambda r: r.centroid_id,
+    )
+    cents = [
+        (int(r.centroid_id), [float(x) for x in r.centroid_emb])
+        for r in cent_rows
+    ]
+    assigned = _assign_rows_local(qrows, cents, nprobe, id_col, emb_col)
+    probe_ids = sorted({cid for _, _, cid in assigned})
     qb = F.broadcast(
         spark.createDataFrame(
-            [
-                (
-                    int(r[id_col]),
-                    [float(x) for x in r[emb_col]],
-                    int(r["centroid_id"]),
-                )
-                for r in qrows
-            ],
+            assigned,
             f"{query_id_col} long, _q_emb array<double>, centroid_id int",
         )
     )
@@ -1740,6 +1781,70 @@ def ivf_topk_from_index(
         )
     )
     return _rank_topk(scored, query_id_col, id_col, k)
+
+
+def _norm_fold_py(e) -> float:
+    """Bit-exact Python replay of ``functions.vectors.norm`` (Spark's
+    ``sqrt(aggregate(arr, 0.0, acc + v*v))`` left fold): same IEEE adds
+    in the same index order from the same 0.0, ``math.sqrt`` = the JVM
+    sqrt (both correctly-rounded IEEE). NULL array / NULL element →
+    NaN, matching the Spark fold's NULL propagation as a float64
+    column read."""
+    import math
+
+    if e is None:
+        return float("nan")
+    acc = 0.0
+    for v in e:
+        if v is None:
+            return float("nan")
+        fv = float(v)
+        acc += fv * fv
+    return math.sqrt(acc)
+
+
+def _assign_rows_local(
+    qrows, cents, nprobe: int, id_col: str, emb_col: str
+) -> list[tuple]:
+    """Driver-side nearest-centroid assignment for a BOUNDED collected
+    query set (r17 — the ivf_topk_from_index probe): ranks with the
+    byte-identical _np_batch_order kernel the distributed arrow
+    assignment uses, with ``_vn`` replayed by _norm_fold_py. Returns
+    ``(query_id, emb as float list, centroid_id)`` tuples — one per
+    (query, probed list), the same rows the Spark-side
+    assign_inverted_lists(keep_cols=(emb,)) collect produced."""
+    import math
+
+    import numpy as np
+
+    cent_ids = [int(cid) for cid, _ in cents]
+    cent_vals = [[float(x) for x in c_emb] for _, c_emb in cents]
+    cent_norms = [
+        math.sqrt(sum(float(x) * float(x) for x in c_emb))
+        for _, c_emb in cents
+    ]
+    n = len(qrows)
+    if n == 0:
+        return []
+    embs = np.empty(n, dtype=object)
+    vn = np.empty(n, dtype=np.float64)
+    for i, r in enumerate(qrows):
+        embs[i] = r[emb_col]
+        vn[i] = _norm_fold_py(r[emb_col])
+    cmat = np.array(cent_vals, dtype=np.float64)
+    cn = np.array(cent_norms, dtype=np.float64)
+    order = _np_batch_order(embs, vn, cmat, cn, cent_vals, cent_norms, nprobe)
+    out = []
+    for i, r in enumerate(qrows):
+        emb = (
+            [float(x) for x in r[emb_col]]
+            if r[emb_col] is not None
+            else None
+        )
+        qid = int(r[id_col])
+        for j in order[i]:
+            out.append((qid, emb, cent_ids[int(j)]))
+    return out
 
 
 def _query_probe_buckets(

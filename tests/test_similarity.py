@@ -637,6 +637,119 @@ def test_train_centroids_impl_invariant(spark, vectors):
     )
 
 
+def test_train_centroids_null_element_vector_parity(spark):
+    """ADVICE r16: a FULL-LENGTH vector containing a NULL element (a
+    source embedding with a null entry survives quantize_micro as a
+    null element) must neither crash the fused Lloyd kernel nor
+    diverge from the unfused posexplode semantics — the null position
+    still counts toward n while contributing nothing to the sum."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(DoubleType(), True), True),
+        ]
+    )
+    rows = [
+        (i, [float(i % 4) + 0.1, 1.0, -2.0, 3.0]) for i in range(20)
+    ]
+    rows += [
+        (100, [1.0, None, 3.0, 4.0]),  # full length, null element
+        (101, None),                   # null vector
+        (102, [1.0, 2.0]),             # ragged
+    ]
+    from pyspark.sql import functions as F
+
+    vecs = spark.createDataFrame(rows, schema)
+    vq = vecs.select("vec_id", sim.quantize_micro("embedding").alias("ev"))
+    cents = [
+        (0, [100_000, 1_000_000, -2_000_000, 3_000_000]),
+        (1, [3_100_000, 1_000_000, -2_000_000, 3_000_000]),
+        (2, [-1_000_000, 500_000, 250_000, -750_000]),
+    ]
+    fused = sorted(
+        map(
+            tuple,
+            sim._train_sums_arrow(vq, cents, "ev")
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect(),
+        )
+    )
+    assigned = sim._assign_from_list(
+        vq, cents, 1, "vec_id", "ev", keep_cols=("ev",), impl="expr"
+    )
+    unfused = sorted(
+        map(
+            tuple,
+            assigned.select(
+                "centroid_id", F.posexplode("ev").alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect(),
+        )
+    )
+    assert fused == unfused
+
+
+@pytest.mark.parametrize("nprobe", [1, 3, 99])
+def test_assign_rows_local_matches_spark_assignment(
+    spark, adversarial_vectors, adversarial_centroids, nprobe
+):
+    """r17: ivf_topk_from_index ranks its bounded query set DRIVER-SIDE
+    (_assign_rows_local) instead of a Python-worker assignment job.
+    The ranking core is the shared _np_batch_order; the one replayed
+    term is the Spark-side norm() fold (_norm_fold_py) — this pins the
+    whole replay bit-exact against the Spark assignment arm on the
+    adversarial set (NULL embedding, zero vector, ragged row)."""
+    spark_side = sim.assign_inverted_lists(
+        adversarial_vectors,
+        adversarial_centroids,
+        nprobe,
+        keep_cols=("embedding",),
+        impl="arrow",
+    ).collect()
+    cents = [
+        (int(r.centroid_id), [float(x) for x in r.centroid_emb])
+        for r in sorted(
+            adversarial_centroids.collect(), key=lambda r: r.centroid_id
+        )
+    ]
+    qrows = adversarial_vectors.collect()
+    local = sim._assign_rows_local(qrows, cents, nprobe, "vec_id", "embedding")
+    a = sorted((r.vec_id, r.centroid_id) for r in spark_side)
+    b = sorted((qid, cid) for qid, _, cid in local)
+    assert a == b
+
+
+def test_norm_fold_py_matches_spark_norm(spark, adversarial_vectors):
+    """The driver-side norm replay must be bit-equal to the Spark fold
+    (same IEEE adds in index order), NULL/ragged included."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.functions.vectors import norm
+
+    rows = adversarial_vectors.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("vn")
+    ).collect()
+    for r in rows:
+        got = sim._norm_fold_py(r.embedding)
+        want = float("nan") if r.vn is None else float(r.vn)
+        assert (math.isnan(got) and math.isnan(want)) or got == want, (
+            r.vec_id, got, want,
+        )
+
+
 def test_np_quantize_q4_matches_decimal_cast_semantics():
     """Property sweep: the fast floor(+0.5) path agrees with Spark's
     double→DECIMAL(10,4) cast (shortest-repr HALF_UP) everywhere the
