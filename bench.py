@@ -21,7 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreduce_implementation_spark import get_spark
 from mapreduce_implementation_spark.plans import headline_queries
-from measure_protocol import hof_canary_seconds, materialize
+from measure_protocol import (
+    hof_canary_seconds,
+    materialize,
+    scaling_probe_seconds,
+    session_stamp,
+)
 
 
 def main() -> None:
@@ -101,6 +106,16 @@ def main() -> None:
         sys.stderr.write(r.stderr)
         raise SystemExit(r.returncode)
 
+    # Scaling probe (r17 verdict item 2): ~10 s of single-core codegen
+    # work over 64 fixed partitions, min of 2 — the ONE bench number
+    # whose low/high-core ratio must track the core ratio when
+    # parallelism works (the headline queries at sf0.1 are fixed-
+    # overhead-bound and cannot evidence scaling; r16's all-ratios≈1
+    # block diagnosed exactly that). Stamped with the session's actual
+    # master/defaultParallelism below so the core count is proven, not
+    # assumed.
+    scaling_probe_runs = [scaling_probe_seconds(spark, runs=1) for _ in range(2)]
+
     # First-slot plan warmup (round-10 verdict item 3): the generic
     # scan+shuffle warmup above doesn't compile the FIRST query's own
     # plan shape, so slot 1 absorbed 2-3x of cold whole-stage-codegen /
@@ -120,17 +135,21 @@ def main() -> None:
     # can compute dispersion instead of eyeballing it.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name, q in queries.items():
-        runs[name] = []
-        # guide §1.5: label the jobs so a UI / event-log reader can map
-        # stages back to the query being timed
-        spark.sparkContext.setJobDescription(f"bench:{name}")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(q.fn(spark, sf_dir))
-            runs[name].append(round(time.perf_counter() - t0, 3))
-        timings[name] = min(runs[name])
-    spark.sparkContext.setJobDescription(None)
+    try:
+        for name, q in queries.items():
+            runs[name] = []
+            # guide §1.5: label the jobs so a UI / event-log reader can
+            # map stages back to the query being timed
+            spark.sparkContext.setJobDescription(f"bench:{name}")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(q.fn(spark, sf_dir))
+                runs[name].append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(runs[name])
+    finally:
+        # ADVICE r16: a mid-bench raise must not leak the stale label
+        # onto later jobs in the session
+        spark.sparkContext.setJobDescription(None)
 
     warm = warm_probe_timings(spark, sf_dir)
 
@@ -155,6 +174,9 @@ def main() -> None:
         "warm_queries": warm,
         "runs_per_query": 2,
         "first_slot_warmup": True,
+        "scaling_probe": min(scaling_probe_runs),
+        "scaling_probe_runs": scaling_probe_runs,
+        **session_stamp(spark),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
@@ -238,7 +260,30 @@ def append_trend_row(out: dict, path: str | None = None) -> None:
     calibration (round-15 verdict item 5: the r14 prose quoted a
     per_cal from a different run than the row it annotated — 59.4 vs
     the driver JSON's 55.5; stamping it here makes the normalized
-    number and the raw row inseparable)."""
+    number and the raw row inseparable).
+
+    Non-default-core runs are SKIPPED (r17 verdict item 2 / wart: the
+    driver re-runs the bench at a lower core count, and that re-run
+    used to REPLACE the round's 32-core trend row with 8-core numbers
+    — BASELINE.md's r16 row was overwritten exactly that way; the
+    table's history is 32-core rows only)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if cpus != "32":
+        print(
+            f"trend-table append skipped: non-default core count "
+            f"(SPARK_GRAFT_CPUS={cpus}; the table records 32-core rows)",
+            file=sys.stderr,
+        )
+        return
+    if out.get("sf") not in (0.1, None):
+        # the table's history is sf0.1 rows; a smoke run at another SF
+        # must not replace the round's row
+        print(
+            f"trend-table append skipped: sf={out.get('sf')} "
+            "(the table records sf0.1 rows)",
+            file=sys.stderr,
+        )
+        return
     here = os.path.dirname(os.path.abspath(__file__))
     path = path or os.path.join(here, "BASELINE.md")
     with open(path) as f:
@@ -287,7 +332,18 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
     only the probe is timed (min of 2) against the committed table.
     Kept out of `value`/`queries` so the cold headline total stays
     comparable across rounds (BASELINE.md)."""
+    warm: dict[str, float] = {}
+    spark.sparkContext.setJobDescription("bench:warm_probes")
+    try:
+        return _warm_probe_timings(spark, sf_dir, warm)
+    finally:
+        # ADVICE r16: restore the label even when a probe raises
+        spark.sparkContext.setJobDescription(None)
+
+
+def _warm_probe_timings(spark, sf_dir: str, warm: dict) -> dict[str, float]:
     import tempfile
+    import time
 
     from pyspark.sql import functions as F
 
@@ -308,8 +364,6 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
     from mapreduce_implementation_spark.sources.catalog import load_table
     from mapreduce_implementation_spark.sources.materialize import ensure_table
 
-    warm: dict[str, float] = {}
-    spark.sparkContext.setJobDescription("bench:warm_probes")
     with tempfile.TemporaryDirectory(prefix="mris_bench_warm_") as root:
         docs = load_table(spark, sf_dir, "documents")
         t0 = time.perf_counter()
@@ -544,7 +598,24 @@ def warm_probe_timings(spark, sf_dir: str) -> dict[str, float]:
             )
             best = min(best, time.perf_counter() - t0)
         warm["semantic_dedup"] = round(best, 3)
-    spark.sparkContext.setJobDescription(None)
+
+        # r17 (verdict item 7): the streaming family gets a per-round
+        # wall-clock row — each is the registered bounded micro-batch
+        # drain (file source → stateful op → memory sink,
+        # Trigger.AvailableNow), min of 2: one stateless agg, one
+        # applyInPandasWithState sessionizer, one watermark-eviction
+        # path. Additions-only: new warm keys, headline set untouched.
+        for name in (
+            "streaming_wordcount",
+            "streaming_sessionize",
+            "streaming_late_data_watermark",
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(ALL[name].fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            warm[f"{name}_drain"] = round(best, 3)
     return warm
 
 

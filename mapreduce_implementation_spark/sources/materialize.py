@@ -100,7 +100,18 @@ def _sized_for_write(df: DataFrame) -> DataFrame:
     chain onto one core: 1.52 s vs 0.71 s, OPTIMIZATION_r16.md).
     Unresolvable inputs (object-store URIs, no-file sources) fall back
     to the AQE ``rebalance`` hint: advisory-size partitioning decided
-    at runtime from real shuffle statistics."""
+    at runtime from real shuffle statistics.
+
+    EXPANDING builds (r17 verdict item 6 / ADVICE r16): the
+    input-bytes bound assumes the artifact is a strict subset/
+    derivative of its scan — true for every current consumer
+    (signatures, pack tables) but WRONG for a generator build
+    (explode/posexplode: a shingle- or ngram-level artifact can be
+    many times its input). A plan containing a Generate node therefore
+    falls back to the rebalance hint too: AQE sizes the files from the
+    REAL post-explosion shuffle statistics instead of an
+    under-provisioned byte guess (pinned in
+    tests/test_sources.py::test_ensure_table_write_sizing_expanding)."""
     import os as _os
     from urllib.parse import urlparse
 
@@ -109,6 +120,8 @@ def _sized_for_write(df: DataFrame) -> DataFrame:
     except Exception:
         files = []
     if not files:
+        return df.hint("rebalance")
+    if _plan_has_generator(df):
         return df.hint("rebalance")
     total = 0
     for uri in files:
@@ -132,3 +145,24 @@ def _sized_for_write(df: DataFrame) -> DataFrame:
         # repartitioning buys nothing and costs a corpus-scale exchange
         return df
     return df.repartition(est)
+
+
+def _plan_has_generator(df: DataFrame) -> bool:
+    """True when the optimized logical plan contains a Generate node
+    (explode/posexplode/inline …) — the row-multiplying shapes whose
+    output bytes the scan-size estimate cannot bound. Driver-side plan
+    walk only (the spread() probe pattern); unknown plan surfaces
+    (Spark Connect — no _jdf) conservatively report True so the caller
+    falls back to runtime-statistics sizing."""
+    try:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName().startswith("Generate"):
+                return True
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return False
+    except Exception:
+        return True

@@ -95,6 +95,48 @@ def hof_canary_seconds(spark) -> float:
     return best
 
 
+def scaling_probe_seconds(spark, runs: int = 2) -> float:
+    """Compute-heavy, embarrassingly parallel scaling probe (min of
+    ``runs``) — r17 verdict item 2: every 8-vs-32-core ratio in the
+    r16 scaling block read ≈1 because nothing in the bench carried
+    enough compute to show parallelism (even the calibration probe is
+    ~0.05 s of single-core work buried in ~0.2 s of fixed overhead),
+    so the measurement was vacuous, not wrong. This probe is ~10 s of
+    single-core whole-stage-codegen work (400M rows × two chained
+    xxhash64 rounds; no HOF, so it is blind to the interpreted-eval
+    JIT draw by design) over 64 fixed partitions — divisible by both
+    driver core counts — so its low/high-core ratio approximates the
+    core ratio whenever parallelism works (~0.31 s at 32 cores, ~1.3 s
+    at 8 measured on the dev host)."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        materialize(
+            spark.range(0, 400_000_000, 1, 64).select(
+                F.sum(F.xxhash64(F.xxhash64("id")) % 1000).alias("s")
+            )
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def session_stamp(spark) -> dict:
+    """PROOF of the parallelism the process actually ran at (r17
+    verdict item 2: nothing in the bench JSON evidenced the core
+    count, so `suspect_cpus_ignored` was unfalsifiable). Merge into
+    every JSON line."""
+    import os
+
+    sc = spark.sparkContext
+    return {
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "cpus_env": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+
+
 def protocol_stamp(spark, cal_runs: int = 2) -> dict:
     """Seed + measure + price, in protocol order. Returns::
 

@@ -64,6 +64,17 @@ def test_rerun_replaces_own_row(baseline):
     assert "| r14 | 12.00 |" in text
 
 
+def test_non_default_core_run_skips_append(baseline, monkeypatch):
+    """r17 verdict item 2 wart: the driver's 8-core re-run must not
+    replace the round's 32-core trend row (it overwrote r16's)."""
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    bench.append_trend_row(OUT, path=baseline)
+    assert "| r14 |" not in open(baseline).read()
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    bench.append_trend_row(OUT, path=baseline)
+    assert "| r14 |" in open(baseline).read()
+
+
 def test_missing_table_raises(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "14")
     p = tmp_path / "BASELINE.md"

@@ -439,6 +439,37 @@ def test_distributed_listing_driver_holds_prefixes_not_leaves(
     )
 
 
+def test_ensure_table_write_sizing_expanding(spark, tmp_path):
+    """r17 verdict item 6 / ADVICE r16: a generator (explode) build can
+    emit many times its scan bytes, so the byte-derived file-count
+    estimate must NOT apply — the frame takes the rebalance-hint
+    fallback (AQE sizes the files from the real post-explosion shuffle
+    stats) while a same-source non-expanding build keeps the byte
+    estimate."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.sources.materialize import (
+        _plan_has_generator,
+        _sized_for_write,
+        ensure_table,
+    )
+
+    src = str(tmp_path / "xsrc")
+    spark.range(0, 200).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    base = spark.read.parquet(src)
+    exploding = base.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(49))).alias("pos")
+    )
+    assert _plan_has_generator(exploding)
+    assert not _plan_has_generator(base.selectExpr("id", "v + 1 AS w"))
+    sized = _sized_for_write(exploding)
+    # rebalance fallback, not a byte-derived repartition(1)
+    assert "rebalance" in sized._jdf.queryExecution().logical().toString().lower()
+    out = str(tmp_path / "x_artifact")
+    got = ensure_table(spark, out, lambda: exploding)
+    assert got.count() == 200 * 50
+
+
 def test_ensure_table_write_sizing(spark, tmp_path):
     """r16: unpartitioned ensure_table writes right-size their file
     count from the build frame's scan bytes (guide §6) — a spread()
