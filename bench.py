@@ -115,6 +115,10 @@ def main() -> None:
     # master/defaultParallelism below so the core count is proven, not
     # assumed.
     scaling_probe_runs = [scaling_probe_seconds(spark, runs=1) for _ in range(2)]
+    # the same work on ONE partition: serial/parallel = this run's own
+    # effective parallel speedup (self-calibrated — a shared microVM's
+    # local[32] does not promise 32 cores of bandwidth)
+    scaling_probe_serial = scaling_probe_seconds(spark, runs=1, partitions=1)
 
     # First-slot plan warmup (round-10 verdict item 3): the generic
     # scan+shuffle warmup above doesn't compile the FIRST query's own
@@ -176,6 +180,12 @@ def main() -> None:
         "first_slot_warmup": True,
         "scaling_probe": min(scaling_probe_runs),
         "scaling_probe_runs": scaling_probe_runs,
+        "scaling_probe_serial": scaling_probe_serial,
+        "scaling_probe_speedup": (
+            round(scaling_probe_serial / min(scaling_probe_runs), 2)
+            if min(scaling_probe_runs)
+            else None
+        ),
         **session_stamp(spark),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

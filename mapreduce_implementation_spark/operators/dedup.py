@@ -338,7 +338,11 @@ def _minhash_banded(
     extra = ["sig"] if keep_sig else []
     pre = band_hashes_column(bands, rows)
     if pre in sigs.columns:
-        return sigs.where(F.col("sig").isNotNull()).select(
+        # filter on the band column itself (NULL iff sig NULL, by
+        # band_hashes' construction) so a committed-table counts scan
+        # column-prunes to ONLY the band array — the sig column stays
+        # unread unless keep_sig rides it
+        return sigs.where(F.col(pre).isNotNull()).select(
             F.col("doc_id").alias(out_id),
             F.posexplode(F.col(pre)).alias("band_id", "band_hash"),
             *extra,

@@ -95,7 +95,7 @@ def hof_canary_seconds(spark) -> float:
     return best
 
 
-def scaling_probe_seconds(spark, runs: int = 2) -> float:
+def scaling_probe_seconds(spark, runs: int = 2, partitions: int = 64) -> float:
     """Compute-heavy, embarrassingly parallel scaling probe (min of
     ``runs``) — r17 verdict item 2: every 8-vs-32-core ratio in the
     r16 scaling block read ≈1 because nothing in the bench carried
@@ -105,16 +105,20 @@ def scaling_probe_seconds(spark, runs: int = 2) -> float:
     single-core whole-stage-codegen work (400M rows × two chained
     xxhash64 rounds; no HOF, so it is blind to the interpreted-eval
     JIT draw by design) over 64 fixed partitions — divisible by both
-    driver core counts — so its low/high-core ratio approximates the
-    core ratio whenever parallelism works (~0.31 s at 32 cores, ~1.3 s
-    at 8 measured on the dev host)."""
+    driver core counts — so its low/high-core ratio moves with the
+    core ratio whenever parallelism works. ``partitions=1`` times the
+    SAME work serially: ``serial/parallel`` is the run's own effective
+    parallel speedup, self-calibrated against host oversubscription (a
+    shared microVM's local[32] does not promise 32 cores' worth of
+    memory bandwidth — measured here: ~8× at local[8] i.e. near-ideal,
+    ~15× at local[32])."""
     from pyspark.sql import functions as F
 
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
         materialize(
-            spark.range(0, 400_000_000, 1, 64).select(
+            spark.range(0, 400_000_000, 1, partitions).select(
                 F.sum(F.xxhash64(F.xxhash64("id")) % 1000).alias("s")
             )
         )
