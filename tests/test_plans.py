@@ -173,6 +173,17 @@ def test_minhash_consumes_materialized_signature_table(spark, oracle_sf_dir):
     assert "md5" not in plan, plan  # ...so no runtime band hashing
 
 
+def test_doc_quality_runs_the_arrow_kernel(spark, oracle_sf_dir):
+    """r17: doc_quality's integer feature inputs come from ONE
+    MapInArrow pass — no interpreted-HOF feature chain (aggregate /
+    array_sort / array_distinct folds) may reappear in the plan."""
+    df = all_queries()["doc_quality"].fn(spark, oracle_sf_dir)
+    plan = explain_str(df)
+    assert "MapInArrow" in plan, plan
+    for hof in ("array_sort", "array_distinct", "aggregate("):
+        assert hof not in plan, plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, oracle_sf_dir):
     """Co-located join via bucketing: both tables bucketed+sorted on the
     join key → SortMergeJoin with NO exchange on either side. At 100 TB
